@@ -1,0 +1,111 @@
+"""Phase folding (SURVEY §2.4 A4/A5/A6, §2.5 W9).
+
+Semantics from the reference's sample-level fold loop
+(/root/reference/pulsestack.py:505-650): for each sample at time t,
+``phase = frac((t - t0)/P)``, ``ibin = int(nbins * phase)``; profile is
+the per-bin mean (``profile[ibin] += x; counts[ibin] += 1`` then
+``profile/counts`` at pulsestack.py:583-650). Event folding
+(pulsestack.py:622-650) is the count-only variant. Sub-integration
+dumps (pulsestack.py:536-612) tile time into tumbling windows first.
+
+Spark-first design: the reference's carry-across-blocks bookkeeping
+(``elapsed_secs/turns``, pulsestack.py:516-619) disappears — phase is a
+pure per-row expression, so the fold is one map-side projection plus a
+single partial+final hash aggregation on a small key space (nbins or
+nbins*nwindows). At 100 TB this is the ideal shape: no wide shuffle —
+the shuffle key cardinality is tiny, map-side combine collapses each
+input partition to <= nbins rows before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def phase_column(t: Column, period: float, t0: float = 0.0) -> Column:
+    """phase in [0,1) of time ``t`` for folding period ``period``."""
+    return F.pmod((t - F.lit(float(t0))) / F.lit(float(period)), F.lit(1.0))
+
+
+def bin_column(t: Column, period: float, nbins: int, t0: float = 0.0) -> Column:
+    """Phase-bin index: int(nbins * phase), clamped to nbins-1."""
+    raw = F.floor(phase_column(t, period, t0) * F.lit(int(nbins))).cast("int")
+    return F.least(raw, F.lit(int(nbins) - 1))
+
+
+def fold(
+    df: DataFrame,
+    period: float,
+    nbins: int,
+    t_col: str = "t",
+    value_col: str = "value",
+    t0: float = 0.0,
+) -> DataFrame:
+    """Fold a time series into a per-bin mean profile.
+
+    Returns (bin INT, profile DOUBLE, npts BIGINT), one row per
+    populated phase bin.
+    """
+    return (
+        df.select(
+            bin_column(F.col(t_col), period, nbins, t0).alias("bin"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.avg("__v").alias("profile"),
+            F.count("__v").alias("npts"),
+        )
+    )
+
+
+def fold_events(
+    df: DataFrame,
+    period: float,
+    nbins: int,
+    t_col: str = "t",
+    t0: float = 0.0,
+) -> DataFrame:
+    """Count-only event fold (pulsestack.py:622-650): per-bin counts."""
+    return (
+        df.select(bin_column(F.col(t_col), period, nbins, t0).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("nevents"))
+    )
+
+
+def fold_subints(
+    df: DataFrame,
+    period: float,
+    nbins: int,
+    dump_time: float,
+    t_col: str = "t",
+    value_col: str = "value",
+    t0: float = 0.0,
+) -> DataFrame:
+    """Sub-integration fold (pulsestack.py:536-612): tumbling time
+    windows of ``dump_time`` seconds, per-(window, bin) mean.
+
+    Key space is nwindows*nbins — still tiny relative to input; one
+    hash aggregation with map-side combine.
+    """
+    t = F.col(t_col)
+    win = F.floor((t - F.lit(float(t0))) / F.lit(float(dump_time))).cast("bigint")
+    return (
+        df.select(
+            win.alias("subint"),
+            bin_column(t, period, nbins, t0).alias("bin"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("subint", "bin")
+        .agg(F.avg("__v").alias("profile"), F.count("__v").alias("npts"))
+    )
+
+
+def rotate(df: DataFrame, shift: int, nbins: int, bin_col: str = "bin") -> DataFrame:
+    """Circular profile rotation by ``shift`` bins (W9; semantics of
+    /root/reference/snr.py:36-46 bestprof_rotate /
+    /root/reference/fluxcal/lofar_fluxcal.py:456-460)."""
+    return df.withColumn(
+        bin_col, F.pmod(F.col(bin_col) + F.lit(int(shift)), F.lit(int(nbins))).cast("int")
+    )

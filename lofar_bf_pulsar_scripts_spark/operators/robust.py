@@ -1,0 +1,204 @@
+"""Robust statistics layer (SURVEY §2.4 A2, §2.5 W1/W8).
+
+Semantics:
+  trimmed_block_stats — per block, sort and keep the lower half, then
+      mean/std of that half (outlier-resistant baseline estimate,
+      /root/reference/subdyn.py:426-427,552-556). Expressed as
+      median-filter + conditional aggregate — no per-group sort
+      materialization, one hash aggregation over percentile sketches.
+  sigma_clip — level = (x - mean_blk)/rms_blk, mask |level| > thresh
+      (6 sigma default, /root/reference/subdyn.py:19,423-469); a group
+      whose clipped fraction exceeds rfilimit (10%, subdyn.py:20,
+      :464-467) is dropped entirely.
+  detrend_normalize — piecewise per-chunk baseline removal + robust
+      sigma normalization (/root/reference/pulsestack.py:47-97):
+      chunks of ``detrendlen`` samples; fast path subtracts the chunk
+      median (pulsestack.py:57-62); sigma from the inner 95% with the
+      1.148 correction (pulsestack.py:68-76); outlier chunks get the
+      median sigma (pulsestack.py:79-91 gap heuristic approximated by
+      a median-absolute-deviation cut — documented deviation).
+
+All operators are two-phase: a per-group aggregate (small result)
+joined back to the samples. The join side is the aggregate — broadcast
+when the group count is modest, shuffle-on-group-key otherwise; both
+avoid moving the fact table twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 1/0.871: correction from std of the 5%-trimmed distribution to the
+# true sigma of a Gaussian (pulsestack.py:68-76).
+TRIM_STD_CORRECTION = 1.148
+
+
+def trimmed_block_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Mean/std of the lower half (values <= group median) per group
+    (A2, subdyn.py:426-427)."""
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    joined = df.join(med, on=group_cols)
+    lower = F.col(value_col) <= F.col("__med")
+    return joined.groupBy(*group_cols).agg(
+        F.avg(F.when(lower, F.col(value_col))).alias("trim_mean"),
+        F.stddev_pop(F.when(lower, F.col(value_col))).alias("trim_std"),
+        F.count(F.when(lower, F.col(value_col))).alias("trim_n"),
+    )
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    level_col: str = "level",
+) -> DataFrame:
+    """Attach level = (x - group mean)/group stddev (subdyn.py:423-447)."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(F.col(value_col)).alias("__m"),
+        F.stddev_samp(F.col(value_col)).alias("__s"),
+    )
+    return (
+        df.join(stats, on=group_cols)
+        .withColumn(level_col, (F.col(value_col) - F.col("__m")) / F.col("__s"))
+        .drop("__m", "__s")
+    )
+
+
+def sigma_clip(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    threshold: float = 6.0,
+    rfilimit: float | None = 0.1,
+    replacement: float = 0.0,
+) -> DataFrame:
+    """Sigma-clip mask (W8, subdyn.py:423-469,574-590).
+
+    Samples with |level| > threshold are replaced by ``replacement``
+    (the reference writes zeros back into the subband files,
+    subdyn.py:208-249). If ``rfilimit`` is set, groups whose clipped
+    fraction >= rfilimit are dropped entirely (subdyn.py:464-467).
+    Returns the input columns plus (level, clipped).
+    """
+    leveled = group_zscore(df, group_cols, value_col)
+    clipped = leveled.withColumn(
+        "clipped", (F.abs(F.col("level")) > F.lit(float(threshold))).cast("int")
+    ).withColumn(
+        value_col,
+        F.when(F.col("clipped") == 1, F.lit(float(replacement))).otherwise(
+            F.col(value_col)
+        ),
+    )
+    if rfilimit is not None:
+        frac = clipped.groupBy(*group_cols).agg(
+            F.avg(F.col("clipped")).alias("__clip_frac")
+        )
+        clipped = (
+            clipped.join(frac, on=group_cols)
+            .filter(F.col("__clip_frac") < F.lit(float(rfilimit)))
+            .drop("__clip_frac")
+        )
+    return clipped
+
+
+def clipped_fraction(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    threshold: float = 6.0,
+) -> DataFrame:
+    """Per-group clipped fraction — the .rfirep report row
+    (subdyn.py:455-467,605-611)."""
+    leveled = group_zscore(df, group_cols, value_col)
+    return leveled.groupBy(*group_cols).agg(
+        F.avg((F.abs(F.col("level")) > F.lit(float(threshold))).cast("double")).alias(
+            "clip_frac"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def detrend_normalize(
+    df: DataFrame,
+    detrendlen: int = 1000,
+    idx_col: str = "sample_idx",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    fast: bool = True,
+) -> DataFrame:
+    """Piecewise detrend + robust normalization (W1,
+    pulsestack.py:47-97). Fast path (median subtract, the 2x-speedup
+    mode at pulsestack.py:57-62) is the default; sigma per chunk from
+    the central 95% with the 1.148 trim correction; chunks whose sigma
+    is an outlier (> 3 MAD from the median sigma — approximating the
+    sorted-gap heuristic at pulsestack.py:79-91) get the median sigma.
+
+    Three small aggregations over chunk keys + one broadcastable join
+    back; the fact table is touched twice (once to build chunk stats,
+    once to apply) — at 100 TB both passes are scan+map only.
+    """
+    group_cols = group_cols or []
+    chunk = block_id(F.col(idx_col), detrendlen).alias("__chunk")
+    with_chunk = df.withColumn("__chunk", chunk)
+
+    v = F.col(value_col)
+    per_chunk = with_chunk.groupBy(*group_cols, "__chunk").agg(
+        F.percentile(v, F.lit(0.5)).alias("__base"),
+        F.percentile(v, F.lit(0.025)).alias("__lo"),
+        F.percentile(v, F.lit(0.975)).alias("__hi"),
+    )
+
+    # sigma of the central 95%, corrected (pulsestack.py:68-76): std of
+    # values within [lo, hi], times 1.148.
+    centered = with_chunk.join(per_chunk, on=[*group_cols, "__chunk"])
+    sig = (
+        centered.filter((v >= F.col("__lo")) & (v <= F.col("__hi")))
+        .groupBy(*group_cols, "__chunk")
+        .agg((F.stddev_samp(v) * F.lit(TRIM_STD_CORRECTION)).alias("__sigma"))
+    )
+    # outlier chunks -> median sigma (pulsestack.py:84-91); MAD needs
+    # two passes over the (tiny) per-chunk sigma table.
+    med = sig.groupBy(*group_cols).agg(
+        F.percentile(F.col("__sigma"), F.lit(0.5)).alias("__med_sigma")
+    )
+    sig_med = (
+        sig.join(F.broadcast(med), on=group_cols)
+        if group_cols
+        else sig.crossJoin(F.broadcast(med))
+    )
+    mad = sig_med.groupBy(*group_cols).agg(
+        F.percentile(
+            F.abs(F.col("__sigma") - F.col("__med_sigma")), F.lit(0.5)
+        ).alias("__mad_sigma")
+    )
+    med_mad = (
+        med.join(mad, on=group_cols) if group_cols else med.crossJoin(mad)
+    )
+    sig_fixed = (
+        (
+            sig.join(F.broadcast(med_mad), on=group_cols)
+            if group_cols
+            else sig.crossJoin(F.broadcast(med_mad))
+        )
+        .withColumn(
+            "__sigma",
+            F.when(
+                F.abs(F.col("__sigma") - F.col("__med_sigma"))
+                > 3 * F.col("__mad_sigma"),
+                F.col("__med_sigma"),
+            ).otherwise(F.col("__sigma")),
+        )
+        .select(*group_cols, "__chunk", "__sigma")
+    )
+    out = (
+        centered.join(sig_fixed, on=[*group_cols, "__chunk"])
+        .withColumn(value_col, (v - F.col("__base")) / F.col("__sigma"))
+        .drop("__chunk", "__base", "__lo", "__hi", "__sigma")
+    )
+    return out

@@ -1,0 +1,647 @@
+"""Query registry: the driver-facing correctness surface.
+
+Each entry pairs a Spark implementation (built from the operator
+library, SURVEY.md §2) with the ANSI-SQL oracle DuckDB runs on the same
+parquet tables. Conventions that make the hash comparison exact:
+
+* every computed/aggregate column is aliased identically in both;
+* floating aggregates are rounded (6 dp for means/ratios, 4 dp for
+  large sums) in BOTH engines — cross-engine summation-order noise is
+  ~1 ulp, far below the rounding quantum;
+* no raw timestamps in outputs (epoch doubles instead) — avoids
+  tz-representation mismatches;
+* every argmax/top-1 is made deterministic with an explicit tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.asof import asof_latest, nearest_key_join
+from .operators.fold import fold, fold_subints
+from .operators.profile import best_boxcar, profile_stats
+from .operators.raster import rebin
+from .operators.robust import sigma_clip, trimmed_block_stats
+from .operators.session import session_stats
+from .tables import load_table, ns_literal, ts_seconds
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver falls back to rows-only check
+    survey_ref: str  # SURVEY §2 operator ids exercised
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn):
+        _SPECS.append(QuerySpec(name, fn, oracle, survey_ref))
+        return fn
+
+    return deco
+
+
+def _events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with t = epoch seconds (double; µs-truncated ns, matching
+    DuckDB epoch() on the same parquet bit-exactly)."""
+    return load_table(spark, "events", sf_dir).withColumn("t", ts_seconds("ts"))
+
+
+# --------------------------------------------------------------------
+# Fold family (A4/A6/A7 — pulsestack.py fold loop, snr.py stats)
+# --------------------------------------------------------------------
+
+FOLD_PERIOD = 3600.0
+FOLD_NBINS = 24
+
+_FOLD_BIN_SQL = (
+    "CAST(least(CAST(floor(((epoch(ts) / 3600.0) % 1.0) * 24) AS BIGINT), 23) AS INTEGER)"
+)
+
+
+@_register(
+    "fold_profile",
+    f"""
+    SELECT {_FOLD_BIN_SQL} AS bin,
+           round(avg(value), 6) AS profile,
+           count(value) AS npts
+    FROM events
+    GROUP BY 1
+    """,
+    "A4 fold (pulsestack.py:505-650)",
+)
+def q_fold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = fold(_events_t(spark, sf_dir), FOLD_PERIOD, FOLD_NBINS)
+    return prof.select("bin", F.round("profile", 6).alias("profile"), "npts")
+
+
+@_register(
+    "fold_subints",
+    f"""
+    SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS subint,
+           {_FOLD_BIN_SQL} AS bin,
+           round(avg(value), 6) AS profile,
+           count(value) AS npts
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "A6 subintegration dump (pulsestack.py:536-612)",
+)
+def q_fold_subints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = fold_subints(
+        _events_t(spark, sf_dir), FOLD_PERIOD, FOLD_NBINS, dump_time=86400.0
+    )
+    return sub.select(
+        "subint", "bin", F.round("profile", 6).alias("profile"), "npts"
+    )
+
+
+@_register(
+    "profile_stats",
+    f"""
+    WITH prof AS (
+        SELECT {_FOLD_BIN_SQL} AS bin, avg(value) AS profile
+        FROM events GROUP BY 1
+    )
+    SELECT count(profile) AS nbins,
+           round(max(profile), 6) AS peak,
+           round(avg(profile), 6) AS mean,
+           round(sum(profile), 6) AS total,
+           round(sum(profile) / max(profile), 6) AS weq,
+           round(sum(profile) / sqrt(abs(sum(profile) / max(profile))), 6) AS profsign,
+           round(sum(profile * profile) / (count(profile) - 1), 6) AS chi2
+    FROM prof
+    """,
+    "A7 profile statistics suite (snr.py:305-314)",
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = fold(_events_t(spark, sf_dir), FOLD_PERIOD, FOLD_NBINS)
+    st = profile_stats(prof, value_col="profile")
+    return st.select(
+        "nbins",
+        F.round("peak", 6).alias("peak"),
+        F.round("mean", 6).alias("mean"),
+        F.round("total", 6).alias("total"),
+        F.round("weq", 6).alias("weq"),
+        F.round("profsign", 6).alias("profsign"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------
+# Scrunch / rebin / pricing aggregations (A1/A3)
+# --------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A3 scrunch family as grouped aggregation (dynsp.py:152-156; TPC-H Q1 shape)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "rebin_events",
+    """
+    SELECT CAST(floor(event_id / 100) AS BIGINT) AS block,
+           round(avg(value), 6) AS value,
+           count(value) AS npts
+    FROM events
+    GROUP BY 1
+    """,
+    "A1 block mean rebin (subdyn.py:423; pulsestack.py:692)",
+)
+def q_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = rebin(ev, 100, idx_col="event_id", value_col="value")
+    return out.select("block", F.round("value", 6).alias("value"), "npts")
+
+
+@_register(
+    "trimmed_stats",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(avg(e.value) FILTER (WHERE e.value <= med.m), 6) AS trim_mean,
+           round(stddev_pop(e.value) FILTER (WHERE e.value <= med.m), 6) AS trim_std,
+           count(e.value) FILTER (WHERE e.value <= med.m) AS trim_n
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+    """,
+    "A2 robust block stats, lower-half mean/std (subdyn.py:426-427)",
+)
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = trimmed_block_stats(ev, ["event_type"], value_col="value")
+    return out.select(
+        "event_type",
+        F.round("trim_mean", 6).alias("trim_mean"),
+        F.round("trim_std", 6).alias("trim_std"),
+        "trim_n",
+    )
+
+
+# --------------------------------------------------------------------
+# Catalog-style relational queries (J1/J2/P1-P6, set ops)
+# --------------------------------------------------------------------
+
+
+@_register(
+    "catalog_union",
+    """
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name,
+           n.n_name AS nation, r.r_name AS region,
+           o.o_totalprice AS totalprice
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_totalprice > 0 AND o.o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name, o.o_totalprice
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_totalprice > 0 AND o.o_orderpriority = '2-HIGH'
+    UNION
+    SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name, o.o_totalprice
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_totalprice > 0 AND o.o_orderstatus = 'F'
+          AND r.r_name = 'EUROPE'
+    UNION
+    SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name, o.o_totalprice
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_totalprice > 0 AND c.c_mktsegment = 'BUILDING'
+    """,
+    "J1 multi-join + UNION-dedup superquery shape (lta-query.py:32-76)",
+)
+def q_catalog_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    # dims are broadcast (customer/nation/region are small vs orders);
+    # the 4 branches share one join tree, then UNION-dedup.
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("o_totalprice") > 0)
+    )
+    proj = lambda d: d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("c_name").alias("cust_name"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    b1 = proj(base.filter(F.col("o_orderpriority") == "1-URGENT"))
+    b2 = proj(base.filter(F.col("o_orderpriority") == "2-HIGH"))
+    b3 = proj(base.filter((F.col("o_orderstatus") == "F") & (F.col("r_name") == "EUROPE")))
+    b4 = proj(base.filter(F.col("c_mktsegment") == "BUILDING"))
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4).dropDuplicates()
+
+
+@_register(
+    "above_avg_orders",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    "J2 scalar-subquery predicate (lta-query.py:112)",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__orders_j2")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM __orders_j2
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM __orders_j2)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@_register(
+    "regex_filter_parts",
+    r"""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           round(p_retailprice / 1000.0, 6) AS price_k
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear|widget)$')
+          AND p_size >= 10
+    """,
+    "P5 regex row filters + P2 per-column transforms (lta-retrieve.py:423-457,380-405)",
+)
+def q_regex_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.filter(
+            F.col("p_name").rlike(r"^(red|blue) (bolt|gear|widget)$")
+            & (F.col("p_size") >= 10)
+        )
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.round(F.col("p_retailprice") / 1000.0, 6).alias("price_k"),
+        )
+    )
+
+
+@_register(
+    "dedup_documents",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    "A10 dedup + A11 grand totals (lta-retrieve.py:466-469)",
+)
+def q_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------
+# As-of / nearest-key joins (J3/J4/J5)
+# --------------------------------------------------------------------
+
+ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+
+@_register(
+    "asof_latest_event",
+    f"""
+    SELECT user_id,
+           epoch(ts) AS last_t,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{ASOF_CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    "J3 as-of state lookup (getState.py:275-299)",
+)
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_t(spark, sf_dir)
+    out = asof_latest(
+        ev,
+        key_cols=["user_id"],
+        ts_col="t",
+        cutoff=1705276800.0,  # epoch of 2024-01-15 00:00:00 UTC
+        value_cols=["event_type", "value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("last_t"),
+        "last_event_type",
+        "last_value",
+    )
+
+
+@_register(
+    "nearest_supplier",
+    """
+    SELECT p_partkey,
+           round(d, 6) AS nearest_dist,
+           s_suppkey AS nearest_s_suppkey
+    FROM (
+        SELECT p_partkey, d, s_suppkey,
+               row_number() OVER (
+                   PARTITION BY p_partkey ORDER BY d ASC, s_suppkey ASC
+               ) AS rn
+        FROM (
+            SELECT p.p_partkey,
+                   abs(p.p_retailprice - s.s_acctbal) AS d,
+                   s.s_suppkey
+            FROM part p CROSS JOIN supplier s
+        )
+    ) WHERE rn = 1
+    """,
+    "J5 nearest-key lookup (lofar_gain_hamaker_carozzi.py:134-136)",
+)
+def q_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    out = nearest_key_join(
+        p.select("p_partkey", "p_retailprice"),
+        s,
+        left_key="p_retailprice",
+        right_key="s_acctbal",
+        right_value_cols=["s_suppkey"],
+        right_tiebreak="s_suppkey",
+    )
+    return out.select(
+        "p_partkey",
+        F.round("nearest_dist", 6).alias("nearest_dist"),
+        F.col("nearest_s_suppkey"),
+    )
+
+
+# --------------------------------------------------------------------
+# Robust stats / masking / histogram (W8/A12/A13/W6)
+# --------------------------------------------------------------------
+
+
+@_register(
+    "sigma_clip_events",
+    """
+    WITH st AS (
+        SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id,
+           round((e.value - st.m) / st.s, 6) AS level,
+           CAST(CASE WHEN abs((e.value - st.m) / st.s) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS clipped,
+           round(CASE WHEN abs((e.value - st.m) / st.s) > 2.0 THEN 0.0 ELSE e.value END, 6) AS value
+    FROM events e JOIN st USING (event_type)
+    """,
+    "W8 sigma-clip RFI mask (subdyn.py:423-469)",
+)
+def q_sigma_clip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = sigma_clip(
+        ev, ["event_type"], value_col="value", threshold=2.0, rfilimit=None
+    )
+    return out.select(
+        "event_id",
+        F.round("level", 6).alias("level"),
+        "clipped",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@_register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(avg(value), 6) AS bucket_mean
+    FROM events
+    GROUP BY 1
+    """,
+    "A12 histogram (subdyn.py:306-324)",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("bucket_mean"),
+        )
+    )
+
+
+@_register(
+    "top_customer_per_nation",
+    """
+    SELECT n_name, c_name AS best_name, c_acctbal AS best_acctbal
+    FROM (
+        SELECT n.n_name, c.c_name, c.c_acctbal,
+               row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+               ) AS rn
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn = 1
+    """,
+    "A13 per-group argmax (get_flagged_tiles.py:88-104)",
+)
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    best = joined.groupBy("n_name").agg(
+        F.max(
+            F.struct(
+                F.col("c_acctbal").alias("bal"),
+                (-F.col("c_custkey")).alias("neg_key"),
+                F.col("c_name").alias("name"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "n_name",
+        F.col("__b.name").alias("best_name"),
+        F.col("__b.bal").alias("best_acctbal"),
+    )
+
+
+@_register(
+    "user_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id, count(*) AS session_len
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           max(session_len) AS max_session_len,
+           sum(session_len) AS n_rows
+    FROM per_session GROUP BY user_id
+    """,
+    "W6 gap sessionization / friends-of-friends (pulse_info.py:201-217)",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_t(spark, sf_dir)
+    return session_stats(
+        ev, ["user_id"], order_col="t", gap=3600.0, tiebreak_col="event_id"
+    )
+
+
+_BOXCAR_WIDTHS = [2, 3, 4, 6, 9, 14, 20]
+
+
+def _boxcar_oracle() -> str:
+    # Window frame bounds must be constants -> one branch per width.
+    branches = "\n    UNION ALL\n".join(
+        f"""
+    SELECT {w} AS width, bin AS start_bin,
+           sum(profile) OVER (
+               ORDER BY bin ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+           ) AS box_sum,
+           count(profile) OVER (
+               ORDER BY bin ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+           ) AS nn
+    FROM hourly"""
+        for w in _BOXCAR_WIDTHS
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS bin,
+               sum(value) AS profile
+        FROM events GROUP BY 1
+    ), banked AS ({branches}
+    )
+    SELECT width, start_bin AS best_start,
+           round(box_sum, 4) AS best_sum,
+           round(box_sum / sqrt(CAST(width AS DOUBLE)), 4) AS snr_w
+    FROM (
+        SELECT width, start_bin, box_sum,
+               row_number() OVER (
+                   PARTITION BY width ORDER BY box_sum DESC, start_bin ASC
+               ) AS rn
+        FROM banked WHERE nn = width
+    ) WHERE rn = 1
+    """
+
+
+@_register(
+    "boxcar_best_hourly",
+    _boxcar_oracle(),
+    "W5 boxcar matched-filter bank (pulse_info.py:114-117,169-187)",
+)
+def q_boxcar_best_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import boxcar_bank
+
+    ev = _events_t(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.floor(F.col("t") / 3600.0).cast("bigint").alias("bin"))
+        .agg(F.sum("value").alias("profile"))
+    )
+    bank = boxcar_bank(hourly, order_col="bin", value_col="profile")
+    return bank.select(
+        "width",
+        "best_start",
+        F.round("best_sum", 4).alias("best_sum"),
+        F.round("snr_w", 4).alias("snr_w"),
+    )
+
+
+# --------------------------------------------------------------------
+# Public API consumed by __spark_entry__
+# --------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.spark_fn for s in _SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}
+
+
+def specs() -> list[QuerySpec]:
+    return list(_SPECS)

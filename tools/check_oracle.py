@@ -1,0 +1,89 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registry query on Spark at the given SF dir AND its DuckDB
+oracle over the same parquet files, then compares row count, column
+names, and an order-insensitive value comparison. Exit code 0 iff all
+queries match.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from lofar_bf_pulsar_scripts_spark.session import get_spark
+from lofar_bf_pulsar_scripts_spark.tables import TABLE_NAMES
+from __spark_entry__ import oracle_sql, queries
+
+
+def canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "\0null"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return repr(v)  # full precision — strictest possible compare
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_oracle")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows={len(srows):6d}  (no oracle, rows-only) {t_spark:.1f}s")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        t_duck = time.time() - t0
+        status = []
+        if sorted(scols) != sorted(dcols):
+            status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            status.append(f"ROWS spark={len(srows)} duck={len(drows)}")
+        if not status:
+            cs, cd = canon(srows, scols), canon(drows, dcols)
+            if cs != cd:
+                diff = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b][:3]
+                ex = [(cs[i], cd[i]) for i in diff]
+                status.append(f"VALUES {len([1 for a,b in zip(cs,cd) if a!=b])} differ, e.g. {ex}")
+        tag = "OK " if not status else "FAIL"
+        print(f"  {name:28s} {tag} rows={len(srows):6d} spark={t_spark:.1f}s duck={t_duck:.2f}s {' | '.join(status)}")
+        if status:
+            failures.append(name)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
