@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed through the same registry the correctness gate
+uses; timing includes plan + execution (count() action), excluding
+session startup and first-touch JVM warmup (one warmup query runs
+first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lofar_bf_pulsar_scripts_spark.session import get_spark
+from __spark_entry__ import queries
+
+# Headline set: one per operator family, weighted toward the
+# shapes that dominate at 100 TB (scans+agg, wide join+union, window,
+# join-back masking).
+HEADLINE = [
+    "fold_profile",
+    "fold_subints",
+    "pricing_summary",
+    "catalog_union",
+    "sigma_clip_events",
+    "user_sessions",
+    "nearest_supplier",
+    "asof_latest_event",
+    "trimmed_stats",
+    "boxcar_best_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+    # JVM/codegen warmup on the smallest query
+    qs[names[0]](spark, sf_dir).count()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
