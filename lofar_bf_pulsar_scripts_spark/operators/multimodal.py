@@ -1,0 +1,132 @@
+"""Multimodal column plumbing (BASELINE.json north star): image /
+audio / video treated as opaque BINARY payloads with typed metadata;
+decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` operators.
+
+The decode step itself is STUBBED (image/audio libraries are not in
+this container): ``decoder="fake"`` produces a deterministic payload-
+derived result so the Spark-side plumbing — schema, batch iteration,
+partition behavior — is real and testable; ``decoder="pillow"`` (etc.)
+raises NotImplementedError until the dependency exists.
+
+Scale design: payloads never pass through Python row-at-a-time —
+mapInPandas streams Arrow batches; metadata-only transforms
+(byte_len, content hash, magic sniff) are pure JVM expressions so a
+metadata scan never deserializes payloads in Python at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, byte_len int, width int, height int, channels int, "
+    "mean_luma double"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents fixture: the
+    UTF-8 text bytes stand in for an encoded payload. Gives the
+    multimodal path real (deterministic) data in this container."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.col("source"),
+    )
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """Metadata-only projection — JVM expressions, payloads never reach
+    Python: byte length, content hash, 8-byte magic prefix."""
+    return df.select(
+        "media_id",
+        "kind",
+        F.octet_length(F.col("payload")).alias("byte_len"),
+        F.md5(F.col("payload")).alias("content_md5"),
+        F.hex(F.substring(F.col("payload"), 1, 8)).alias("magic_hex"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an image decoder: derives dimensions
+    and a 'mean luma' from the payload digest. NOT a real decode —
+    exists so batching/schema/partitioning are exercised end-to-end."""
+    d = hashlib.md5(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    channels = 1 + d[2] % 3
+    mean_luma = d[3] / 255.0
+    return width, height, channels, mean_luma
+
+
+def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """mapInPandas decode: Arrow-batched, one Python roundtrip per
+    batch, output schema fixed. Swap ``decoder`` for a real library
+    when available."""
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: image libraries not available in this "
+            "container — only the deterministic 'fake' decoder is wired up"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            feats = [
+                _fake_decode(bytes(p)) if p is not None else (0, 0, 0, 0.0)
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(
+                feats, columns=["width", "height", "channels", "mean_luma"]
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(
+                1,
+                "byte_len",
+                [0 if p is None else len(bytes(p)) for p in pdf["payload"]],
+            )
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """'Frame sampling' shape for video payloads: one row per sampled
+    offset (UDTF-like fan-out), payload slicing JVM-side. With a real
+    container parser the offsets would come from the index; the
+    slicing/explode plumbing is identical."""
+    n = F.least(
+        F.floor(F.octet_length("payload") / every_n_bytes).cast("int") + 1,
+        F.lit(max_frames),
+    )
+    return df.select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_idx", "__i"),
+        F.col("payload"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_n_bytes).alias("byte_offset"),
+        F.substring(
+            F.col("payload"), F.col("frame_idx") * every_n_bytes + 1, every_n_bytes
+        ).alias("frame_bytes"),
+    )

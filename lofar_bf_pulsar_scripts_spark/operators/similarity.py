@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (BASELINE.json north
+star): brute-force cosine top-k as the exact baseline, IVF-bucketed
+approximate variant as the 100 TB scale path.
+
+Scale design:
+* Query set is broadcast (it is small by definition); candidate scoring
+  is a map-side projection over the corpus — no shuffle of the corpus.
+* Top-k uses a two-stage aggregation (partial top-k per partition-ish
+  bucket, then final) rather than a global row_number window, so no
+  single reducer sees the whole corpus per query.
+* Dot products are sequential left-folds over the array — bit-identical
+  to the DuckDB oracle's list_aggregate('sum').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays (double acc)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries, score all
+    corpus rows, two-stage top-k.
+
+    Stage 1 groups by (query, corpus-id bucket) keeping k best per
+    bucket (map-side combinable); stage 2 merges buckets. Ties break
+    to the smaller corpus id (deterministic).
+    Returns (qid, vec_id, cos) with exactly k rows per query.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    # rank struct: higher cos first, then smaller id — encoded so that
+    # array_sort ascending yields the best first.
+    rank = F.struct((-F.col("cos")).alias("neg"), F.col(id_col).alias("id"),
+                    F.col("cos").alias("cos"))
+    partial = (
+        scored.groupBy(
+            query_id_col, F.pmod(F.crc32(F.col(id_col).cast("string")), partial_buckets).alias("__bkt")
+        )
+        .agg(F.slice(F.array_sort(F.collect_list(rank)), 1, k).alias("__top"))
+    )
+    final = (
+        partial.groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(F.col("__top")))), 1, k
+            ).alias("__top")
+        )
+        .select(query_id_col, F.explode("__top").alias("__t"))
+        .select(
+            query_id_col,
+            F.col("__t.id").alias(id_col),
+            F.col("__t.cos").alias("cos"),
+        )
+    )
+    return final
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (max dot). Centroids broadcast; assignment is map-side."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    scored = corpus.crossJoin(c).select(
+        *corpus.columns,
+        F.col("__cid"),
+        dot(F.col(vec_col), F.col("__cvec")).alias("__score"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__score"), (-F.col("__cid")).alias("n"),
+                       F.col("__cid").alias("cid"))).alias("__b")
+    ).select(F.col(id_col), F.col("__b.cid").alias(centroid_id_col))
+    return corpus.join(best, on=id_col)
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """Approximate top-k: each query probes only its ``nprobe``
+    closest centroids' partitions — the corpus side can be partitioned
+    by cid on disk, so a probe is a partition-pruned scan at scale."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    qprobe = (
+        queries.crossJoin(c)
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.col("__cid"),
+            dot(F.col(vec_col), F.col("__cvec")).alias("__score"),
+        )
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("__score"), "__cid"
+                )
+            ),
+        )
+        .filter(F.col("__rank") <= nprobe)
+        .select(query_id_col, "__qvec", F.col("__cid").alias(centroid_id_col))
+    )
+    cand = corpus_assigned.join(
+        F.broadcast(qprobe), on=centroid_id_col
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.select(
+        query_id_col,
+        F.col(id_col),
+        cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+    )
+    rank = F.struct((-F.col("cos")).alias("neg"), F.col(id_col).alias("id"),
+                    F.col("cos").alias("cos"))
+    return (
+        scored.groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list(rank)), 1, k).alias("__top"))
+        .select(query_id_col, F.explode("__top").alias("__t"))
+        .select(query_id_col, F.col("__t.id").alias(id_col), F.col("__t.cos").alias("cos"))
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(BASELINE.json north star: language-ID, quality scoring, token
+counting, fingerprinting over the ``documents`` table).
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no UDFs: at 100 TB these are scan+project
+pipelines with zero shuffle (aggregations happen in the callers).
+
+Tokenization rule (shared with the DuckDB oracles): lower, trim,
+split on ``\\s+``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny marker-word inventories for the n-gram/stopword language
+# heuristic; literal alternations keep Java-regex and RE2 semantics
+# identical.
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|you|that)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+    "es": r"\b(el|la|los|las|es|una|que)\b",
+    "fr": r"\b(le|les|des|est|une|dans|que)\b",
+    "zh": r"(的|是|了|在|我|不)",
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
+
+STOPWORD_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles; [] when the document has < k tokens.
+    (Spark's sequence(1, n) is DESCENDING for n<1, hence the guard.)"""
+    w = tokens(col)
+    n = F.size(w)
+
+    def shingle(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals
+    (cheap heuristics standard in pretraining-data filtering)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return (
+        df.withColumn("n_chars_text", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            (F.length(F.regexp_replace(F.trim(t), r"\s+", "")) / n_tok),
+        )
+        .withColumn(
+            "punct_count",
+            F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, "")),
+        )
+        .withColumn("stopword_count", F.regexp_count(F.lower(t), F.lit(STOPWORD_RE)))
+        .withColumn("stopword_ratio", F.col("stopword_count") / n_tok)
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-hit counts per language + deterministic argmax
+    prediction (ties resolve in _LANG_ORDER)."""
+    low = F.lower(F.col(text_col))
+    out = df
+    for lang in _LANG_ORDER:
+        out = out.withColumn(
+            f"score_{lang}", F.regexp_count(low, F.lit(LANG_MARKERS[lang]))
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    # build CASE from last to first so earlier languages win ties
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Whitespace-normalized md5 document fingerprint (near-exact
+    dedup key; the rolling-hash analog of a content checksum)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))

@@ -631,6 +631,349 @@ def q_boxcar_best_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# LLM-data-pipeline operators (BASELINE.json north star): text
+# analysis, dedup (exact/minhash/simhash/jaccard), similarity search,
+# multimodal metadata
+# --------------------------------------------------------------------
+
+_TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "[concat_ws(' ', w[i], w[i+1], w[i+2]) "
+    "FOR i IN generate_series(1, len(w)-2)]"
+)
+
+
+@_register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           length(text) AS len_chars,
+           len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens
+    FROM documents
+    """,
+    "text analysis: token counting (north star)",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+    )
+
+
+@_register(
+    "text_quality",
+    rf"""
+    SELECT doc_id,
+           round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                 / CAST(len({_TOKENS_SQL}) AS DOUBLE), 6) AS avg_token_len,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_count,
+           round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                 / CAST(len({_TOKENS_SQL}) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    """,
+    "text analysis: quality scoring (north star)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_features
+
+    d = load_table(spark, "documents", sf_dir)
+    out = quality_features(d)
+    return out.select(
+        "doc_id",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        "punct_count",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    from .operators.text import LANG_MARKERS, _LANG_ORDER
+
+    score_cols = ",\n           ".join(
+        f"len(regexp_extract_all(lower(text), '{LANG_MARKERS[lang]}')) AS score_{lang}"
+        for lang in _LANG_ORDER
+    )
+    greatest = ", ".join(f"score_{lang}" for lang in _LANG_ORDER)
+    case = " ".join(
+        f"WHEN score_{lang} = greatest({greatest}) THEN '{lang}'"
+        for lang in _LANG_ORDER
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {score_cols}
+        FROM documents
+    )
+    SELECT doc_id, {greatest},
+           CASE {case} END AS pred_lang,
+           CAST(CASE {case} END = lang AS INTEGER) AS is_correct
+    FROM scored
+    """
+
+
+@_register(
+    "language_id",
+    _langid_oracle(),
+    "text analysis: language identification heuristic (north star)",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import _LANG_ORDER, language_scores
+
+    d = load_table(spark, "documents", sf_dir)
+    out = language_scores(d)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{lang}") for lang in _LANG_ORDER],
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("is_correct"),
+    )
+
+
+@_register(
+    "doc_fingerprint_groups",
+    r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+    "document fingerprinting + exact dedup groups (north star; A10)",
+)
+def q_doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy(fingerprint("text").alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+_NUM_MINHASH = 8
+
+
+def _minhash_oracle(out_sigs: int) -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS sig_{i}"
+        for i in range(out_sigs)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS s FROM base
+    )
+    SELECT doc_id,
+           {sig_cols}
+    FROM sh
+    """
+
+
+@_register(
+    "minhash_signatures",
+    _minhash_oracle(4),
+    "MinHash signatures for near-dup detection (north star)",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signature
+
+    d = load_table(spark, "documents", sf_dir)
+    out = minhash_signature(d, num_hashes=4)
+    return out.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"sig_{i}") for i in range(4)],
+    )
+
+
+def _lsh_oracle() -> str:
+    sig_cols = ",\n               ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS sig_{i}"
+        for i in range(_NUM_MINHASH)
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS s FROM base
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sh
+    ), buckets AS (
+        {branches}
+    )
+    SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM buckets GROUP BY band, bucket
+    """
+
+
+@_register(
+    "lsh_bucket_sizes",
+    _lsh_oracle(),
+    "MinHash LSH banding -> bucket histogram (north star)",
+)
+def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_buckets, minhash_signature
+
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signature(d, num_hashes=_NUM_MINHASH)
+    b = lsh_buckets(sigs, id_col="doc_id", bands=4, rows_per_band=2)
+    return b.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents WHERE doc_id < 30
+    ), sh AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM base
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+           AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+    "n-gram Jaccard similarity, pairwise verification stage (north star)",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import word_shingles
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.array_distinct(word_shingles("text")).alias("s"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def _simhash_oracle() -> str:
+    nib = (
+        lambda p: f"(strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1)"
+    )
+    hv = f"({nib(1)}*4096 + {nib(2)}*256 + {nib(3)}*16 + {nib(4)})"
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (hv & {1 << i}) > 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+    ), h AS (
+        SELECT doc_id, {hv} AS hv FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM votes
+    """
+
+
+@_register(
+    "simhash_docs",
+    _simhash_oracle(),
+    "SimHash near-dup fingerprint (north star)",
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash16
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", simhash16("text").cast("int").alias("simhash"))
+
+
+_COS_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+_COS_NORM = (
+    "sqrt(list_aggregate(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@_register(
+    "cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), pairs AS (
+        SELECT q.qid, e.vec_id,
+               {_COS_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_COS_NORM.format(a='q.qe')} * {_COS_NORM.format(a='e.embedding')})
+               AS cos
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cos
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rn FROM pairs
+    ) WHERE rn <= 5
+    """,
+    "brute-force cosine top-k similarity search (north star)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = brute_force_topk(e, queries_df, k=5)
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+
+
+@_register(
+    "payload_metadata",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(strlen(text) AS INTEGER) AS byte_len,
+           md5(text) AS content_md5,
+           hex(substr(text, 1, 8)) AS magic_hex
+    FROM documents
+    """,
+    "multimodal binary-column metadata scan (north star; payload stays JVM-side)",
+)
+def q_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_from_documents, payload_metadata
+
+    d = load_table(spark, "documents", sf_dir)
+    return payload_metadata(media_from_documents(d))
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
