@@ -1,0 +1,135 @@
+"""Per-group Q-Q normalization (SURVEY §2.5 W2) — the reference's most
+duplicated routine (5 copies: /root/reference/dynsp.py:186-224,
+spspectra.py:10-49, pulse_info.py:18-40, snr.py:56-67,
+fluxcal/lofar_fluxcal.py:200-211).
+
+Semantics: per group, order the values, pair them with normal
+order-statistic medians (Filliben's estimate -> inverse normal CDF),
+fit a line over the quantile range [osm_lo, osm_hi] (default -1..1);
+slope = rms, intercept = mean; output (x - mean)/rms.
+
+Spark design: grouped-map pandas UDF (Arrow-batched) — the sort is
+per-group in memory, which is exactly the reference's working set
+(one (subint, chan) profile ~1e3 bins). Shuffle is one exchange on the
+group key; ingest-time partitioning by the same key makes it map-side
+(SURVEY §4 "needs custom work" item 1). scipy is not available in the
+container, so the inverse normal CDF is Acklam's rational
+approximation (public-domain algorithm), |rel err| < 1.15e-9 — within
+float32 parity of probplot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+
+def norm_ppf(p: np.ndarray) -> np.ndarray:
+    """Acklam's inverse-normal-CDF rational approximation."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    p = np.asarray(p, dtype=np.float64)
+    out = np.empty_like(p)
+    plow, phigh = 0.02425, 1 - 0.02425
+
+    lo = p < plow
+    q = np.sqrt(-2 * np.log(p[lo]))
+    out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+
+    mid = (p >= plow) & (p <= phigh)
+    q = p[mid] - 0.5
+    r = q * q
+    out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+
+    hi = p > phigh
+    q = np.sqrt(-2 * np.log(1 - p[hi]))
+    out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+    return out
+
+
+def filliben_quantiles(n: int) -> np.ndarray:
+    """Normal order-statistic medians (probplot's osm axis)."""
+    m = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return m
+    m[-1] = 0.5 ** (1.0 / n)
+    m[0] = 1.0 - m[-1]
+    i = np.arange(2, n)
+    m[1:-1] = (i - 0.3175) / (n + 0.365)
+    return norm_ppf(m)
+
+
+def qq_mean_rms(values: np.ndarray, osm_lo: float = -1.0, osm_hi: float = 1.0):
+    """(mean, rms) from the Q-Q line fit over the central quantile
+    range (dynsp.py:186-224 semantics)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    osm = filliben_quantiles(v.size)
+    sel = (osm >= osm_lo) & (osm <= osm_hi)
+    if sel.sum() < 2:
+        sel = np.ones_like(osm, dtype=bool)
+    slope, intercept = np.polyfit(osm[sel], v[sel], 1)
+    return intercept, slope  # mean, rms
+
+
+def qq_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    osm_lo: float = -1.0,
+    osm_hi: float = 1.0,
+) -> DataFrame:
+    """Replace value with (value - qq_mean)/qq_rms per group; appends
+    qq_mean / qq_rms columns."""
+    schema_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema_cols}, qq_mean double, qq_rms double"
+
+    def norm_group(pdf):
+        mean, rms = qq_mean_rms(pdf[value_col].to_numpy(), osm_lo, osm_hi)
+        pdf = pdf.copy()
+        pdf[value_col] = (pdf[value_col] - mean) / rms
+        pdf["qq_mean"] = mean
+        pdf["qq_rms"] = rms
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(norm_group, schema=out_schema)
+
+
+def qq_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    osm_lo: float = -1.0,
+    osm_hi: float = 1.0,
+) -> DataFrame:
+    """Per-group (qq_mean, qq_rms) only — the snr.py:56-67 usage."""
+    def stats_group(pdf):
+        import pandas as pd
+
+        mean, rms = qq_mean_rms(pdf[value_col].to_numpy(), osm_lo, osm_hi)
+        out = pdf.iloc[:1][group_cols].copy()
+        out["qq_mean"] = mean
+        out["qq_rms"] = rms
+        return out
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in group_cols
+    )
+    return df.groupBy(*group_cols).applyInPandas(
+        stats_group, schema=f"{key_schema}, qq_mean double, qq_rms double"
+    )

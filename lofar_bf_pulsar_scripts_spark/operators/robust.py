@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .raster import block_id
+
 # 1/0.871: correction from std of the 5%-trimmed distribution to the
 # true sigma of a Gaussian (pulsestack.py:68-76).
 TRIM_STD_CORRECTION = 1.148

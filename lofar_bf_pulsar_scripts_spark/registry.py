@@ -974,6 +974,357 @@ def q_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Astro/physics expression library (§2.8) — pure column math
+# --------------------------------------------------------------------
+
+
+@_register(
+    "dispersion_delays",
+    """
+    SELECT event_id,
+           round((value / 2.41e-4) * (1.0/((120.0 + user_id)*(120.0 + user_id))
+                                      - 1.0/(168.0*168.0)), 6) AS delay_ms,
+           round(2.0 / 2.41e-4 * value * 0.195 /
+                 ((120.0 + user_id)*(120.0 + user_id)*(120.0 + user_id)), 6)
+               AS smear_ms
+    FROM events
+    """,
+    "§2.8 dispersion delay / intra-channel smearing (dide:12-13, dm:12-13)",
+)
+def q_dispersion_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.astro import channel_smearing_ms, dispersion_delay_ms
+
+    ev = load_table(spark, "events", sf_dir)
+    dm = F.col("value")
+    f_lo = F.lit(120.0) + F.col("user_id")
+    return ev.select(
+        "event_id",
+        F.round(dispersion_delay_ms(dm, f_lo, F.lit(168.0)), 6).alias("delay_ms"),
+        F.round(channel_smearing_ms(dm, f_lo, F.lit(0.195)), 6).alias("smear_ms"),
+    )
+
+
+@_register(
+    "pulsar_derived",
+    """
+    SELECT event_id,
+           round((value/100.0) / (2.0 * 1e-15 * (1.0 + user_id))
+                 / (86400.0 * 365.25), 4) AS tau_yr,
+           round(log10(3.2e19 * sqrt((value/100.0) * 1e-15 * (1.0 + user_id))), 6)
+               AS log_b_surf,
+           round(log10(4.0 * pi() * pi() * 1e45 * (1e-15 * (1.0 + user_id))
+                 / pow(value/100.0, 3.0)), 6) AS log_edot
+    FROM events
+    """,
+    "§2.8 pulsar derived quantities tau/B_s/Edot (ppdot:27-96, ffdot:26-99)",
+)
+def q_pulsar_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.astro import (
+        characteristic_age_yr,
+        spindown_luminosity,
+        surface_b_field_g,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    p = F.col("value") / 100.0
+    pdot = F.lit(1e-15) * (F.lit(1.0) + F.col("user_id"))
+    return ev.select(
+        "event_id",
+        F.round(characteristic_age_yr(p, pdot), 4).alias("tau_yr"),
+        F.round(F.log10(surface_b_field_g(p, pdot)), 6).alias("log_b_surf"),
+        F.round(F.log10(spindown_luminosity(p, pdot)), 6).alias("log_edot"),
+    )
+
+
+@_register(
+    "tsky_scaled",
+    """
+    SELECT p_partkey,
+           round(2.7 + (p_retailprice / 100.0)
+                 * pow((100.0 + p_size) / 408.0, -2.55), 6) AS tsky_k
+    FROM part
+    """,
+    "§2.8 Tsky power-law scaling (fluxcal/tsky.py:1059)",
+)
+def q_tsky_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.astro import tsky_k
+
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.round(
+            tsky_k(F.col("p_retailprice") / 100.0, F.lit(100.0) + F.col("p_size")),
+            6,
+        ).alias("tsky_k"),
+    )
+
+
+# --------------------------------------------------------------------
+# Detrend (W1) — full piecewise pipeline, SQL oracle
+# --------------------------------------------------------------------
+
+
+@_register(
+    "detrend_events",
+    """
+    WITH chunked AS (
+        SELECT event_id, value, CAST(floor(event_id / 1000) AS BIGINT) AS chunk
+        FROM events
+    ), per_chunk AS (
+        SELECT chunk,
+               quantile_cont(value, 0.5) AS base,
+               quantile_cont(value, 0.025) AS lo,
+               quantile_cont(value, 0.975) AS hi
+        FROM chunked GROUP BY chunk
+    ), sig AS (
+        SELECT c.chunk,
+               stddev_samp(c.value) FILTER (
+                   WHERE c.value >= p.lo AND c.value <= p.hi
+               ) * 1.148 AS sigma
+        FROM chunked c JOIN per_chunk p USING (chunk)
+        GROUP BY c.chunk
+    ), med AS (
+        SELECT quantile_cont(sigma, 0.5) AS med_sigma FROM sig
+    ), mad AS (
+        SELECT quantile_cont(abs(s.sigma - m.med_sigma), 0.5) AS mad_sigma
+        FROM sig s CROSS JOIN med m
+    ), sig_fixed AS (
+        SELECT s.chunk,
+               CASE WHEN abs(s.sigma - m.med_sigma) > 3 * d.mad_sigma
+                    THEN m.med_sigma ELSE s.sigma END AS sigma
+        FROM sig s CROSS JOIN med m CROSS JOIN mad d
+    )
+    SELECT c.event_id,
+           round((c.value - p.base) / f.sigma, 6) AS value
+    FROM chunked c
+      JOIN per_chunk p USING (chunk)
+      JOIN sig_fixed f USING (chunk)
+    """,
+    "W1 piecewise detrend + robust normalization (pulsestack.py:47-97)",
+)
+def q_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.robust import detrend_normalize
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    out = detrend_normalize(ev, detrendlen=1000, idx_col="event_id")
+    return out.select("event_id", F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------
+# Spectrum / zap-aware aggregation (A8/A9) on an events-derived cube
+# --------------------------------------------------------------------
+
+
+@_register(
+    "flux_spectrum",
+    """
+    SELECT CAST(floor(user_id / 10) AS INTEGER) AS out_chan,
+           round(avg(value) FILTER (WHERE event_type != 'error'), 6) AS flux,
+           sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS n_good,
+           count(*) AS n_cells
+    FROM events
+    GROUP BY 1
+    """,
+    "A8 zap-aware channel-group spectrum (lofar_fluxcal.py:800-891)",
+)
+def q_flux_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spectrum import spectrum_over_channel_groups
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").alias("chan"),
+        F.col("value"),
+        F.when(F.col("event_type") != "error", 1.0).otherwise(0.0).alias("weight"),
+    )
+    out = spectrum_over_channel_groups(ev, group_size=10)
+    return out.select(
+        "out_chan", F.round("flux", 6).alias("flux"), "n_good", "n_cells"
+    )
+
+
+@_register(
+    "rfi_zap_fraction",
+    """
+    SELECT event_type,
+           round(1.0 - sum(CASE WHEN value > 1.0 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS rfi_frac,
+           count(*) AS n_cells
+    FROM events GROUP BY event_type
+    """,
+    "A9 RFI/zap fraction (lofar_fluxcal.py:433-435; subdyn.py:457-462)",
+)
+def q_rfi_zap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spectrum import rfi_zap_fraction
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", (F.col("value") > 1.0).cast("double").alias("weight")
+    )
+    out = rfi_zap_fraction(ev, group_cols=["event_type"])
+    return out.select(
+        "event_type", F.round("rfi_frac", 6).alias("rfi_frac"), "n_cells"
+    )
+
+
+# --------------------------------------------------------------------
+# Generic OLAP shapes: running windows, ranks, rollup, pivot, set ops,
+# range join (§2.5 ranking windows, §2.6, §2.7, J9)
+# --------------------------------------------------------------------
+
+
+@_register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS order_seq
+    FROM orders
+    """,
+    "§2.5 running windows / §2.6 ordered sequences (bfscheduler.py:500-506)",
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@_register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 4) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "§2.4 hierarchical totals via ROLLUP (grand-total A11 generalization)",
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "pivot_event_values",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+           round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view,
+           round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+           round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+           round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error
+    FROM events GROUP BY 1
+    """,
+    "pivot projection (wide per-class aggregates)",
+)
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+    return out
+
+
+@_register(
+    "orders_without_lineitems",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY o_orderstatus
+    """,
+    "§2.7 set difference / anti join (lta-retrieve.py:509-518)",
+)
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "event_pairs_within_minute",
+    """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch(b.ts) - epoch(a.ts)) <= 60.0
+    GROUP BY a.user_id
+    """,
+    "J9 interval-overlap / range join (bfscheduler.py:399-402)",
+)
+def q_event_pairs_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_t(spark, sf_dir).select("user_id", "event_id", "t")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("t").alias("ta")
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_b"), F.col("t").alias("tb")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.abs(F.col("tb") - F.col("ta")) <= 60.0))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------
+# Q-Q normalization (W2) — pandas-UDF operator; no SQL oracle
+# (inverse normal CDF not expressible) -> driver rows-only check
+# --------------------------------------------------------------------
+
+
+@_register(
+    "qq_normalize_stats",
+    None,
+    "W2 Q-Q normalization via grouped pandas UDF (dynsp.py:186-224 + 4 copies)",
+)
+def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.qqnorm import qq_stats
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    out = qq_stats(ev, ["event_type"], value_col="value")
+    return out.select(
+        "event_type",
+        F.round("qq_mean", 6).alias("qq_mean"),
+        F.round("qq_rms", 6).alias("qq_rms"),
+    )
+
+
+# --------------------------------------------------------------------
+# Public API consumed by __spark_entry__
+# --------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
