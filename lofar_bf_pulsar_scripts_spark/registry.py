@@ -1297,6 +1297,140 @@ def q_event_pairs_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# LTA catalog plan driven end-to-end (J1 superquery + P5 filters +
+# A10/A11 manifest) over catalog views derived from the testdata
+# --------------------------------------------------------------------
+
+_LTA_DERIVE_SQL = """
+    file_object AS (
+        SELECT l_orderkey * 10 + l_linenumber AS object_id,
+               l_partkey AS data_object,
+               'L' || CAST(100000 + l_partkey % 20 AS VARCHAR)
+                   || '_SAP' || printf('%03d', l_linenumber % 2)
+                   || '_B' || printf('%03d', CAST(l_suppkey % 3 AS INTEGER))
+                   || '_S0_P' || printf('%03d', l_linenumber % 4)
+                   || '_bf.tar' AS filename,
+               CAST(l_extendedprice * 1000 AS BIGINT) AS filesize,
+               'srm://host' || CAST(l_suppkey % 3 AS VARCHAR)
+                   || '.example.org:8443/f' AS uri,
+               CAST(l_linenumber % 5 AS INTEGER) AS is_valid
+        FROM lineitem
+    ), data_product AS (
+        SELECT p_partkey AS object_id,
+               CASE CAST(p_partkey % 4 AS INTEGER)
+                    WHEN 0 THEN 'beamformed' WHEN 1 THEN 'pulp'
+                    WHEN 2 THEN 'pulp_summary' ELSE 'unspecified' END AS dp_type,
+               p_partkey % 3 AS project_id,
+               CASE WHEN p_size > 5 THEN 1 ELSE 0 END AS is_valid
+        FROM part
+    ), dp_observations AS (
+        SELECT p_partkey AS object_id, p_partkey % 20 AS column_value FROM part
+    ), observation AS (
+        SELECT DISTINCT p_partkey % 20 AS object_id,
+               100000 + p_partkey % 20 AS observation_id
+        FROM part
+    )
+"""
+
+
+@_register(
+    "lta_superquery_manifest",
+    f"""
+    WITH {_LTA_DERIVE_SQL},
+    super AS (
+        SELECT fo.filename, fo.filesize, fo.uri,
+               obs.observation_id, dp.dp_type
+        FROM file_object fo
+          JOIN data_product dp ON fo.data_object = dp.object_id
+          JOIN dp_observations dpo ON dpo.object_id = dp.object_id
+          JOIN observation obs ON dpo.column_value = obs.object_id
+        WHERE fo.is_valid > 0 AND dp.is_valid > 0
+    ), filtered AS (
+        SELECT DISTINCT filename, filesize, uri, dp_type
+        FROM super WHERE regexp_matches(filename, '_SAP001_')
+    )
+    SELECT dp_type,
+           regexp_extract(uri, 'srm://([^:/]+)', 1) AS host,
+           count(*) AS n_files,
+           round(sum(filesize) / 1e9, 3) AS total_gb
+    FROM filtered
+    GROUP BY 1, 2
+    """,
+    "J1 superquery + P5 SAP filter + A10/A11 manifest end-to-end (lta-query.py:32-76; lta-retrieve.py:444-469)",
+)
+def q_lta_superquery_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans import lta
+
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    file_object = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("object_id"),
+        F.col("l_partkey").alias("data_object"),
+        F.concat(
+            F.lit("L"),
+            (F.lit(100000) + F.pmod(F.col("l_partkey"), F.lit(20))).cast("string"),
+            F.lit("_SAP"),
+            F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(2))),
+            F.lit("_B"),
+            F.format_string("%03d", F.pmod(F.col("l_suppkey"), F.lit(3)).cast("int")),
+            F.lit("_S0_P"),
+            F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(4))),
+            F.lit("_bf.tar"),
+        ).alias("filename"),
+        (F.col("l_extendedprice") * 1000).cast("bigint").alias("filesize"),
+        F.lit(None).cast("timestamp").alias("creation_date"),
+        F.concat(
+            F.lit("srm://host"),
+            F.pmod(F.col("l_suppkey"), F.lit(3)).cast("string"),
+            F.lit(".example.org:8443/f"),
+        ).alias("uri"),
+        F.pmod(F.col("l_linenumber"), F.lit(5)).cast("int").alias("is_valid"),
+    )
+    data_product = p.select(
+        F.col("p_partkey").alias("object_id"),
+        F.element_at(
+            F.array(
+                F.lit("beamformed"), F.lit("pulp"),
+                F.lit("pulp_summary"), F.lit("unspecified"),
+            ),
+            F.pmod(F.col("p_partkey"), F.lit(4)).cast("int") + 1,
+        ).alias("dp_type"),
+        F.pmod(F.col("p_partkey"), F.lit(3)).alias("project_id"),
+        F.when(F.col("p_size") > 5, 1).otherwise(0).cast("int").alias("is_valid"),
+        F.lit(None).cast("long").alias("unspecified_process"),
+    )
+    dp_observations = p.select(
+        F.col("p_partkey").alias("object_id"),
+        F.pmod(F.col("p_partkey"), F.lit(20)).alias("column_value"),
+    )
+    observation = p.select(
+        F.pmod(F.col("p_partkey"), F.lit(20)).alias("object_id"),
+        (F.lit(100000) + F.pmod(F.col("p_partkey"), F.lit(20))).alias("observation_id"),
+    ).distinct()
+    lta.register_catalog(
+        spark,
+        {
+            "file_object": file_object,
+            "data_product": data_product,
+            "dp_observations": dp_observations,
+            "observation": observation,
+            "awe_projects": spark.createDataFrame(
+                [(0, "P0")], lta.CATALOG_SCHEMAS["awe_projects"]
+            ),
+        },
+    )
+    sup = lta.superquery(spark)
+    filtered = lta.filter_parts(sup, sap=1).dropDuplicates(
+        ["filename", "filesize", "uri", "dp_type"]
+    )
+    host = F.regexp_extract(F.col("uri"), r"srm://([^:/]+)", 1)
+    return filtered.groupBy("dp_type", host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.round(F.sum("filesize") / 1e9, 3).alias("total_gb"),
+    )
+
+
+# --------------------------------------------------------------------
 # Q-Q normalization (W2) — pandas-UDF operator; no SQL oracle
 # (inverse normal CDF not expressible) -> driver rows-only check
 # --------------------------------------------------------------------

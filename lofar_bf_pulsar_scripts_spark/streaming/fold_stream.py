@@ -1,0 +1,103 @@
+"""Structured Streaming duals (SURVEY §2.9).
+
+* streaming_fold — the blockwise fold with running state
+  (/root/reference/pulsestack.py:553-620) becomes a stateless
+  streaming aggregation: phase/bin are per-row expressions, so the
+  tumbling-dump fold is groupBy(window, bin) with a watermark; late
+  events beyond the watermark drop, mirroring the reference's
+  out-of-range counts (pulsestack.py:636-640).
+* streaming_dedup — the staging poll loop's 'ready - downloaded'
+  incremental set (/root/reference/LTA/lta-retrieve.py:482-568) is
+  dropDuplicates over a watermarked key stream.
+
+Both run identically on a bounded replay (memory sink +
+processAllAvailable) and on an unbounded source — the batch/stream
+parity tests in tests/test_streaming.py rely on that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.fold import bin_column
+
+
+def streaming_fold_subints(
+    stream: DataFrame,
+    period: float,
+    nbins: int,
+    dump_seconds: str = "1 day",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window event fold: per (window, phase bin) mean+count.
+    ``stream`` must carry a timestamp column; phase is computed from
+    its epoch seconds."""
+    t = F.col(ts_col).cast("double")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), dump_seconds).alias("win"),
+            bin_column(t, period, nbins).alias("bin"),
+        )
+        .agg(
+            F.avg(F.col(value_col)).alias("profile"),
+            F.count(F.col(value_col)).alias("npts"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "bin",
+            "profile",
+            "npts",
+        )
+    )
+
+
+def streaming_event_counts(
+    stream: DataFrame,
+    period: float,
+    nbins: int,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    dump_seconds: str = "1 day",
+) -> DataFrame:
+    """A5 dual: count-only fold per tumbling window."""
+    t = F.col(ts_col).cast("double")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), dump_seconds).alias("win"),
+            bin_column(t, period, nbins).alias("bin"),
+        )
+        .count()
+        .select(F.col("win.start").alias("win_start"), "bin", F.col("count").alias("nevents"))
+    )
+
+
+def streaming_dedup_new_urls(
+    stream: DataFrame,
+    key_col: str = "filename",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental 'newly ready' set: stateful dropDuplicates with a
+    watermark bounds state, the streaming form of
+    ready_urls - downloaded_urls."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+
+
+def run_bounded(query_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming frame over a bounded source to completion via
+    a memory sink; returns the static result table."""
+    q = (
+        query_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return query_df.sparkSession.table(name)

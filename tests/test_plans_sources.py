@@ -1,0 +1,289 @@
+"""Tests for the LTA catalog plan, binary/ascii sources, pulsestack &
+fluxcal pipelines, scheduler, and sp2tim formatting."""
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.plans import lta
+from lofar_bf_pulsar_scripts_spark.plans.fluxcal import (
+    calibrate_cube,
+    channel_calibration_table,
+    output_spectrum,
+    pscrunch,
+    renormalize_weights,
+)
+from lofar_bf_pulsar_scripts_spark.plans.pulsestack import fold_and_score
+from lofar_bf_pulsar_scripts_spark.plans.scheduler import (
+    greedy_schedule,
+    schedule_to_df,
+)
+from lofar_bf_pulsar_scripts_spark.plans.sp2tim import toa_lines_tempo2
+from lofar_bf_pulsar_scripts_spark.sources.ascii import (
+    read_hw_state_log,
+    read_pipeline_log,
+    read_singlepulse,
+)
+from lofar_bf_pulsar_scripts_spark.sources.binary import (
+    parse_sigproc_header,
+    read_raw_float32,
+    read_sigproc_tim,
+    read_sub_int16,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_fixture_tmp")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fixture_dir():
+    os.makedirs(TMP, exist_ok=True)
+    yield TMP
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+# --- LTA catalog -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    tables = lta.make_synthetic_catalog(spark)
+    lta.register_catalog(spark, tables)
+    return tables
+
+
+def test_superquery_matches_manual_join(spark, catalog):
+    got = lta.superquery(spark)
+    # manual equivalent: valid files joined through the bridge
+    fo = catalog["file_object"].filter("is_valid > 0")
+    dp = catalog["data_product"].filter("is_valid > 0")
+    expected = (
+        fo.join(dp, fo.data_object == dp.object_id)
+        .join(catalog["dp_observations"].withColumnRenamed("object_id", "dpo_id"),
+              F.col("dpo_id") == dp.object_id)
+        .join(catalog["observation"].withColumnRenamed("object_id", "obs_obj"),
+              F.col("column_value") == F.col("obs_obj"))
+        .count()
+    )
+    assert got.count() == expected and expected > 0
+
+
+def test_superquery_project_scope_and_fallback(spark, catalog):
+    scoped = lta.superquery(spark, project_id=1)
+    allrows = lta.superquery(spark)
+    assert 0 < scoped.count() < allrows.count()
+    # unknown project name falls back to the public query
+    fb = lta.superquery_for_project(spark, "NOPE_999")
+    assert fb.count() == allrows.count()
+
+
+def test_retrieval_filters(spark, catalog):
+    df = lta.superquery(spark)
+    saps = lta.filter_parts(df, sap=1)
+    assert saps.count() > 0
+    assert all("_SAP001_" in r["filename"] for r in saps.collect())
+    summ = lta.filter_parts(df, summaries=True)
+    assert all("CSplots" in r["filename"] for r in summ.collect())
+    nosumm = lta.filter_parts(df, summaries=False).count()
+    assert nosumm + summ.count() == df.count()
+    manifest = lta.download_manifest(df).collect()
+    assert {r["host"] for r in manifest} <= {
+        "host0.example.org", "host1.example.org", "host2.example.org"
+    }
+    assert all(r["total_gb"] > 0 for r in manifest)
+
+
+def test_filter_by_obsids(spark, catalog):
+    df = lta.superquery(spark)
+    sel = lta.filter_by_obsids(df, [100001])
+    names = [r["filename"] for r in sel.collect()]
+    assert names and all(n.startswith("L100001") for n in names)
+
+
+# --- binary sources --------------------------------------------------
+
+
+def test_raw_float32_roundtrip(spark, fixture_dir):
+    vals = np.arange(1000, dtype="<f4") * 0.5
+    path = os.path.join(fixture_dir, "série.dat")
+    path = os.path.join(fixture_dir, "series.dat")
+    vals.tofile(path)
+    df = read_raw_float32(spark, path, tsamp=0.01)
+    rows = df.orderBy("sample_idx").collect()
+    assert len(rows) == 1000
+    assert rows[10]["value"] == pytest.approx(5.0)
+    assert rows[10]["t"] == pytest.approx(0.1)
+
+
+def _write_sigproc(path, tstart, tsamp, source, payload):
+    def s(x):
+        b = x.encode()
+        return struct.pack("<i", len(b)) + b
+
+    with open(path, "wb") as f:
+        f.write(s("HEADER_START"))
+        f.write(s("source_name") + s(source))
+        f.write(s("tstart") + struct.pack("<d", tstart))
+        f.write(s("tsamp") + struct.pack("<d", tsamp))
+        f.write(s("nbits") + struct.pack("<i", 32))
+        f.write(s("HEADER_END"))
+        f.write(payload.astype("<f4").tobytes())
+
+
+def test_sigproc_tim_reader(spark, fixture_dir):
+    payload = np.linspace(0, 1, 500)
+    path = os.path.join(fixture_dir, "obs1.tim")
+    _write_sigproc(path, 60000.5, 1e-3, "B0329+54", payload)
+    header, off = parse_sigproc_header(open(path, "rb").read())
+    assert header["source_name"] == "B0329+54" and header["tstart"] == 60000.5
+    df = read_sigproc_tim(spark, path)
+    rows = df.orderBy("sample_idx").collect()
+    assert len(rows) == 500
+    assert rows[0]["source_name"] == "B0329+54"
+    assert rows[499]["t"] == pytest.approx(0.499)
+    assert rows[250]["value"] == pytest.approx(payload[250], rel=1e-6)
+
+
+def test_sub_int16_reader(spark, fixture_dir):
+    for chan in (0, 3):
+        (np.arange(100, dtype="<i2") + chan * 1000).tofile(
+            os.path.join(fixture_dir, f"obs.sub{chan:04d}")
+        )
+    df = read_sub_int16(spark, os.path.join(fixture_dir, "obs.sub*"))
+    got = df.groupBy("chan").agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+    by_chan = {r["chan"]: r for r in got.collect()}
+    assert set(by_chan) == {0, 3}
+    assert by_chan[3]["mx"] == 3099 and by_chan[0]["n"] == 100
+
+
+# --- ascii sources ---------------------------------------------------
+
+
+def test_singlepulse_and_logs(spark, fixture_dir):
+    sp_path = os.path.join(fixture_dir, "cand.singlepulse")
+    with open(sp_path, "w") as f:
+        f.write("# DM Sigma Time Sample Downfact\n")
+        f.write("26.76  8.5  12.345  12345  30\n")
+        f.write("26.76  6.1  99.120  99120   4\n")
+    sp = read_singlepulse(spark, sp_path).orderBy("t").collect()
+    assert len(sp) == 2 and sp[0]["dm"] == 26.76 and sp[0]["offset"] == 12345
+
+    hw_path = os.path.join(fixture_dir, "state.log")
+    with open(hw_path, "w") as f:
+        f.write("LOFAR.PIC.Core.CS001.HBA0.RCU5.state|2|1700000000\n")
+        f.write("LOFAR.PIC.Remote.RS509.LBA.RCU77.state|11|1700000100\n")
+    hw = read_hw_state_log(spark, hw_path).orderBy("station").collect()
+    assert hw[0]["station"] == "CS001" and hw[0]["band"] == "HBA0"
+    assert hw[1]["state"] == 11
+
+    log_path = os.path.join(fixture_dir, "chi-squared.txt")
+    with open(log_path, "w") as f:
+        f.write("file=/data/L1_SAP0.png obs=CS002HBA0 S/N=41.2\n")
+        f.write("junk line\n")
+    pl = read_pipeline_log(spark, log_path).collect()
+    assert len(pl) == 1 and pl[0]["snr"] == 41.2 and pl[0]["obs"] == "CS002HBA0"
+
+
+# --- pipelines -------------------------------------------------------
+
+
+def test_pulsestack_pipeline_golden(spark):
+    # pulse train: period exactly 500 samples at tsamp=1e-3 -> bin 0
+    n, period, tsamp = 20000, 0.5, 1e-3
+    rng = np.random.RandomState(11)
+    vals = rng.normal(0, 1, n)
+    vals[::500] += 50.0
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)],
+        "sample_idx long, value double",
+    )
+    prof, stats = fold_and_score(df, period=period, nbins=100, tsamp=tsamp)
+    top = prof.orderBy(F.desc("profile")).first()
+    assert top["bin"] == 0
+    st = stats.first()
+    assert st["peak"] > 5 * abs(st["mean"])
+
+
+def test_fluxcal_pipeline(spark):
+    # synthetic cube: 2 subints x 2 pols x 8 chans x 32 bins,
+    # gaussian-free: baseline chan, pulse in bins 8..12 amplitude 10
+    rows = []
+    for s in range(2):
+        for p in range(2):
+            for c in range(8):
+                for b in range(32):
+                    v = 1.0 + (10.0 if 8 <= b < 12 else 0.0) + 0.01 * b
+                    w = 0.0 if c == 5 else 2.0  # chan 5 zapped
+                    rows.append((s, p, c, b, float(v), float(w)))
+    cube = spark.createDataFrame(
+        rows, "subint int, pol int, chan int, bin int, value double, weight double"
+    )
+    wnorm = renormalize_weights(cube)
+    assert wnorm.agg(F.max("weight")).first()[0] == pytest.approx(1.0)
+    summed = pscrunch(wnorm.select("subint", "chan", "bin", "value"))
+    assert summed.count() == 2 * 8 * 32  # pols collapsed
+    chans = spark.createDataFrame(
+        [(c, 120.0 + c, 25.0, 2000.0, 400.0) for c in range(8)],
+        "chan int, freq_mhz double, t408 double, aeff_m2 double, tinst_k double",
+    )
+    calib = channel_calibration_table(chans)
+    crow = calib.filter("chan = 0").first()
+    assert crow["tsys_k"] > 400.0 and crow["sefd_jy"] > 0
+    weights = wnorm.select("subint", "chan", "bin", "weight").dropDuplicates(
+        ["subint", "chan", "bin"]
+    )
+    cal = calibrate_cube(
+        summed.withColumnRenamed("value", "value").join(
+            weights, on=["subint", "chan", "bin"]
+        ),
+        calib,
+        off_bin_lo=16,
+        off_bin_hi=32,
+    )
+    spec = output_spectrum(cal, group_size=4).collect()
+    by_chan = {r["out_chan"]: r for r in spec}
+    assert by_chan[1]["n_good"] < by_chan[0]["n_good"]  # zapped chan 5
+
+
+def test_scheduler_greedy_deterministic(spark):
+    targets = spark.createDataFrame(
+        [
+            ("A", 60, 2.0, 600),
+            ("B", 60, 1.0, 600),  # conflicts with A at transit
+            ("C", 120, 1.0, 30),
+            ("D", 30, 3.0, 1380),
+        ],
+        "name string, duration_min int, priority double, transit_min int",
+    )
+    placements = greedy_schedule(targets)
+    assert [p.name for p in placements] == sorted(
+        [p.name for p in placements],
+        key=lambda n: next(p.start_min for p in placements if p.name == n),
+    )
+    spans = sorted((p.start_min, p.end_min) for p in placements)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2  # no overlap
+    byname = {p.name: p for p in placements}
+    assert byname["A"].start_min == 600  # highest score gets its transit
+    assert byname["B"].start_min != 600
+    df = schedule_to_df(spark, placements)
+    assert df.count() == 4
+
+
+def test_sp2tim_full_precision(spark):
+    sp = spark.createDataFrame(
+        [("L1", 26.76, 8.5, 4321.123456789)],
+        "obs_id string, dm double, sigma double, t double",
+    )
+    out = toa_lines_tempo2(sp, F.lit(60000), F.lit(0.9999))
+    row = out.first()
+    # 0.9999 + 4321.123456789/86400 = 1.049909...  -> carries into day
+    assert row["mjd_int"] == 60001
+    expected_frac = 0.9999 + 4321.123456789 / 86400.0 - 1.0
+    assert row["mjd_frac"] == pytest.approx(expected_frac, abs=1e-15)
+    assert row["toa_line"].startswith("L1 150.000 60001.")
+    frac_str = row["toa_line"].split()[2]
+    assert float(frac_str) == pytest.approx(60001 + expected_frac, abs=5e-14)

@@ -1,0 +1,120 @@
+"""Batch/stream parity for the streaming duals (SURVEY §5.5):
+tumbling-dump fold over a bounded replay equals the batch A6 result;
+stateful dedup yields the distinct set."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from lofar_bf_pulsar_scripts_spark.operators.fold import fold_subints
+from lofar_bf_pulsar_scripts_spark.streaming.fold_stream import (
+    streaming_dedup_new_urls,
+    streaming_fold_subints,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+PERIOD, NBINS = 3600.0, 24
+
+
+def _run_complete(df, name):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def test_streaming_fold_equals_batch(spark):
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming file source wants a directory, not a single file
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_stream_tmp", "events")
+    os.makedirs(tmp, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(tmp, "events.parquet"))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(tmp)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = streaming_fold_subints(
+        stream, PERIOD, NBINS, dump_seconds="1 day", watermark="1 minute"
+    )
+    got = {
+        (r["win_start"], r["bin"]): (r["profile"], r["npts"])
+        for r in _run_complete(agg, "fold_stream").collect()
+    }
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "t", F.expr("CAST((ts div 1000) AS DOUBLE) / 1000000.0")
+    )
+    expected = fold_subints(batch, PERIOD, NBINS, dump_time=86400.0)
+    exp = {
+        (r["subint"], r["bin"]): (r["profile"], r["npts"])
+        for r in expected.collect()
+    }
+    assert len(got) == len(exp) > 0
+    # compare via (day-index, bin)
+    got_by_day = {
+        (int(k[0].timestamp() // 86400), k[1]): v for k, v in got.items()
+    }
+    for (day, b), (prof, n) in got_by_day.items():
+        ep, en = exp[(day, b)]
+        assert n == en
+        assert prof == pytest.approx(ep, rel=1e-12)
+
+
+def test_streaming_dedup(spark):
+    rows = [
+        (1, "f1.tar"), (2, "f2.tar"), (3, "f1.tar"), (4, "f3.tar"), (5, "f2.tar"),
+    ]
+    import os
+    import tempfile
+
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_stream_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        src = os.path.join(tmp, "urls")
+        spark.createDataFrame(
+            [(i, f, float(i)) for i, f in rows],
+            "event_id long, filename string, off double",
+        ).withColumn(
+            "ts", F.expr("timestamp_micros(CAST(1700000000000000 + off * 1000000 AS BIGINT))")
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, filename string, off double, ts timestamp"
+        ).parquet(src)
+        dedup = streaming_dedup_new_urls(stream, key_col="filename", ts_col="ts")
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["filename"] for r in spark.table("dedup_stream").collect()}
+        assert got == {"f1.tar", "f2.tar", "f3.tar"}
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
