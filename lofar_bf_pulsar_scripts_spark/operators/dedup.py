@@ -20,9 +20,44 @@ the DuckDB oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens, word_shingles
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + lead windows.
+
+    The array-expression form (word_shingles) re-evaluates the regex
+    tokenizer inside every lambda element_at — 3k regex splits per doc
+    (measured: explode of word_shingles dominated the whole MinHash
+    pipeline). Here the tokenizer runs ONCE per doc; the lead window
+    shuffles on the id, which downstream per-doc aggregations reuse —
+    net one shuffle for the whole signature pipeline.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # materialize ALL leads before filtering — a lead computed after
+    # the filter would see the truncated partition and emit short
+    # shingles at the new tail
+    with_leads = toks.select(
+        F.col(id_col),
+        F.col("__tok"),
+        *[F.lead("__tok", j).over(w).alias(f"__l{j}") for j in range(1, k)],
+    )
+    return with_leads.filter(F.col(f"__l{k-1}").isNotNull()).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.col("__tok"), *[F.col(f"__l{j}") for j in range(1, k)]
+        ).alias("shingle"),
+    )
 
 
 def exact_duplicate_groups(
@@ -41,25 +76,78 @@ def exact_duplicate_groups(
     )
 
 
+# Universal-hash MinHash family: h_i(x) = (A[i]*x + B[i]) mod P over a
+# 28-bit base hash x decoded from the shingle's md5. P = 2^31 - 1
+# (Mersenne prime); A[i] < 2^31 and x < 2^28 keep A*x within int64.
+# Constants are arbitrary fixed odd values (deterministic across
+# engines — the DuckDB oracle reuses them via these lists).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [
+    1_322_178_731, 961_748_941, 787_222_311, 1_529_686_693,
+    649_702_411, 1_073_807_359, 297_779_861, 1_928_455_033,
+    413_158_511, 1_695_978_839, 533_000_401, 1_190_494_759,
+    877_905_481, 1_462_654_261, 722_398_111, 2_009_742_139,
+]
+MINHASH_B = [
+    908_319_117, 1_335_793_261, 551_654_431, 199_021_387,
+    1_827_719_183, 1_003_026_329, 1_716_132_797, 404_536_039,
+    622_960_259, 133_292_221, 1_916_186_239, 759_155_483,
+    1_482_404_453, 318_034_883, 1_118_923_471, 2_085_853_741,
+]
+_HEXMAP = "0123456789abcdef"
+
+
+def _md5_int28(col: Column) -> Column:
+    """28-bit integer hash: first 7 hex nibbles of md5, decoded with
+    strpos (portable to DuckDB — no conv() there)."""
+    h = F.md5(col.cast("binary"))
+    out = F.lit(0).cast("bigint")
+    for p in range(1, 8):
+        nib = F.instr(F.lit(_HEXMAP), F.substring(h, p, 1)) - 1
+        out = out * 16 + nib
+    return out
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
     sig_col: str = "minhash",
 ) -> DataFrame:
-    """Append an ARRAY<STRING> MinHash signature (md5-hex minima, one
-    per seed). NULL entries when the doc has < shingle_k tokens."""
-    sh = word_shingles(text_col, shingle_k)
+    """Append an ARRAY<BIGINT> MinHash signature. NULL entries when
+    the doc has < shingle_k tokens.
 
-    # NB: the lambda must take exactly ONE parameter — pyspark treats a
-    # two-parameter lambda as (element, index).
-    def seed_hash(i: int):
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s).cast("binary"))
-
-    sigs = [F.array_min(F.transform(sh, seed_hash(i))) for i in range(num_hashes)]
-    return df.withColumn(sig_col, F.array(*sigs))
+    Implementation notes (measured, see git history):
+    * explode + min-aggregate, NOT per-row array expressions —
+      Catalyst inlines deterministic projections into every consumer
+      (CollapseProject), so an array-expression signature gets
+      recomputed once per downstream reference (50x slowdown).
+    * ONE md5 per shingle + integer universal hashing per seed — an
+      md5-per-seed variant forces string min aggregates (interpreted
+      SortAggregate); integer mins stay in codegen'd HashAggregate
+      (~10x faster) and map-side combine to num_hashes values per doc.
+    """
+    exploded = shingle_rows(df, id_col, text_col, shingle_k).withColumn(
+        "__x", _md5_int28(F.col("shingle"))
+    )
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"__sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__sig_{i}") for i in range(num_hashes)]).alias(sig_col),
+        )
+    )
+    return df.join(sigs, on=id_col, how="left")
 
 
 def lsh_buckets(
@@ -75,14 +163,14 @@ def lsh_buckets(
     per_band = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                ).cast("binary")
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(rows_per_band)
+                ],
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -122,6 +210,39 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(sa) + F.size(sb) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def simhash16_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Explode-based SimHash (scale path): one md5 per token, 16
+    sign-vote aggregates per doc, map-side combinable. Prefer this
+    over the ``simhash16`` column expression for pipelines — the
+    column form's 16 aggregate() references each recompute the token
+    hash array (CollapseProject inlining)."""
+    toks = tokens(text_col)
+    hexmap = "0123456789abcdef"
+    h = F.md5(F.col("__tok").cast("binary"))
+    nib = lambda p: F.instr(F.lit(hexmap), F.substring(h, p, 1)) - 1
+    hv = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok")).withColumn(
+        "__hv", hv
+    )
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__hv").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(16)
+        ]
+    )
+    out = F.lit(0)
+    for i in range(16):
+        out = out + F.when(F.col(f"__v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), out.cast("int").alias(out_col))
 
 
 def simhash16(col: Column | str) -> Column:

@@ -102,43 +102,53 @@ def boxcar_bank(
     """
     widths = widths or [2, 3, 4, 6, 9, 14, 20]
     group_cols = group_cols or []
-    parts = []
+    # Single pass: all per-width frame sums are window expressions over
+    # ONE ordering (Spark sorts once; each distinct frame is evaluated
+    # over the same sorted runs — no extra shuffle per width), then the
+    # bank is unpivoted with stack() and reduced by one aggregation.
+    # Profiles are small per group, so the per-group sort is in-memory.
+    sums = []
     for w in widths:
         win = (
             Window.partitionBy(*group_cols)
             .orderBy(order_col)
             .rowsBetween(0, w - 1)
         )
-        scored = df.select(
-            *group_cols,
-            F.col(order_col).alias("start_bin"),
-            F.sum(F.col(value_col)).over(win).alias("box_sum"),
-            F.count(F.col(value_col)).over(win).alias("__n"),
-        ).filter(F.col("__n") == w)
-        # deterministic under sum ties: highest sum, then smallest start
-        best = (
-            scored.groupBy(*group_cols)
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("box_sum").alias("s"),
-                        (-F.col("start_bin")).alias("neg_start"),
-                    )
-                ).alias("__b")
-            )
-            .select(
-                *group_cols,
-                F.lit(w).alias("width"),
-                (-F.col("__b.neg_start")).alias("best_start"),
-                F.col("__b.s").alias("best_sum"),
-                (F.col("__b.s") / F.sqrt(F.lit(float(w)))).alias("snr_w"),
-            )
+        sums.append(
+            F.when(
+                F.count(F.col(value_col)).over(win) == w,
+                F.sum(F.col(value_col)).over(win),
+            ).alias(f"__box_{w}")
         )
-        parts.append(best)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    wide = df.select(
+        *group_cols, F.col(order_col).alias("start_bin"), *sums
+    )
+    stack_args = ", ".join(f"{w}, __box_{w}" for w in widths)
+    long = wide.selectExpr(
+        *group_cols,
+        "start_bin",
+        f"stack({len(widths)}, {stack_args}) AS (width, box_sum)",
+    ).filter(F.col("box_sum").isNotNull())
+    # deterministic under sum ties: highest sum, then smallest start
+    best = (
+        long.groupBy(*group_cols, "width")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("box_sum").alias("s"),
+                    (-F.col("start_bin")).alias("neg_start"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            *group_cols,
+            "width",
+            (-F.col("__b.neg_start")).alias("best_start"),
+            F.col("__b.s").alias("best_sum"),
+            (F.col("__b.s") / F.sqrt(F.col("width").cast("double"))).alias("snr_w"),
+        )
+    )
+    return best
 
 
 def best_boxcar(df: DataFrame, **kwargs) -> DataFrame:
