@@ -1326,6 +1326,247 @@ def q_event_pairs_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Polyco time-varying fold (S11 + A4 with drifting period),
+# ACF (W7), event fold (A5), CUBE, bilinear interpolation (J8)
+# --------------------------------------------------------------------
+
+# two synthetic polyco segments covering the events month; f0 = 1/3600
+# Hz (1 h spin period), mild quadratic drift
+_PC_T1 = 1704672000.0  # 2024-01-08
+_PC_T2 = 1705881600.0  # 2024-01-22
+_PC_F0 = 1.0 / 3600.0
+_PC_SEGS = [
+    (0, _PC_T1, 0.25, _PC_F0, [0.0, 0.5, 0.001], 14 * 86400.0),
+    (1, _PC_T2, 0.75, _PC_F0, [0.1, -0.3, 0.002], 14 * 86400.0),
+]
+
+
+def _polyco_oracle() -> str:
+    mid = (_PC_T1 + _PC_T2) / 2.0
+    def seg_sql(tmid, rphase, c1, c2, c3):
+        dt = f"((epoch(ts) - {tmid!r}) / 60.0)"
+        return (
+            f"({rphase!r} + {dt} * 60.0 * {_PC_F0!r} "
+            f"+ (({c3!r} * {dt} + {c2!r}) * {dt} + {c1!r}))"
+        )
+    s0 = seg_sql(_PC_T1, 0.25, 0.0, 0.5, 0.001)
+    s1 = seg_sql(_PC_T2, 0.75, 0.1, -0.3, 0.002)
+    phase = (
+        f"CASE WHEN abs(epoch(ts) - {_PC_T1!r}) < abs(epoch(ts) - {_PC_T2!r}) "
+        f"THEN {s0} ELSE {s1} END"
+    )
+    # ((p % 1) + 1) % 1 = positive mod, matching Spark's pmod for
+    # negative phases (DuckDB % keeps the dividend's sign)
+    return f"""
+    SELECT CAST(least(CAST(floor((((({phase}) % 1.0) + 1.0) % 1.0) * 32) AS BIGINT), 31) AS INTEGER) AS bin,
+           round(avg(value), 6) AS profile,
+           count(value) AS npts
+    FROM events
+    GROUP BY 1
+    """
+
+
+@_register(
+    "polyco_fold",
+    _polyco_oracle(),
+    "S11 polyco ephemeris + time-varying fold period (pulsestack.py:463-483,577-578)",
+)
+def q_polyco_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.polyco import POLYCO_SEGMENT_SCHEMA, polyco_fold
+
+    segs = spark.createDataFrame(_PC_SEGS, POLYCO_SEGMENT_SCHEMA)
+    ev = _events_t(spark, sf_dir)
+    out = polyco_fold(ev, segs, nbins=32)
+    return out.select("bin", F.round("profile", 6).alias("profile"), "npts")
+
+
+_ACF_LAGS = [1, 2, 3, 4, 6, 12, 24]
+
+
+def _acf_oracle() -> str:
+    branches = "\n        UNION ALL\n".join(
+        f"""
+        SELECT {lag} AS lag,
+               profile * lead(profile, {lag}) OVER (ORDER BY bin) AS prod,
+               profile * profile AS sq
+        FROM hourly"""
+        for lag in _ACF_LAGS
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS bin,
+               sum(value) AS profile
+        FROM events GROUP BY 1
+    ), long AS ({branches}
+    )
+    SELECT lag,
+           round(sum(prod), 4) AS acf,
+           round(sum(prod) / sum(sq), 6) AS acf_norm,
+           count(prod) AS npairs
+    FROM long GROUP BY lag
+    """
+
+
+@_register(
+    "acf_hourly",
+    _acf_oracle(),
+    "W7 autocorrelation, 1-D lead-window form (dynsp.py:232-251)",
+)
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.acf import acf_1d
+
+    ev = _events_t(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.floor(F.col("t") / 3600.0).cast("bigint").alias("bin"))
+        .agg(F.sum("value").alias("profile"))
+    )
+    out = acf_1d(hourly, _ACF_LAGS)
+    return out.select(
+        "lag",
+        F.round("acf", 4).alias("acf"),
+        F.round("acf_norm", 6).alias("acf_norm"),
+        "npairs",
+    )
+
+
+@_register(
+    "acf2d_user_day",
+    """
+    WITH raster AS (
+        SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS time_bin,
+               CAST(user_id % 20 AS INTEGER) AS chan,
+               sum(value) AS value
+        FROM events GROUP BY 1, 2
+    ), energy AS (
+        SELECT sum(value * value) AS e FROM raster
+    ), lags AS (
+        SELECT * FROM (VALUES (0, 1), (1, 0), (1, 1), (2, 0), (0, 2)) AS t(dt, df_)
+    )
+    SELECT l.dt, l.df_,
+           round(sum(a.value * b.value), 4) AS acf,
+           count(*) AS npairs,
+           round(sum(a.value * b.value) / any_value(energy.e), 6) AS acf_norm
+    FROM raster a
+      CROSS JOIN lags l
+      JOIN raster b ON a.time_bin + l.dt = b.time_bin
+                    AND a.chan + l.df_ = b.chan
+      CROSS JOIN energy
+    GROUP BY l.dt, l.df_
+    """,
+    "W7 2-D autocorrelation, self-join form (dynsp.py:232-251,305-345)",
+)
+def q_acf2d_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.acf import acf_2d
+
+    ev = _events_t(spark, sf_dir)
+    raster = (
+        ev.groupBy(
+            F.floor(F.col("t") / 86400.0).cast("bigint").alias("time_bin"),
+            F.pmod(F.col("user_id"), F.lit(20)).cast("int").alias("chan"),
+        )
+        .agg(F.sum("value").alias("value"))
+    )
+    pairs = [(0, 1), (1, 0), (1, 1), (2, 0), (0, 2)]
+    out = acf_2d(
+        raster,
+        time_lags=sorted({p[0] for p in pairs}),
+        freq_lags=sorted({p[1] for p in pairs}),
+    ).filter(F.expr("(dt, df_) IN ((0,1),(1,0),(1,1),(2,0),(0,2))"))
+    return out.select(
+        "dt", "df_",
+        F.round("acf", 4).alias("acf"),
+        "npairs",
+        F.round("acf_norm", 6).alias("acf_norm"),
+    )
+
+
+@_register(
+    "fold_event_counts",
+    f"""
+    SELECT {_FOLD_BIN_SQL} AS bin, count(*) AS nevents
+    FROM events GROUP BY 1
+    """,
+    "A5 count-only event fold (pulsestack.py:622-650)",
+)
+def q_fold_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import fold_events
+
+    return fold_events(_events_t(spark, sf_dir), FOLD_PERIOD, FOLD_NBINS)
+
+
+@_register(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping-sets CUBE (A11 generalization)",
+)
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "bilinear_gain",
+    """
+    WITH grid AS (
+        SELECT CAST(p_size % 10 AS INTEGER) AS gx,
+               CAST(p_partkey % 10 AS INTEGER) AS gy,
+               avg(p_retailprice) AS gval
+        FROM part GROUP BY 1, 2
+    ), pts AS (
+        SELECT event_id,
+               least(greatest(value / 55.0, 0.0), 9.0) AS x,
+               least(greatest(CAST(user_id AS DOUBLE) / 17.0, 0.0), 9.0) AS y
+        FROM events
+    ), corners AS (
+        SELECT p.event_id, p.x, p.y,
+               least(CAST(floor(p.x) AS INTEGER), 8) AS x0,
+               least(CAST(floor(p.y) AS INTEGER), 8) AS y0
+        FROM pts p
+    )
+    SELECT c.event_id,
+           round(g00.gval * (1 - (c.x - c.x0)) * (1 - (c.y - c.y0))
+               + g10.gval * (c.x - c.x0) * (1 - (c.y - c.y0))
+               + g01.gval * (1 - (c.x - c.x0)) * (c.y - c.y0)
+               + g11.gval * (c.x - c.x0) * (c.y - c.y0), 6) AS interp
+    FROM corners c
+      LEFT JOIN grid g00 ON g00.gx = c.x0 AND g00.gy = c.y0
+      LEFT JOIN grid g10 ON g10.gx = c.x0 + 1 AND g10.gy = c.y0
+      LEFT JOIN grid g01 ON g01.gx = c.x0 AND g01.gy = c.y0 + 1
+      LEFT JOIN grid g11 ON g11.gx = c.x0 + 1 AND g11.gy = c.y0 + 1
+    """,
+    "J8 bilinear grid-interpolation join (lofar_gain.py:84-128)",
+)
+def q_bilinear_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.interp import bilinear_interp
+
+    p = load_table(spark, "part", sf_dir)
+    grid = p.groupBy(
+        F.pmod(F.col("p_size"), F.lit(10)).cast("int").alias("gx"),
+        F.pmod(F.col("p_partkey"), F.lit(10)).cast("int").alias("gy"),
+    ).agg(F.avg("p_retailprice").alias("gval"))
+    ev = load_table(spark, "events", sf_dir)
+    pts = ev.select(
+        "event_id",
+        F.least(F.greatest(F.col("value") / 55.0, F.lit(0.0)), F.lit(9.0)).alias("x"),
+        F.least(
+            F.greatest(F.col("user_id").cast("double") / 17.0, F.lit(0.0)),
+            F.lit(9.0),
+        ).alias("y"),
+    )
+    out = bilinear_interp(pts, grid)
+    return out.select("event_id", F.round("interp", 6).alias("interp"))
+
+
+# --------------------------------------------------------------------
 # LTA catalog plan driven end-to-end (J1 superquery + P5 filters +
 # A10/A11 manifest) over catalog views derived from the testdata
 # --------------------------------------------------------------------
