@@ -1,0 +1,95 @@
+"""Report sinks & caching utilities (SURVEY §2.1 K2/K3/K5, §2.3 J7).
+
+* rfirep_lines — the .rfirep bad-channel report
+  (/root/reference/subdyn.py:605-611): one line per rejected subband
+  with its clipped fraction.
+* flux_ascii_lines — the per-(subint, chan) flux table rows
+  (/root/reference/fluxcal/lofar_fluxcal.py:770-772 column layout).
+* materialize — K3's pickle-cache pattern as a Parquet intermediate:
+  write once, read back as a fresh scan (predicate pushdown applies to
+  the cached copy, unlike .cache()).
+* validated_station_join — J7 (/root/reference/fluxcal/
+  get_flagged_tiles.py:79-105): join on (date, station-substring) and
+  ERROR on 0 or >1 distinct matches, expressed as a count-validated
+  join returning a match_status column instead of raising mid-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def rfirep_lines(clip_fracs: DataFrame, rfilimit: float = 0.1) -> DataFrame:
+    """(chan, clip_frac) -> rejected channels with report lines
+    (subdyn.py:605-611 writes '# chan  fraction')."""
+    bad = clip_fracs.filter(F.col("clip_frac") >= F.lit(float(rfilimit)))
+    return bad.withColumn(
+        "rfirep_line",
+        F.format_string("%d\t%.4f", F.col("chan").cast("int"), F.col("clip_frac")),
+    )
+
+
+def flux_ascii_lines(calibrated: DataFrame) -> DataFrame:
+    """Per-(subint, chan) flux rows in the reference's ascii layout:
+    'subint chan freq flux_mJy err_mJy' (lofar_fluxcal.py:770-772)."""
+    return calibrated.withColumn(
+        "flux_line",
+        F.format_string(
+            "%4d %5d %10.4f %12.5f %12.5f",
+            F.col("subint").cast("int"),
+            F.col("chan").cast("int"),
+            F.col("freq_mhz"),
+            F.col("flux_mjy"),
+            F.col("flux_err_mjy"),
+        ),
+    )
+
+
+def write_report(lines: DataFrame, line_col: str, path: str, header: str | None = None) -> None:
+    """K5 text sink (small human-facing artifact -> single file)."""
+    spark = lines.sparkSession
+    body = lines.select(F.col(line_col).alias("line"))
+    if header is not None:
+        body = spark.createDataFrame([(header,)], "line string").unionByName(body)
+    body.coalesce(1).write.mode("overwrite").text(path)
+
+
+def materialize(df: DataFrame, path: str) -> DataFrame:
+    """K3 cache: persist an expensive intermediate as Parquet and
+    return a scan of it (dynsp.py:137-148's pickle --load path)."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def validated_station_join(
+    obs: DataFrame,
+    flagged: DataFrame,
+    obs_station_col: str = "station",
+    flagged_station_col: str = "substation",
+    on_date_cols: tuple[str, str] = ("date", "date"),
+) -> DataFrame:
+    """J7: per observation row, flagged-summary rows whose substation
+    string contains the observation's station, same date; appends
+    n_matches and match_status ('ok' | 'missing' | 'ambiguous') —
+    get_flagged_tiles.py:79-105 raises on 0 or >1 distinct matches."""
+    fl = flagged.select(
+        F.col(on_date_cols[1]).alias("__fdate"),
+        F.col(flagged_station_col).alias("__fsub"),
+        *[c for c in flagged.columns if c not in (on_date_cols[1], flagged_station_col)],
+    )
+    joined = obs.join(
+        F.broadcast(fl),
+        (F.col(on_date_cols[0]) == F.col("__fdate"))
+        & F.col("__fsub").contains(F.col(obs_station_col)),
+        "left",
+    )
+    counts = joined.groupBy(*obs.columns).agg(
+        F.countDistinct("__fsub").alias("n_matches"),
+        F.first("ntiles", ignorenulls=True).alias("ntiles"),
+    )
+    return counts.withColumn(
+        "match_status",
+        F.when(F.col("n_matches") == 1, "ok")
+        .when(F.col("n_matches") == 0, "missing")
+        .otherwise("ambiguous"),
+    )

@@ -1701,6 +1701,203 @@ def q_lta_superquery_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Generic OLAP: TPC-H Q3/Q5 shapes; W3 off-window; W9 rotate; A3
+# scrunch; §2.8 coordinate trig
+# --------------------------------------------------------------------
+
+
+@_register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+           o_orderpriority
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    "TPC-H Q3 shape: selective multi-join + agg (J1/P3 composition)",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cut = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            # TZ-independent epoch for a midnight-aligned NTZ timestamp
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+                .cast("bigint")
+                * 86400
+            ).alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-way join with co-nation predicate (J1 composition)",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "off_window_stats",
+    f"""
+    WITH prof AS (
+        SELECT {_FOLD_BIN_SQL} AS bin, avg(value) AS profile
+        FROM events GROUP BY 1
+    )
+    SELECT round(avg(profile), 6) AS off_mean,
+           round(stddev_samp(profile), 6) AS off_rms,
+           count(profile) AS off_n
+    FROM prof WHERE bin >= 20 OR bin < 4
+    """,
+    "W3 wrapping off-pulse window stats (dynsp.py:188-192)",
+)
+def q_off_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import fold
+    from .operators.profile import off_window_stats
+
+    prof = fold(_events_t(spark, sf_dir), FOLD_PERIOD, FOLD_NBINS)
+    out = off_window_stats(prof, bin_lo=20, bin_hi=28, nbins=FOLD_NBINS)
+    return out.select(
+        F.round("off_mean", 6).alias("off_mean"),
+        F.round("off_rms", 6).alias("off_rms"),
+        "off_n",
+    )
+
+
+@_register(
+    "rotated_profile",
+    f"""
+    SELECT CAST((bin + 7) % 24 AS INTEGER) AS bin,
+           round(profile, 6) AS profile
+    FROM (
+        SELECT {_FOLD_BIN_SQL} AS bin, avg(value) AS profile
+        FROM events GROUP BY 1
+    )
+    """,
+    "W9 circular profile rotation (snr.py:36-46)",
+)
+def q_rotated_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import fold, rotate
+
+    prof = fold(_events_t(spark, sf_dir), FOLD_PERIOD, FOLD_NBINS)
+    out = rotate(prof.select("bin", "profile"), 7, FOLD_NBINS)
+    return out.select("bin", F.round("profile", 6).alias("profile"))
+
+
+@_register(
+    "scrunch_user_hour",
+    """
+    SELECT CAST(floor(user_id / 15) AS BIGINT) AS user_id,
+           round(sum(value), 4) AS value,
+           count(value) AS npts
+    FROM events
+    GROUP BY 1
+    """,
+    "A3 scrunch with factor collapse (fscrunch(k) semantics, lofar_fluxcal.py:437-453)",
+)
+def q_scrunch_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.raster import scrunch
+
+    ev = load_table(spark, "events", sf_dir)
+    out = scrunch(
+        ev, keep_axes=["user_id"], value_col="value", agg="sum",
+        factor_axes={"user_id": 15},
+    )
+    return out.select(
+        "user_id", F.round("value", 4).alias("value"), "npts"
+    )
+
+
+@_register(
+    "altaz_positions",
+    """
+    SELECT event_id,
+           round(degrees(asin(
+               least(greatest(
+                   sin(radians(CAST(user_id AS DOUBLE))) * sin(radians(52.915))
+                   + cos(radians(CAST(user_id AS DOUBLE))) * cos(radians(52.915))
+                     * cos(radians(mod(value, 360.0) - mod(value * 2.0, 360.0))),
+               -1.0), 1.0)
+           )), 6) AS alt_deg
+    FROM events
+    """,
+    "§2.8 az/el spherical trig (scheduling/azza.pl)",
+)
+def q_altaz_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.coords import altaz_from_equatorial
+
+    ev = load_table(spark, "events", sf_dir)
+    # synthetic sky: dec = user_id deg, ra = 2*value deg, lst = value/15 h
+    alt, _az = altaz_from_equatorial(
+        ra_deg=F.pmod(F.col("value") * 2.0, F.lit(360.0)),
+        dec_deg=F.col("user_id").cast("double"),
+        lst_h=F.pmod(F.col("value"), F.lit(360.0)) / 15.0,
+        lat_deg=F.lit(52.915),
+    )
+    return ev.select("event_id", F.round(alt, 6).alias("alt_deg"))
+
+
+# --------------------------------------------------------------------
 # Q-Q normalization (W2) — pandas-UDF operator; no SQL oracle
 # (inverse normal CDF not expressible) -> driver rows-only check
 # --------------------------------------------------------------------

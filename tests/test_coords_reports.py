@@ -1,0 +1,141 @@
+"""Tests for coordinate/time expressions (§2.8) and report sinks /
+validated joins (K2/K3/K5, J7)."""
+
+import math
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.functions.coords import (
+    altaz_from_equatorial,
+    dec_dms_to_deg,
+    galactic_from_equatorial,
+    gmst_hours,
+    julian_day,
+    lst_hours,
+    mjd_from_jd,
+    ra_hms_to_deg,
+)
+from lofar_bf_pulsar_scripts_spark.plans.reports import (
+    materialize,
+    rfirep_lines,
+    validated_station_join,
+    write_report,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_report_tmp")
+
+
+def test_sexagesimal_parsing(spark):
+    df = spark.createDataFrame(
+        [("05:34:31.97", "+22:00:52.1"), ("00:00:00", "-01:30:00")],
+        "ra string, dec string",
+    )
+    rows = df.select(
+        ra_hms_to_deg(F.col("ra")).alias("ra_deg"),
+        dec_dms_to_deg(F.col("dec")).alias("dec_deg"),
+    ).collect()
+    # Crab pulsar: RA 05h34m31.97s = 83.63320833 deg, Dec +22d00'52.1"
+    assert rows[0]["ra_deg"] == pytest.approx(83.6332083, abs=1e-6)
+    assert rows[0]["dec_deg"] == pytest.approx(22.0144722, abs=1e-6)
+    assert rows[1]["ra_deg"] == 0.0
+    assert rows[1]["dec_deg"] == pytest.approx(-1.5)
+
+
+def test_julian_day_known_dates(spark):
+    df = spark.createDataFrame([(2000, 1, 1), (1858, 11, 17)], "y int, m int, d int")
+    rows = df.select(
+        julian_day(F.col("y"), F.col("m"), F.col("d")).alias("jd")
+    ).collect()
+    assert rows[0]["jd"] == pytest.approx(2451544.5)  # J2000 epoch 0h
+    assert rows[1]["jd"] == pytest.approx(2400000.5)  # MJD zero point
+    mjd = df.select(mjd_from_jd(julian_day(F.col("y"), F.col("m"), F.col("d"))).alias("m")).collect()
+    assert mjd[1]["m"] == pytest.approx(0.0)
+
+
+def test_gmst_j2000(spark):
+    # GMST at J2000.0 (MJD 51544.5) is 18.697374558 h (IAU value)
+    df = spark.createDataFrame([(51544.5,)], "mjd double")
+    row = df.select(gmst_hours(F.col("mjd")).alias("g"),
+                    lst_hours(F.col("mjd"), F.lit(6.8667)).alias("l")).first()
+    assert row["g"] == pytest.approx(18.697374558, abs=1e-9)
+    assert row["l"] == pytest.approx((18.697374558 + 6.8667 / 15) % 24, abs=1e-9)
+
+
+def test_altaz_zenith_and_horizon(spark):
+    # source at dec=lat transiting (ha=0) passes through zenith
+    df = spark.createDataFrame([(1,)], "i int")
+    alt, az = altaz_from_equatorial(
+        F.lit(180.0), F.lit(52.0), F.lit(12.0), F.lit(52.0)
+    )
+    row = df.select(alt.alias("alt"), az.alias("az")).first()
+    assert row["alt"] == pytest.approx(90.0, abs=1e-9)
+    # pole star from the pole: alt = 90 at any lst
+    alt2, _ = altaz_from_equatorial(F.lit(10.0), F.lit(90.0), F.lit(3.0), F.lit(90.0))
+    assert df.select(alt2.alias("a")).first()["a"] == pytest.approx(90.0, abs=1e-9)
+
+
+def test_galactic_poles(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    # north galactic pole (J2000): RA 192.85948, Dec 27.12825 -> b = 90
+    l, b = galactic_from_equatorial(F.lit(192.85948), F.lit(27.12825))
+    assert df.select(b.alias("b")).first()["b"] == pytest.approx(90.0, abs=1e-6)
+    # galactic center: RA 266.405, Dec -28.936 -> l ~ 0, b ~ 0
+    l2, b2 = galactic_from_equatorial(F.lit(266.40499), F.lit(-28.93617))
+    row = df.select(F.pmod(l2 + 180.0, F.lit(360.0)).alias("l180"), b2.alias("b")).first()
+    assert abs(row["b"]) < 0.01
+    assert row["l180"] == pytest.approx(180.0, abs=0.01)
+
+
+def test_rfirep_and_write(spark):
+    os.makedirs(TMP, exist_ok=True)
+    try:
+        fracs = spark.createDataFrame(
+            [(0, 0.02, 100), (1, 0.45, 100), (2, 0.11, 100)],
+            "chan int, clip_frac double, n int",
+        )
+        rep = rfirep_lines(fracs, rfilimit=0.1)
+        lines = {r["chan"]: r["rfirep_line"] for r in rep.collect()}
+        assert set(lines) == {1, 2}
+        assert lines[1] == "1\t0.4500"
+        out = os.path.join(TMP, "report.rfirep")
+        write_report(rep, "rfirep_line", out, header="# chan frac")
+        text = []
+        for f in os.listdir(out):
+            if f.startswith("part-"):
+                text += open(os.path.join(out, f)).read().splitlines()
+        assert "# chan frac" in text and "1\t0.4500" in text
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_materialize_roundtrip(spark):
+    os.makedirs(TMP, exist_ok=True)
+    try:
+        df = spark.range(100).withColumn("v", F.col("id") * 2.0)
+        cached = materialize(df, os.path.join(TMP, "cache.parquet"))
+        assert cached.count() == 100
+        assert cached.filter("id = 7").first()["v"] == 14.0
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_validated_station_join(spark):
+    obs = spark.createDataFrame(
+        [("2020-01-01", "CS001"), ("2020-01-01", "CS002"), ("2020-01-01", "RS509")],
+        "date string, station string",
+    )
+    flagged = spark.createDataFrame(
+        [
+            ("2020-01-01", "CS001HBA0", 3),
+            ("2020-01-01", "CS002HBA0", 1),
+            ("2020-01-01", "CS002HBA1", 2),
+        ],
+        "date string, substation string, ntiles int",
+    )
+    out = {r["station"]: r for r in validated_station_join(obs, flagged).collect()}
+    assert out["CS001"]["match_status"] == "ok" and out["CS001"]["ntiles"] == 3
+    assert out["CS002"]["match_status"] == "ambiguous"
+    assert out["RS509"]["match_status"] == "missing"
