@@ -1,0 +1,127 @@
+"""Fitting operators (SURVEY §2.8 interpolation/fit family).
+
+* fit_powerlaw — log-log deg-1 fit via the built-in regression
+  aggregates: spectral index (/root/reference/fluxcal/
+  lofar_fluxcal.py:1040-1048) and the exponential scattering-tail fit
+  (/root/reference/fluxcal/get_rough_tscat.py:80-93 fits a line in
+  log space). JVM-side regr_slope/regr_intercept — one aggregation.
+* fit_polynomial_baseline — deg-n polynomial baseline per group
+  (/root/reference/snr.py:343-362) as a grouped pandas UDF
+  (numpy.polyfit); returns the input with the baseline subtracted.
+* fit_histogram_gaussian — Gaussian fit over a histogram
+  (/root/reference/subdyn.py:306-324; snr.py:536-542's leastsq) via
+  moment matching on the binned counts (closed form, no optimizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def fit_powerlaw(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per group: y = amp * x^index fit in log-log space. Rows with
+    non-positive x or y are excluded (log domain), matching the
+    reference's masking of zapped channels."""
+    sel = df.filter((F.col(x_col) > 0) & (F.col(y_col) > 0))
+    lx, ly = F.log10(F.col(x_col)), F.log10(F.col(y_col))
+    grouped = sel.groupBy(*group_cols) if group_cols else sel.groupBy()
+    return grouped.agg(
+        F.regr_slope(ly, lx).alias("index"),
+        F.regr_intercept(ly, lx).alias("log_amp"),
+        F.regr_r2(ly, lx).alias("r2"),
+        F.regr_count(ly, lx).alias("n_used"),
+    )
+
+
+def fit_polynomial_baseline(
+    df: DataFrame,
+    degree: int,
+    x_col: str = "bin",
+    y_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Subtract a per-group numpy.polyfit baseline of ``degree``
+    (snr.py:343-362's Polynom method). Appends ``baseline``;
+    ``y_col`` becomes the residual."""
+    import numpy as np
+
+    group_cols = group_cols or []
+    schema_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema_cols}, baseline double"
+
+    def debase(pdf):
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        coeffs = np.polyfit(x, y, degree)
+        base = np.polyval(coeffs, x)
+        pdf = pdf.copy()
+        pdf["baseline"] = base
+        pdf[y_col] = y - base
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(debase, schema=out_schema)
+    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: debase(pdf.drop(columns="__g")), schema=out_schema
+    )
+
+
+def fit_histogram_gaussian(
+    df: DataFrame,
+    value_col: str = "value",
+    bins: int = 50,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Histogram + Gaussian parameters per group. The reference
+    leastsq-fits a Gaussian to the histogram (subdyn.py:306-324);
+    moment matching over the same binned counts gives the identical
+    estimate for a true Gaussian and needs no optimizer: one pass to
+    bound, one binned aggregation, closed-form moments."""
+    group_cols = group_cols or []
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    b = F.least(
+        F.floor((F.col(value_col) - F.col("__lo")) / width).cast("int"),
+        F.lit(bins - 1),
+    )
+    hist = (
+        joined.withColumn("__bin", b)
+        .groupBy(*group_cols, "__bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "center",
+            F.col("__lo")
+            + (F.col("__bin") + 0.5) * (F.col("__hi") - F.col("__lo")) / bins,
+        )
+    )
+    out = hist.groupBy(*group_cols).agg(
+        F.sum("n").alias("n_total"),
+        (F.sum(F.col("center") * F.col("n")) / F.sum("n")).alias("gauss_mean"),
+    )
+    second = hist.join(out, on=group_cols) if group_cols else hist.crossJoin(out)
+    return (
+        second.groupBy(*group_cols, "n_total", "gauss_mean")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.pow(F.col("center") - F.col("gauss_mean"), F.lit(2.0))
+                    * F.col("n")
+                )
+                / F.sum("n")
+            ).alias("gauss_sigma")
+        )
+    )

@@ -1897,6 +1897,38 @@ def q_altaz_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.round(alt, 6).alias("alt_deg"))
 
 
+@_register(
+    "spectral_index",
+    """
+    SELECT event_type,
+           round(regr_slope(log10(value), log10(1.0 + user_id)), 6) AS index,
+           round(regr_intercept(log10(value), log10(1.0 + user_id)), 6) AS log_amp,
+           round(regr_r2(log10(value), log10(1.0 + user_id)), 6) AS r2,
+           CAST(regr_count(log10(value), log10(1.0 + user_id)) AS BIGINT) AS n_used
+    FROM events
+    WHERE (1.0 + user_id) > 0 AND value > 0
+    GROUP BY event_type
+    """,
+    "§2.8 log-log spectral-index / scattering-tail fit via regression aggregates (lofar_fluxcal.py:1040-1048; get_rough_tscat.py:80-93)",
+)
+def q_spectral_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fits import fit_powerlaw
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.lit(1.0) + F.col("user_id")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = fit_powerlaw(ev, "x", "y", group_cols=["event_type"])
+    return out.select(
+        "event_type",
+        F.round("index", 6).alias("index"),
+        F.round("log_amp", 6).alias("log_amp"),
+        F.round("r2", 6).alias("r2"),
+        F.col("n_used").cast("bigint").alias("n_used"),
+    )
+
+
 # --------------------------------------------------------------------
 # Q-Q normalization (W2) — pandas-UDF operator; no SQL oracle
 # (inverse normal CDF not expressible) -> driver rows-only check

@@ -34,7 +34,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep the default-ish 10 MB: a larger threshold made Catalyst
+        # broadcast fact tables (measured 15x slowdown on the 6-way
+        # join); true dimension tables get explicit broadcast() hints
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # driver testdata parquet carries TIMESTAMP(NANOS) — read as
         # int64 ns and normalize in tables.ts_seconds (DuckDB truncates
         # the same files to micros; see tables.py).
