@@ -1898,6 +1898,87 @@ def q_altaz_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_near_dups",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_COS_NORM.format(a='a.embedding')} * {_COS_NORM.format(a='b.embedding')})
+               AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100 AND b.vec_id < 100
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cos
+    FROM pairs WHERE cos > 0.3
+    """,
+    "embedding-cosine near-dup detection (north star dedup variant)",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine
+
+    e = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    return pairs.filter(F.col("cos") > 0.3).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+@_register(
+    "streaming_fold_replay",
+    None,  # Structured Streaming op -> rows-only check by design
+    "§2.9 streaming tumbling fold on bounded replay (pulsestack.py:553-620 dual)",
+)
+def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.fold_stream import streaming_fold_subints
+
+    stage = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir, ".stream_stage"
+    )
+    stage = os.path.abspath(stage)
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", dst)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = streaming_fold_subints(
+        stream, FOLD_PERIOD, FOLD_NBINS, dump_seconds="1 day", watermark="1 minute"
+    )
+    name = "q_stream_fold_replay"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            F.col("win_start").cast("double").alias("win_start_epoch"),
+            "bin",
+            F.round("profile", 6).alias("profile"),
+            "npts",
+        )
+    )
+
+
+@_register(
     "spectral_index",
     """
     SELECT event_type,
