@@ -71,6 +71,15 @@ def test_superquery_matches_manual_join(spark, catalog):
     assert got.count() == expected and expected > 0
 
 
+def test_superquery_forms_agree(spark, catalog):
+    single = lta.superquery(spark, form="single")
+    union = lta.superquery(spark, form="union")
+    key = lambda df: sorted(
+        (r["filename"], r["observation_id"], r["dp_type"]) for r in df.collect()
+    )
+    assert key(single) == key(union)
+
+
 def test_superquery_project_scope_and_fallback(spark, catalog):
     scoped = lta.superquery(spark, project_id=1)
     allrows = lta.superquery(spark)
