@@ -1,0 +1,60 @@
+"""Lakehouse layout utilities (SURVEY §4 partition-pruning analog,
+SCALE.md "Data layout").
+
+The reference prunes work with filename-grammar filters BEFORE
+downloading (/root/reference/LTA/lta-retrieve.py:444-455) and
+processes one subband file at a time (/root/reference/subdyn.py:
+410-471). The lakehouse equivalents:
+
+* write_observation_partitioned — Hive-style obs_id/sap/tab/part
+  directories so P5/P6 filters become partition pruning (zero data
+  touched for excluded partitions — verified via the plan's
+  PartitionFilters in tests).
+* write_cube_bucketed — the D3 archive cube bucketed by (subint,
+  chan): every scrunch/Q-Q/sigma-clip groupBy on those keys is then
+  shuffle-free (bucketed scan reports the output partitioning to
+  Catalyst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_observation_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("obs_id", "sap", "tab", "part"),
+) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_observation(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_cube_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int = 32,
+    bucket_cols: tuple[str, ...] = ("subint", "chan"),
+) -> None:
+    """Bucketed managed table (bucketBy requires saveAsTable)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def explain_string(df: DataFrame) -> str:
+    """Formatted physical plan as a string (for pruning assertions)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()

@@ -1,0 +1,65 @@
+"""Layout tests: partition pruning actually happens for the
+filename-grammar filters, and bucketed cube aggregation avoids the
+exchange (SCALE.md claims, verified against the physical plan)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.plans.lake import (
+    explain_string,
+    read_observation,
+    write_cube_bucketed,
+    write_observation_partitioned,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_lake_tmp")
+
+
+def test_partition_pruning_for_sap_filter(spark):
+    os.makedirs(TMP, exist_ok=True)
+    try:
+        df = spark.range(4000).select(
+            (F.col("id") % 4).alias("obs_id"),
+            (F.col("id") % 2).alias("sap"),
+            (F.col("id") % 3).alias("tab"),
+            (F.col("id") % 5).alias("part"),
+            F.col("id").alias("sample_idx"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+        path = os.path.join(TMP, "obs")
+        write_observation_partitioned(df, path)
+        back = read_observation(spark, path)
+        sel = back.filter((F.col("obs_id") == 2) & (F.col("sap") == 1))
+        plan = explain_string(sel)
+        # partition filters reach the scan: pruning, not row filtering
+        assert "PartitionFilters" in plan
+        assert "obs_id" in plan.split("PartitionFilters", 1)[1][:400]
+        assert sel.count() == df.filter(
+            (F.col("obs_id") == 2) & (F.col("sap") == 1)
+        ).count()
+    finally:
+        shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_bucketed_cube_groupby_has_no_exchange(spark):
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    cube = spark.range(2000).select(
+        (F.col("id") % 7).cast("int").alias("subint"),  # co-prime moduli
+        (F.col("id") % 16).cast("int").alias("chan"),
+        (F.col("id") % 32).cast("int").alias("bin"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    try:
+        write_cube_bucketed(cube, "cube_bucketed_test", buckets=8)
+        t = spark.table("cube_bucketed_test")
+        agg = t.groupBy("subint", "chan").agg(F.avg("value"))
+        plan = explain_string(agg)
+        # scan is bucketed on the groupBy keys -> no shuffle exchange
+        # between scan and aggregation
+        assert "Exchange hashpartitioning(subint" not in plan
+        assert agg.count() == 7 * 16
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cube_bucketed_test")

@@ -81,6 +81,68 @@ def test_streaming_fold_equals_batch(spark):
         assert prof == pytest.approx(ep, rel=1e-12)
 
 
+def test_streaming_polyco_fold_equals_batch(spark):
+    """SURVEY §7.3 hard item 5: streaming fold with a DRIFTING period.
+    Because the polyco phase is a pure per-row expression over literal
+    segments (operators.polyco.attach_polyco), the streaming fold
+    needs no custom state at all — the same plan runs batch and
+    stream; results must agree on a bounded replay."""
+    import os
+    import shutil
+
+    from lofar_bf_pulsar_scripts_spark.operators.polyco import (
+        POLYCO_SEGMENT_SCHEMA,
+        attach_polyco,
+    )
+
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_stream_tmp", "pc")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        batch = spark.createDataFrame(
+            [(i * 0.717, float(1 + i % 3)) for i in range(3000)],
+            "t double, value double",
+        )
+        batch.write.mode("overwrite").parquet(tmp)
+        segs = spark.createDataFrame(
+            [
+                (0, 0.0, 0.0, 0.8, [0.0, 0.2], 2000.0),
+                (1, 2000.0, 0.3, 0.81, [0.1, -0.1], 2000.0),
+            ],
+            POLYCO_SEGMENT_SCHEMA,
+        )
+
+        def folded(df):
+            ph = attach_polyco(df, segs)
+            b = F.least(
+                F.floor(F.pmod(F.col("phase"), F.lit(1.0)) * 20).cast("int"),
+                F.lit(19),
+            )
+            return ph.withColumn("bin", b).groupBy("bin").agg(
+                F.sum("value").alias("s"), F.count("value").alias("n")
+            )
+
+        expected = {r["bin"]: (r["s"], r["n"]) for r in folded(batch).collect()}
+        stream = spark.readStream.schema("t double, value double").parquet(tmp)
+        q = (
+            folded(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("pc_fold")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["bin"]: (r["s"], r["n"]) for r in spark.table("pc_fold").collect()}
+        assert got.keys() == expected.keys()
+        for k in expected:
+            assert got[k][1] == expected[k][1]
+            assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
+    finally:
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+
+
 def test_streaming_dedup(spark):
     rows = [
         (1, "f1.tar"), (2, "f2.tar"), (3, "f1.tar"), (4, "f3.tar"), (5, "f2.tar"),
