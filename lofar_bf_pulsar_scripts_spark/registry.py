@@ -2010,6 +2010,65 @@ def q_spectral_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "file_placement",
+    """
+    WITH files AS (
+        SELECT 'L' || CAST(100000 + l_partkey % 20 AS VARCHAR)
+                   || '_P' || printf('%03d', l_linenumber % 4) || '_bf.tar'
+                   AS filename,
+               CAST(l_linenumber % 4 AS INTEGER) AS part_num,
+               CAST(l_extendedprice * 1000 AS BIGINT) AS filesize
+        FROM lineitem
+    )
+    SELECT CAST(part_num % 3 AS INTEGER) AS node,
+           count(*) AS n_files,
+           round(sum(filesize) / 1e9, 3) AS total_gb
+    FROM files
+    GROUP BY 1
+    """,
+    "§4 content-hash file placement across nodes (cluster-copy.py:311-357 --ziggy part-number mode)",
+)
+def q_file_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    files = li.select(
+        F.concat(
+            F.lit("L"),
+            (F.lit(100000) + F.pmod(F.col("l_partkey"), F.lit(20))).cast("string"),
+            F.lit("_P"),
+            F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(4))),
+            F.lit("_bf.tar"),
+        ).alias("filename"),
+        F.pmod(F.col("l_linenumber"), F.lit(4)).cast("int").alias("part_num"),
+        (F.col("l_extendedprice") * 1000).cast("bigint").alias("filesize"),
+    )
+    # ziggy mode: node = part number mod cluster size — deterministic
+    # co-location of same-part files (cluster-copy.py:338-357)
+    return (
+        files.groupBy(F.pmod(F.col("part_num"), F.lit(3)).cast("int").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.round(F.sum("filesize") / 1e9, 3).alias("total_gb"),
+        )
+    )
+
+
+@_register(
+    "approx_sketches",
+    None,  # HLL/KLL sketches are engine-specific -> rows-only
+    "approximate distinct / quantile sketches (scale path for A10/A12)",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.95), F.lit(1000)), 6
+        ).alias("p95_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------
 # Q-Q normalization (W2) — pandas-UDF operator; no SQL oracle
 # (inverse normal CDF not expressible) -> driver rows-only check
