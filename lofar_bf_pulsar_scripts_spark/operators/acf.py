@@ -47,7 +47,6 @@ def acf_1d(
         value_col,
         f"stack({len(lags)}, {stack_args}) AS (lag, prod)",
     )
-    energy = F.sum(F.col(value_col) * F.col(value_col)) / F.lit(float(len(lags)))
     out = long.groupBy(*group_cols, "lag").agg(
         F.sum("prod").alias("acf"),
         F.count("prod").alias("npairs"),

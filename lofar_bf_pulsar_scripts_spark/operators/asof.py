@@ -73,6 +73,12 @@ def asof_join(
     by time within key, last_value(ignorenulls) carries the most recent
     right payload onto each left row — one shuffle total.
     """
+    overlap = set(left.columns) & set(right_value_cols)
+    if overlap:
+        raise ValueError(
+            f"right_value_cols {sorted(overlap)} collide with left columns; "
+            "alias the right payload columns before the as-of join"
+        )
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = (
         right.select(

@@ -65,8 +65,17 @@ def exact_duplicate_groups(
 ) -> DataFrame:
     """Exact dedup (A10 analog at corpus scale): hash-groupBy on the
     content columns; returns one row per duplicate group with count
-    and the minimum id (the canonical survivor)."""
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]).cast("binary"))
+    and the minimum id (the canonical survivor).
+
+    NULLs are encoded with an explicit marker before concatenation —
+    concat_ws silently skips NULLs, which would make (x, NULL) and
+    (NULL, x) collide."""
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in cols],
+        ).cast("binary")
+    )
     return (
         df.groupBy(key.alias("content_hash"))
         .agg(
@@ -158,8 +167,12 @@ def lsh_buckets(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Explode a signature into (id, band, bucket) rows; bucket =
-    md5 of the band's signature slice. Join-ready for candidate
-    generation."""
+    the band's signature slice. Join-ready for candidate generation.
+
+    Docs with NULL signatures (fewer than shingle_k tokens) are
+    excluded — otherwise they would all share one empty bucket and
+    produce O(n^2) false candidate pairs."""
+    df = df.filter(F.element_at(F.col(sig_col), 1).isNotNull())
     per_band = [
         F.struct(
             F.lit(b).alias("band"),
@@ -195,10 +208,7 @@ def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    left: DataFrame,
-    right: DataFrame,
-    on: list[str],
+def ngram_jaccard(
     text_a: str = "text_a",
     text_b: str = "text_b",
     shingle_k: int = 3,

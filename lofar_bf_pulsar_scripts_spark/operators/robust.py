@@ -150,11 +150,21 @@ def detrend_normalize(
     with_chunk = df.withColumn("__chunk", chunk)
 
     v = F.col(value_col)
-    per_chunk = with_chunk.groupBy(*group_cols, "__chunk").agg(
-        F.percentile(v, F.lit(0.5)).alias("__base"),
+    # fast path: subtract the chunk median (pulsestack.py:57-62);
+    # accurate path: subtract a per-chunk LINEAR fit (the reference's
+    # scipy.signal.detrend) — slope/intercept via the regression
+    # aggregates, evaluated per sample below.
+    aggs = [
+        F.percentile(v, F.lit(0.5)).alias("__med"),
         F.percentile(v, F.lit(0.025)).alias("__lo"),
         F.percentile(v, F.lit(0.975)).alias("__hi"),
-    )
+    ]
+    if not fast:
+        aggs += [
+            F.regr_slope(v, F.col(idx_col).cast("double")).alias("__slope"),
+            F.regr_intercept(v, F.col(idx_col).cast("double")).alias("__icept"),
+        ]
+    per_chunk = with_chunk.groupBy(*group_cols, "__chunk").agg(*aggs)
 
     # sigma of the central 95%, corrected (pulsestack.py:68-76): std of
     # values within [lo, hi], times 1.148.
@@ -198,9 +208,22 @@ def detrend_normalize(
         )
         .select(*group_cols, "__chunk", "__sigma")
     )
+    # baseline per sample: chunk median (fast) or the chunk's linear
+    # fit evaluated at this sample's index (accurate mode); the sigma
+    # estimate stays percentile-clipped on the raw values in both
+    # modes (documented approximation — the in-chunk trend is small
+    # relative to the clip width at the reference's chunk length).
+    base = (
+        F.col("__med")
+        if fast
+        else F.col("__icept") + F.col("__slope") * F.col(idx_col).cast("double")
+    )
+    drop_cols = ["__chunk", "__med", "__lo", "__hi", "__sigma"]
+    if not fast:
+        drop_cols += ["__slope", "__icept"]
     out = (
         centered.join(sig_fixed, on=[*group_cols, "__chunk"])
-        .withColumn(value_col, (v - F.col("__base")) / F.col("__sigma"))
-        .drop("__chunk", "__base", "__lo", "__hi", "__sigma")
+        .withColumn(value_col, (v - base) / F.col("__sigma"))
+        .drop(*drop_cols)
     )
     return out

@@ -146,13 +146,18 @@ def filter_by_obsids(df: DataFrame, obsids: list[int]) -> DataFrame:
     matches any requested ObsID (lta-retrieve.py:382,389-390).
     Implemented as a broadcast semi-join on observation_id plus the
     filename pattern — no N-way OR scan."""
+    if not obsids:
+        # an empty request selects nothing (an empty rlike pattern
+        # would match EVERY filename)
+        return df.limit(0)
     ids = F.broadcast(
         df.sparkSession.createDataFrame(
             [(int(i),) for i in obsids], "observation_id long"
         )
     )
     by_id = df.join(ids, "observation_id", "left_semi")
-    pattern = "|".join(f"L{int(i)}" for i in obsids)
+    # trailing '_' so L10000 does not prefix-match L100001_SAP...
+    pattern = "|".join(f"L{int(i)}_" for i in obsids)
     by_name = df.filter(F.col("filename").rlike(pattern))
     return by_id.unionByName(by_name).dropDuplicates(["filename"])
 

@@ -67,15 +67,25 @@ def validated_station_join(
     obs_station_col: str = "station",
     flagged_station_col: str = "substation",
     on_date_cols: tuple[str, str] = ("date", "date"),
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """J7: per observation row, flagged-summary rows whose substation
     string contains the observation's station, same date; appends
     n_matches and match_status ('ok' | 'missing' | 'ambiguous') —
-    get_flagged_tiles.py:79-105 raises on 0 or >1 distinct matches."""
+    get_flagged_tiles.py:79-105 raises on 0 or >1 distinct matches.
+
+    ``payload_cols`` are carried from the (unique) match; default =
+    every flagged column except the join keys."""
+    if payload_cols is None:
+        payload_cols = [
+            c
+            for c in flagged.columns
+            if c not in (on_date_cols[1], flagged_station_col)
+        ]
     fl = flagged.select(
         F.col(on_date_cols[1]).alias("__fdate"),
         F.col(flagged_station_col).alias("__fsub"),
-        *[c for c in flagged.columns if c not in (on_date_cols[1], flagged_station_col)],
+        *payload_cols,
     )
     joined = obs.join(
         F.broadcast(fl),
@@ -85,7 +95,7 @@ def validated_station_join(
     )
     counts = joined.groupBy(*obs.columns).agg(
         F.countDistinct("__fsub").alias("n_matches"),
-        F.first("ntiles", ignorenulls=True).alias("ntiles"),
+        *[F.first(c, ignorenulls=True).alias(c) for c in payload_cols],
     )
     return counts.withColumn(
         "match_status",

@@ -22,12 +22,21 @@ SECONDS_PER_DAY = 86400.0
 
 
 def arrival_mjd_cols(
-    t: Column, epoch_int: Column, epoch_frac: Column
+    t: Column, epoch_int: Column, epoch_frac: Column, render_digits: int = 13
 ) -> tuple[Column, Column]:
-    """(mjd_int, mjd_frac) of epoch + t seconds, frac carried."""
+    """(mjd_int, mjd_frac) of epoch + t seconds, frac carried.
+
+    The frac is pre-rounded at the rendering precision and re-carried:
+    otherwise a frac like 0.9999999999999995 formats as
+    '1.0000000000000' and the printed TOA loses a full day."""
     frac = epoch_frac + t / F.lit(SECONDS_PER_DAY)
     carry = F.floor(frac).cast("bigint")
-    return (epoch_int + carry).alias("mjd_int"), (frac - carry).alias("mjd_frac")
+    frac = F.round(frac - carry, render_digits)
+    carry2 = F.floor(frac).cast("bigint")
+    return (
+        (epoch_int + carry + carry2).alias("mjd_int"),
+        (frac - carry2).alias("mjd_frac"),
+    )
 
 
 def toa_lines_tempo2(

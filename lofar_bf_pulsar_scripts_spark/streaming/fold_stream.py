@@ -87,11 +87,17 @@ def streaming_dedup_new_urls(
     return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
 
 
-def run_bounded(query_df: DataFrame, name: str) -> DataFrame:
+def run_bounded(query_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a streaming frame over a bounded source to completion via
-    a memory sink; returns the static result table."""
+    a memory sink; returns the static result table.
+
+    Default output mode is 'complete': with append mode a watermarked
+    aggregation only emits windows the watermark has CLOSED, and on a
+    bounded replay the watermark never passes the final windows — the
+    result would be missing every trailing window. Use mode='append'
+    only for non-aggregating streams (e.g. dropDuplicates)."""
     q = (
-        query_df.writeStream.outputMode("append")
+        query_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -292,7 +292,8 @@ def test_sp2tim_full_precision(spark):
     # 0.9999 + 4321.123456789/86400 = 1.049909...  -> carries into day
     assert row["mjd_int"] == 60001
     expected_frac = 0.9999 + 4321.123456789 / 86400.0 - 1.0
-    assert row["mjd_frac"] == pytest.approx(expected_frac, abs=1e-15)
+    # frac is pre-rounded at the 13-digit rendering precision
+    assert row["mjd_frac"] == pytest.approx(expected_frac, abs=5e-14)
     assert row["toa_line"].startswith("L1 150.000 60001.")
     frac_str = row["toa_line"].split()[2]
     assert float(frac_str) == pytest.approx(60001 + expected_frac, abs=5e-14)
