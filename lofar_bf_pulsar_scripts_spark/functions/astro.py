@@ -132,6 +132,46 @@ def aeff_lba_m2(n_dipoles: Column, f_mhz: Column) -> Column:
     return n_dipoles * lam * lam / F.lit(3.0)
 
 
+def band_average(f_lo_mhz: Column, f_hi_mhz: Column, fn, steps: int = 100) -> Column:
+    """Band average of a spectral function by midpoint sampling over
+    ``steps`` sub-intervals (the reference integrates Tsky/Tinst/Aeff
+    over each channel this way: fluxcal/lofar_tinst.py:126-149,
+    tsky.py:1096-1113, lofar_gain.py:423-445 — 101 midpoint samples).
+
+    ``fn`` maps a frequency Column -> value Column. Implemented as a
+    fold over sequence(0, steps-1) — pure column expression, no
+    explode, no shuffle."""
+    width = (f_hi_mhz - f_lo_mhz) / F.lit(float(steps))
+
+    def step_val(acc: Column, i: Column) -> Column:
+        f_mid = f_lo_mhz + (i.cast("double") + F.lit(0.5)) * width
+        return acc + fn(f_mid)
+
+    total = F.aggregate(
+        F.sequence(F.lit(0), F.lit(steps - 1)), F.lit(0.0), step_val
+    )
+    return total / F.lit(float(steps))
+
+
+def hour_angle_at_elevation(
+    dec_deg: Column, lat_deg: Column, el_deg: Column
+) -> Column:
+    """Hour angle (hours) at which a source crosses elevation el:
+    cos(HA) = (sin el - sin dec sin lat)/(cos dec cos lat)
+    (scheduling/azlst.pl's rise/set geometry, ~245 LoC Perl).
+    NULL-free: clamped to [0, 12] (never rises -> 0, circumpolar -> 12)."""
+    import math
+
+    d2r = math.pi / 180.0
+    cos_ha = (
+        F.sin(el_deg * F.lit(d2r))
+        - F.sin(dec_deg * F.lit(d2r)) * F.sin(lat_deg * F.lit(d2r))
+    ) / (F.cos(dec_deg * F.lit(d2r)) * F.cos(lat_deg * F.lit(d2r)))
+    return F.acos(F.least(F.greatest(cos_ha, F.lit(-1.0)), F.lit(1.0))) / F.lit(
+        d2r
+    ) / F.lit(15.0)
+
+
 def radiometer_noise_mjy(
     tsys_k: Column,
     aeff_m2: Column,

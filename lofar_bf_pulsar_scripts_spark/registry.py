@@ -2011,6 +2011,38 @@ def q_spectral_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "band_averaged_tsky",
+    """
+    WITH chans AS (
+        SELECT p_partkey,
+               100.0 + p_size AS f_lo,
+               100.0 + p_size + 0.195 AS f_hi,
+               p_retailprice / 100.0 AS t408
+        FROM part
+    )
+    SELECT p_partkey,
+           round((
+               SELECT sum(2.7 + c.t408 * pow((c.f_lo + (i + 0.5) * (c.f_hi - c.f_lo) / 100.0) / 408.0, -2.55))
+               FROM unnest(generate_series(0, 99)) AS t(i)
+           ) / 100.0, 6) AS tsky_band_k
+    FROM chans c
+    """,
+    "§2.8 band-average midpoint integration (lofar_tinst.py:126-149; tsky.py:1096-1113)",
+)
+def q_band_averaged_tsky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.astro import band_average, tsky_k
+
+    p = load_table(spark, "part", sf_dir)
+    f_lo = F.lit(100.0) + F.col("p_size")
+    f_hi = f_lo + F.lit(0.195)
+    t408 = F.col("p_retailprice") / 100.0
+    avg_tsky = band_average(f_lo, f_hi, lambda f: tsky_k(t408, f), steps=100)
+    return p.select(
+        "p_partkey", F.round(avg_tsky, 6).alias("tsky_band_k")
+    )
+
+
+@_register(
     "file_placement",
     """
     WITH files AS (

@@ -166,6 +166,36 @@ def test_auto_off_window(spark):
     assert out[39] == 1 and out[45] == 1
 
 
+def test_band_average_and_ha_limit(spark):
+    from lofar_bf_pulsar_scripts_spark.functions.astro import (
+        band_average,
+        hour_angle_at_elevation,
+    )
+
+    df = spark.createDataFrame([(1,)], "i int")
+    # band average of a LINEAR function == midpoint value (exact)
+    avg = band_average(F.lit(100.0), F.lit(102.0), lambda f: 3.0 * f + 1.0, steps=50)
+    assert df.select(avg.alias("a")).first()["a"] == pytest.approx(3.0 * 101.0 + 1.0, rel=1e-12)
+    # midpoint integration of x^-2.55 close to the analytic integral
+    analytic = ((408.0 ** 2.55) / (-1.55)) * (120.195 ** -1.55 - 120.0 ** -1.55) / 0.195
+    got = df.select(
+        band_average(
+            F.lit(120.0), F.lit(120.195), lambda f: F.pow(f / 408.0, F.lit(-2.55)), 100
+        ).alias("a")
+    ).first()["a"]
+    assert got == pytest.approx(analytic, rel=1e-6)
+    # HA limits: equatorial source at el=0 from the equator -> 6h;
+    # never-rising source -> 0; circumpolar -> 12
+    rows = df.select(
+        hour_angle_at_elevation(F.lit(0.0), F.lit(0.0), F.lit(0.0)).alias("eq"),
+        hour_angle_at_elevation(F.lit(-60.0), F.lit(52.0), F.lit(20.0)).alias("never"),
+        hour_angle_at_elevation(F.lit(89.0), F.lit(52.0), F.lit(20.0)).alias("circum"),
+    ).first()
+    assert rows["eq"] == pytest.approx(6.0, rel=1e-9)
+    assert rows["never"] == 0.0
+    assert rows["circum"] == 12.0
+
+
 def test_astro_expressions_match_numpy(spark):
     from lofar_bf_pulsar_scripts_spark.functions.astro import (
         dispersion_delay_ms,
