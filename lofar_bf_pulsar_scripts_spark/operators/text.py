@@ -91,6 +91,20 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+# GPT2-style pretokenizer approximation: word pieces, numbers, and
+# single punctuation marks each count as one token (the real BPE then
+# merges/splits within these — this regex matches its pretokenization
+# boundaries for ASCII text).
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenization regex — the
+    cheap-but-honest token counter for pretraining-data budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Whitespace-normalized md5 document fingerprint (near-exact
     dedup key; the rolling-hash analog of a content checksum)."""

@@ -678,6 +678,32 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct_tokens
+    FROM documents
+    """,
+    "text analysis: BPE-ish pretokenizer counting (north star)",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).alias("n_number_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias(
+            "n_punct_tokens"
+        ),
+    )
+
+
+@_register(
     "text_quality",
     rf"""
     SELECT doc_id,
