@@ -83,6 +83,87 @@ def qq_mean_rms(values: np.ndarray, osm_lo: float = -1.0, osm_hi: float = 1.0):
     return intercept, slope  # mean, rms
 
 
+def _horner_col(coeffs: list[float], x):
+    from pyspark.sql import functions as F
+
+    acc = F.lit(float(coeffs[0]))
+    for c in coeffs[1:]:
+        acc = acc * x + F.lit(float(c))
+    return acc
+
+
+_ACKLAM_A = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+             1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+_ACKLAM_B = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+             6.680131188771972e+01, -1.328068155288572e+01, 1.0]
+_ACKLAM_C = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+             -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+_ACKLAM_D = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+             3.754408661907416e+00, 1.0]
+_ACKLAM_PLOW = 0.02425
+
+
+def norm_ppf_col(p):
+    """Acklam's inverse normal CDF as a pure column expression —
+    makes the Q-Q regression fully SQL-expressible (and therefore
+    DuckDB-oracle-checkable); bit-compatible with the numpy
+    ``norm_ppf`` above."""
+    from pyspark.sql import functions as F
+
+    q_low = F.sqrt(-2.0 * F.log(p))
+    tail = lambda q: _horner_col(_ACKLAM_C, q) / _horner_col(_ACKLAM_D, q)
+    qm = p - F.lit(0.5)
+    r = qm * qm
+    mid = _horner_col(_ACKLAM_A, r) * qm / _horner_col(_ACKLAM_B, r)
+    q_hi = F.sqrt(-2.0 * F.log(F.lit(1.0) - p))
+    return (
+        F.when(p < F.lit(_ACKLAM_PLOW), tail(q_low))
+        .when(p > F.lit(1.0 - _ACKLAM_PLOW), -tail(q_hi))
+        .otherwise(mid)
+    )
+
+
+def qq_stats_sql(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    osm_lo: float = -1.0,
+    osm_hi: float = 1.0,
+) -> DataFrame:
+    """Pure-SQL Q-Q stats (no pandas UDF): rank -> Filliben quantile
+    -> Acklam ppf -> regr_slope/intercept over the central osm range.
+    One window pass + one aggregation; ties in the value ordering are
+    harmless (equal values contribute identical regression terms
+    whichever rank they take)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(*group_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    i = F.row_number().over(w)
+    m_last = F.pow(F.lit(0.5), F.lit(1.0) / n.cast("double"))
+    m = (
+        F.when(i == 1, F.lit(1.0) - m_last)
+        .when(i == n, m_last)
+        .otherwise((i.cast("double") - 0.3175) / (n.cast("double") + 0.365))
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        norm_ppf_col(m).alias("__osm"),
+    ).filter(
+        (F.col("__osm") >= F.lit(float(osm_lo)))
+        & (F.col("__osm") <= F.lit(float(osm_hi)))
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.regr_intercept(F.col("__v"), F.col("__osm")).alias("qq_mean"),
+        F.regr_slope(F.col("__v"), F.col("__osm")).alias("qq_rms"),
+    )
+
+
 def qq_normalize(
     df: DataFrame,
     group_cols: list[str],

@@ -2133,16 +2133,70 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def _acklam_sql(p: str) -> str:
+    from .operators.qqnorm import (
+        _ACKLAM_A,
+        _ACKLAM_B,
+        _ACKLAM_C,
+        _ACKLAM_D,
+        _ACKLAM_PLOW,
+    )
+
+    def horner(coeffs, x):
+        expr = repr(float(coeffs[0]))
+        for c in coeffs[1:]:
+            expr = f"(({expr}) * ({x}) + {float(c)!r})"
+        return expr
+
+    q_low = f"sqrt(-2.0 * ln({p}))"
+    q_hi = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    tail = lambda q: f"(({horner(_ACKLAM_C, q)}) / ({horner(_ACKLAM_D, q)}))"
+    qm = f"(({p}) - 0.5)"
+    r = f"({qm} * {qm})"
+    mid = f"(({horner(_ACKLAM_A, r)}) * {qm} / ({horner(_ACKLAM_B, r)}))"
+    return (
+        f"CASE WHEN ({p}) < {_ACKLAM_PLOW!r} THEN {tail(q_low)} "
+        f"WHEN ({p}) > {1.0 - _ACKLAM_PLOW!r} THEN -{tail(q_hi)} "
+        f"ELSE {mid} END"
+    )
+
+
+def _qq_oracle() -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, value AS v,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), withm AS (
+        SELECT event_type, v,
+               CASE WHEN i = 1 THEN 1.0 - pow(0.5, 1.0 / CAST(n AS DOUBLE))
+                    WHEN i = n THEN pow(0.5, 1.0 / CAST(n AS DOUBLE))
+                    ELSE (CAST(i AS DOUBLE) - 0.3175) / (CAST(n AS DOUBLE) + 0.365)
+               END AS p
+        FROM ranked
+    ), osmed AS (
+        SELECT event_type, v, {_acklam_sql('p')} AS osm FROM withm
+    )
+    SELECT event_type,
+           round(regr_intercept(v, osm), 6) AS qq_mean,
+           round(regr_slope(v, osm), 6) AS qq_rms
+    FROM osmed
+    WHERE osm >= -1.0 AND osm <= 1.0
+    GROUP BY event_type
+    """
+
+
 @_register(
     "qq_normalize_stats",
-    None,
-    "W2 Q-Q normalization via grouped pandas UDF (dynsp.py:186-224 + 4 copies)",
+    _qq_oracle(),
+    "W2 Q-Q normalization, fully SQL-expressible via Acklam ppf column algebra (dynsp.py:186-224 + 4 copies)",
 )
 def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.qqnorm import qq_stats
+    from .operators.qqnorm import qq_stats_sql
 
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
-    out = qq_stats(ev, ["event_type"], value_col="value")
+    out = qq_stats_sql(ev, ["event_type"], value_col="value")
     return out.select(
         "event_type",
         F.round("qq_mean", 6).alias("qq_mean"),

@@ -51,6 +51,20 @@ def test_qq_affine_equivariance():
     assert r2 == pytest.approx(3.0 * r1, rel=1e-12)
 
 
+def test_qq_sql_matches_pandas_udf(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.qqnorm import qq_stats, qq_stats_sql
+
+    rng = np.random.RandomState(9)
+    rows = [(int(i % 3), float(v)) for i, v in enumerate(rng.normal(4, 2, 3000))]
+    df = spark.createDataFrame(rows, "chan int, value double")
+    a = {r["chan"]: (r["qq_mean"], r["qq_rms"]) for r in qq_stats(df, ["chan"]).collect()}
+    b = {r["chan"]: (r["qq_mean"], r["qq_rms"]) for r in qq_stats_sql(df, ["chan"]).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == pytest.approx(b[k][0], rel=1e-9)
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-9)
+
+
 def test_qq_normalize_spark(spark):
     rng = np.random.RandomState(2)
     rows = [(int(i % 4), float(v)) for i, v in enumerate(rng.normal(10, 3, 2000))]
