@@ -43,6 +43,28 @@ def renormalize_weights(
     )
 
 
+def stokes_from_coherence(cube: DataFrame) -> DataFrame:
+    """State conversion (lofar_fluxcal.py:386-402 converts coherence
+    products to Stokes before pscrunching): pol axis 0..3 = XX, YY,
+    Re(XY), Im(XY) -> I = XX+YY, Q = XX-YY, U = 2 Re(XY),
+    V = 2 Im(XY). A pivot projection — no shuffle beyond the per-cell
+    groupBy (bucketed layouts make it map-side)."""
+    wide = (
+        cube.groupBy("subint", "chan", "bin")
+        .pivot("pol", [0, 1, 2, 3])
+        .sum("value")
+    )
+    return wide.select(
+        "subint",
+        "chan",
+        "bin",
+        (F.col("0") + F.col("1")).alias("I"),
+        (F.col("0") - F.col("1")).alias("Q"),
+        (F.lit(2.0) * F.col("2")).alias("U"),
+        (F.lit(2.0) * F.col("3")).alias("V"),
+    )
+
+
 def pscrunch(cube: DataFrame) -> DataFrame:
     """Sum over polarizations (lofar_fluxcal.py:386-402)."""
     return scrunch(

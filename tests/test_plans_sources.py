@@ -257,6 +257,20 @@ def test_fluxcal_pipeline(spark):
     assert by_chan[1]["n_good"] < by_chan[0]["n_good"]  # zapped chan 5
 
 
+def test_stokes_from_coherence(spark):
+    from lofar_bf_pulsar_scripts_spark.plans.fluxcal import stokes_from_coherence
+
+    rows = []
+    for p, v in enumerate([3.0, 1.0, 0.5, -0.25]):  # XX YY ReXY ImXY
+        rows.append((0, 0, 0, p, v))
+    cube = spark.createDataFrame(
+        rows, "subint int, chan int, bin int, pol int, value double"
+    )
+    r = stokes_from_coherence(cube).first()
+    assert r["I"] == 4.0 and r["Q"] == 2.0
+    assert r["U"] == 1.0 and r["V"] == -0.5
+
+
 def test_scheduler_greedy_deterministic(spark):
     targets = spark.createDataFrame(
         [
