@@ -126,6 +126,71 @@ def clipped_fraction(
     )
 
 
+def sorted_gap_cut(
+    df: DataFrame,
+    value_col: str = "__sigma",
+    group_cols: list[str] | None = None,
+    upper_fraction: float = 0.5,
+) -> DataFrame:
+    """The reference's sorted-gap outlier heuristic
+    (pulsestack.py:79-91): sort the per-chunk sigmas, look at
+    consecutive gaps in the UPPER part of the sorted sequence, and cut
+    at the largest gap — everything above it is an outlier chunk.
+
+    Returns per group: (hicut — the sigma value just below the largest
+    upper-half gap; n_above — chunks above it). If the upper half has
+    no gaps (fewer than 2 points), hicut is the max (nothing cut).
+    One window pass over the (tiny) per-chunk table.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    nw = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__s"),
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(
+            nw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__n"),
+        (F.col(value_col) - F.lag(value_col, 1).over(w)).alias("__gap"),
+        F.lag(value_col, 1).over(w).alias("__prev"),
+    )
+    upper = ranked.filter(
+        (F.col("__i") > F.col("__n") * F.lit(float(upper_fraction)))
+        & F.col("__gap").isNotNull()
+    )
+    best = upper.groupBy(*group_cols).agg(
+        F.max(
+            F.struct(
+                F.col("__gap").alias("g"),
+                F.col("__prev").alias("cut"),
+                F.col("__i").alias("i"),
+            )
+        ).alias("__b")
+    )
+    cuts = best.select(
+        *group_cols,
+        F.col("__b.cut").alias("hicut"),
+        (F.col("__b.i")).alias("__cut_rank"),
+    )
+    joined = (
+        ranked.join(cuts, on=group_cols)
+        if group_cols
+        else ranked.crossJoin(F.broadcast(cuts))
+    )
+    return (
+        joined.groupBy(*group_cols, "hicut")
+        .agg(
+            F.sum(
+                F.when(F.col("__s") > F.col("hicut"), 1).otherwise(0)
+            ).alias("n_above"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
 def detrend_normalize(
     df: DataFrame,
     detrendlen: int = 1000,

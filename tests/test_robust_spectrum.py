@@ -148,6 +148,18 @@ def test_trimmed_block_stats_matches_numpy(spark):
     assert row["trim_std"] == pytest.approx(lower.std(ddof=0))
 
 
+def test_sorted_gap_cut(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.robust import sorted_gap_cut
+
+    # 20 sigmas around 1.0, 3 outliers far above: largest upper-half
+    # gap sits between the bulk and the outliers
+    vals = [1.0 + 0.01 * i for i in range(20)] + [5.0, 5.2, 6.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "__sigma double")
+    row = sorted_gap_cut(df).first()
+    assert row["hicut"] == pytest.approx(1.19)  # last bulk value
+    assert row["n_above"] == 3 and row["n_total"] == 23
+
+
 def test_spectrum_zap_aware(spark):
     rows = []
     for chan in range(20):
