@@ -41,6 +41,7 @@ def spectrum_over_channel_groups(
     good = F.col(weight_col) > 0
     aggs = [
         F.avg(F.when(good, F.col(value_col))).alias("flux"),
+        F.sum(F.when(good, F.col(value_col))).alias("flux_sum"),
         F.sum(good.cast("int")).alias("n_good"),
         F.count(F.lit(1)).alias("n_cells"),
     ]
