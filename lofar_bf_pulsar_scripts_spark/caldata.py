@@ -1,0 +1,248 @@
+"""Calibration data dimension tables (SURVEY §1.1-D7).
+
+The reference embeds its calibration *data* directly in code: the
+Haslam 408 MHz map as a packed string (``fluxcal/tsky.py:14-1029``),
+Tinst polynomial coefficients (``fluxcal/lofar_tinst.py:45,60``), the
+per-station CasA beam-correction table
+(``fluxcal/casa_beamcorr_pkg.py``) and station positions
+(``FE-map/stations.txt``). ``tools/build_caldata.py`` decodes those
+once into parquet committed under ``lofar_bf_pulsar_scripts_spark/
+data/``; this module loads them as broadcast-sized dimension tables
+and provides the lookup/join plans.
+
+Scale notes: every table here is tiny (16 k cells / 14 coefficients /
+77 k factors / 53 stations) and immutable — each lookup is a
+``broadcast()`` hash join against the fact side, so no fact shuffle is
+ever introduced; the Tinst polynomial is folded into a literal Horner
+expression at plan-build time (zero join, stays in whole-stage
+codegen).
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .functions.astro import aeff_lba_m2, aeff_max_hba_m2, sefd_jy, tsky_k
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def data_path(name: str) -> str:
+    """Absolute path of a packaged calibration parquet."""
+    return os.path.join(DATA_DIR, name)
+
+
+def load_haslam(spark: SparkSession) -> DataFrame:
+    """Haslam 408 MHz map: (l_idx 0-89, b_idx 0-179, t408_k).
+
+    Decoded from ``fluxcal/tsky.py:14-1029`` per ``tsky.py:1044-1049``:
+    4 deg longitude cells x 1 deg latitude cells."""
+    return spark.read.parquet(data_path("haslam_t408.parquet"))
+
+
+def load_tinst_poly(spark: SparkSession) -> DataFrame:
+    """Tinst polynomial coefficients (band, power, coeff, f_lo, f_hi)
+    from ``fluxcal/lofar_tinst.py:45,60`` (fit to Wijnholds 2011)."""
+    return spark.read.parquet(data_path("tinst_poly.parquet"))
+
+
+def load_casa_beamcorr(spark: SparkSession) -> DataFrame:
+    """CasA beam-correction factors (station, freq_mhz, factor) from
+    ``fluxcal/casa_beamcorr_pkg.py`` (52 stations x 1485 freqs)."""
+    return spark.read.parquet(data_path("casa_beamcorr.parquet"))
+
+
+def load_stations(spark: SparkSession) -> DataFrame:
+    """LOFAR station positions from ``FE-map/stations.txt`` —
+    (station, color, lat, lon, unit) with unit 'deg' (international)
+    or 'm' (core offsets from the core centre, stations.txt:5-10)."""
+    return spark.read.parquet(data_path("stations.parquet"))
+
+
+# --- Haslam map lookup ------------------------------------------------
+
+def haslam_cell(gl_deg: Column, gb_deg: Column) -> tuple[Column, Column]:
+    """Map-cell indices for galactic coordinates, exactly the
+    reference's indexing (``tsky.py:1052-1057``):
+
+        b = int(gb + 90.5), clamped to 179
+        l = int(int(gl + 0.5) / 4), gl >= 360 -> 0
+
+    ``floor(floor(x)/4) == floor(x/4)`` for x >= 0, so the double
+    truncation collapses to one; l is additionally clamped to 89 (the
+    reference would IndexError for gl in [359.5, 360))."""
+    b_idx = F.least(F.floor(gb_deg + F.lit(90.5)), F.lit(179)).cast("int")
+    l_idx = (
+        F.when(gl_deg >= 360.0, F.lit(0))
+        .otherwise(F.least(F.floor((gl_deg + F.lit(0.5)) / F.lit(4.0)), F.lit(89)))
+        .cast("int")
+    )
+    return l_idx, b_idx
+
+
+def attach_tsky(
+    df: DataFrame,
+    haslam: DataFrame,
+    gl_col: str = "gl_deg",
+    gb_col: str = "gb_deg",
+    freq_col: str = "freq_mhz",
+) -> DataFrame:
+    """Join each row to its Haslam map cell (broadcast — the map is
+    16,200 rows) and scale T408 to the row's frequency
+    (``tsky.py:1059``: T = 2.7 + T408 (f/408)^-2.55).
+
+    Adds ``l_idx``, ``b_idx``, ``t408_k``, ``tsky_k`` columns. The
+    fact side keeps its partitioning: broadcast hash join, no
+    shuffle."""
+    l_idx, b_idx = haslam_cell(F.col(gl_col), F.col(gb_col))
+    keyed = df.withColumn("l_idx", l_idx).withColumn("b_idx", b_idx)
+    out = keyed.join(F.broadcast(haslam), ["l_idx", "b_idx"], "left")
+    return out.withColumn("tsky_k", tsky_k(F.col("t408_k"), F.col(freq_col)))
+
+
+# --- Tinst polynomial -------------------------------------------------
+
+def tinst_k(band: str, f_mhz: Column) -> Column:
+    """Instrument temperature in K for a frequency column, from the
+    packaged polynomial table (``lofar_tinst.py:45,60,79``:
+    sum coeff * f^power). The 7 coefficients are read driver-side at
+    plan-build time and folded into a literal Horner chain — the
+    executed plan has no join and no UDF."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(data_path("tinst_poly.parquet")).to_pydict()
+    coeffs = sorted(
+        (
+            (p, c)
+            for b, p, c in zip(tbl["band"], tbl["power"], tbl["coeff"])
+            if b == band
+        ),
+        reverse=True,
+    )
+    if not coeffs:
+        raise ValueError(f"unknown band {band!r}")
+    acc: Column = F.lit(float(coeffs[0][1]))
+    for _, c in coeffs[1:]:
+        acc = acc * f_mhz + F.lit(float(c))
+    return acc
+
+
+# --- CasA beam-correction nearest-frequency lookup --------------------
+
+def attach_casa_beamcorr(
+    df: DataFrame,
+    beamcorr: DataFrame,
+    station_col: str = "station",
+    freq_col: str = "freq_mhz",
+) -> DataFrame:
+    """Nearest-frequency CasA correction factor per (station, freq)
+    row (``lofar_gain_hamaker_carozzi.py:134-136``: stable sort by
+    |freq - f0|, take the first — i.e. ties break toward the lower
+    table frequency since the table is frequency-ascending).
+
+    Plan: broadcast join on station (fans each row out to its
+    station's 1,485 table rows *inside the join*, never materialized
+    wider than a projection), then a min-struct aggregate back to one
+    row — fact side shuffles only on its own row key, which the
+    grouped aggregate needs anyway; the dimension never shuffles."""
+    fact_cols = df.columns
+    bc = F.broadcast(
+        beamcorr.select(
+            F.col("station").alias("__bc_station"),
+            F.col("freq_mhz").alias("__bc_freq"),
+            F.col("factor").alias("__bc_factor"),
+        )
+    )
+    joined = df.join(bc, F.col(station_col) == F.col("__bc_station"), "left")
+    pick = F.min(
+        F.struct(
+            F.abs(F.col(freq_col) - F.col("__bc_freq")).alias("d"),
+            F.col("__bc_freq").alias("f"),
+            F.col("__bc_factor").alias("factor"),
+        )
+    ).alias("__pick")
+    out = joined.groupBy(*[F.col(c) for c in fact_cols]).agg(pick)
+    return out.select(
+        *fact_cols, F.col("__pick.factor").alias("casa_factor")
+    )
+
+
+# --- Hamaker/Carozzi Jones-matrix beam correction ---------------------
+
+def jones_beam_factor(
+    j00_re: Column, j00_im: Column,
+    j01_re: Column, j01_im: Column,
+    j10_re: Column, j10_im: Column,
+    j11_re: Column, j11_im: Column,
+) -> Column:
+    """Beam correction parameter from a 2x2 complex Jones matrix
+    (``lofar_gain_hamaker_carozzi.py:125-127``):
+
+        bc = 1 / |0.5 * sum_ij J_ij conj(J_ij)|
+
+    Each z conj(z) is |z|^2 = re^2 + im^2, so the complex algebra
+    collapses to eight real column expressions — no UDF."""
+    s = (
+        j00_re * j00_re + j00_im * j00_im
+        + j01_re * j01_re + j01_im * j01_im
+        + j10_re * j10_re + j10_im * j10_im
+        + j11_re * j11_re + j11_im * j11_im
+    )
+    return F.lit(1.0) / (F.lit(0.5) * s)
+
+
+def hamaker_carozzi_beamcorr(
+    df: DataFrame,
+    beamcorr: DataFrame,
+    station_col: str = "station",
+    freq_col: str = "freq_mhz",
+) -> DataFrame:
+    """Full Hamaker/Carozzi beam correction
+    (``lofar_gain_hamaker_carozzi.py:121-137``): the Jones-matrix
+    factor for the source divided by the station's CasA factor at the
+    nearest table frequency. Expects ``j{00,01,10,11}_{re,im}``
+    columns (the reference obtains them from Carozzi's external
+    antennaJones.py; any Jones source works here)."""
+    bc_psr = jones_beam_factor(
+        F.col("j00_re"), F.col("j00_im"),
+        F.col("j01_re"), F.col("j01_im"),
+        F.col("j10_re"), F.col("j10_im"),
+        F.col("j11_re"), F.col("j11_im"),
+    )
+    with_bc = df.withColumn("bc_psr", bc_psr)
+    out = attach_casa_beamcorr(with_bc, beamcorr, station_col, freq_col)
+    return out.withColumn("beamcorr", F.col("bc_psr") / F.col("casa_factor"))
+
+
+# --- End-to-end per-channel calibration dimension ---------------------
+
+def channel_sefd_table(
+    channels: DataFrame,
+    haslam: DataFrame,
+    nelem: float = 48.0,
+    freq_col: str = "freq_mhz",
+) -> DataFrame:
+    """Per-channel calibration table built from the *real* reference
+    data: Tsky from the Haslam map cell (``tsky.py:1052-1059``), Tinst
+    from the Wijnholds-fit polynomial with the reference's <100 MHz
+    LBA / >=100 MHz HBA dispatch (``lofar_tinst.py:40-67``), Aeff from
+    the analytic maximum model
+    (``lofar_gain_hamaker_carozzi.py:104-115``), and
+    SEFD = 2 k_B Tsys / Aeff (``lofar_fluxcal.py:741-757``).
+
+    ``channels`` needs (freq_mhz, gl_deg, gb_deg). Everything is a
+    broadcast lookup or a literal expression — the channel table keeps
+    its partitioning end-to-end."""
+    f = F.col(freq_col)
+    t = attach_tsky(channels, haslam, freq_col=freq_col)
+    tinst = F.when(f < 100.0, tinst_k("LBA", f)).otherwise(tinst_k("HBA", f))
+    aeff = F.when(f < 100.0, aeff_lba_m2(F.lit(nelem), f)).otherwise(
+        aeff_max_hba_m2(F.lit(nelem), f)
+    )
+    return (
+        t.withColumn("tinst_k", tinst)
+        .withColumn("tsys_k", F.col("tsky_k") + F.col("tinst_k"))
+        .withColumn("aeff_m2", aeff)
+        .withColumn("sefd_jy", sefd_jy(F.col("tsys_k"), F.col("aeff_m2")))
+    )

@@ -2221,8 +2221,231 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# Public API consumed by __spark_entry__
+# Calibration data tables (D7) — real Haslam / Tinst / casa_beamcorr
+# dims decoded from the reference by tools/build_caldata.py. Oracles
+# read the same committed parquet via read_parquet(absolute path).
 # --------------------------------------------------------------------
+
+from .caldata import data_path as _caldata_path
+
+
+def _tinst_horner_sql(band: str, fexpr: str) -> str:
+    """DuckDB Horner chain for the packaged Tinst polynomial, built
+    with exactly the nesting `caldata.tinst_k` gives Spark so both
+    engines evaluate the identical double-precision expression tree
+    (lofar_tinst.py:45,60,79)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_caldata_path("tinst_poly.parquet")).to_pydict()
+    coeffs = sorted(
+        (
+            (p, c)
+            for b, p, c in zip(t["band"], t["power"], t["coeff"])
+            if b == band
+        ),
+        reverse=True,
+    )
+    expr = repr(coeffs[0][1])
+    for _, c in coeffs[1:]:
+        expr = f"({expr} * {fexpr} + {repr(c)})"
+    return expr
+
+
+_HASLAM_PQ = _caldata_path("haslam_t408.parquet")
+_CASA_PQ = _caldata_path("casa_beamcorr.parquet")
+# 2 k_B 1e23 (Jy conversion), the same Python double Spark folds into
+# its literal (functions/astro.py:196).
+_SEFD_CONST = repr(2.0 * 1.380649e-16 * 1.0e23)
+
+
+@_register(
+    "tsky_map_lookup",
+    f"""
+    WITH coords AS (
+        SELECT event_id,
+               (event_id % 3600) / 10.0 AS gl_deg,
+               (event_id % 1800) / 10.0 - 90.0 AS gb_deg,
+               110.0 + (event_id % 1400) / 10.0 AS freq_mhz
+        FROM events WHERE event_id % 11 = 0
+    ), keyed AS (
+        SELECT event_id, freq_mhz,
+               CASE WHEN gl_deg >= 360 THEN 0
+                    ELSE CAST(least(floor((gl_deg + 0.5) / 4.0), 89) AS INTEGER)
+               END AS l_idx,
+               CAST(least(floor(gb_deg + 90.5), 179) AS INTEGER) AS b_idx
+        FROM coords
+    )
+    SELECT k.event_id, k.l_idx, k.b_idx, h.t408_k,
+           round(2.7 + h.t408_k * pow(k.freq_mhz / 408.0, -2.55), 6) AS tsky_k
+    FROM keyed k
+    LEFT JOIN read_parquet('{_HASLAM_PQ}') h USING (l_idx, b_idx)
+    """,
+    "D7 Haslam 408 MHz map lookup (tsky.py:14-1059), real data table",
+)
+def q_tsky_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caldata import attach_tsky, load_haslam
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.pmod(F.col("event_id"), F.lit(11)) == 0
+    )
+    coords = ev.select(
+        "event_id",
+        (F.pmod(F.col("event_id"), F.lit(3600)) / 10.0).alias("gl_deg"),
+        (F.pmod(F.col("event_id"), F.lit(1800)) / 10.0 - 90.0).alias("gb_deg"),
+        (F.lit(110.0) + F.pmod(F.col("event_id"), F.lit(1400)) / 10.0).alias(
+            "freq_mhz"
+        ),
+    )
+    out = attach_tsky(coords, load_haslam(spark))
+    return out.select(
+        "event_id",
+        "l_idx",
+        "b_idx",
+        "t408_k",
+        F.round("tsky_k", 6).alias("tsky_k"),
+    )
+
+
+@_register(
+    "jones_beam_corr",
+    f"""
+    WITH src AS (
+        SELECT event_id,
+               CASE CAST(event_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'CS001' WHEN 1 THEN 'CS002'
+                    WHEN 2 THEN 'DE601' ELSE 'RS106' END AS station,
+               100.0 + (event_id % 4000) / 20.0 AS freq_mhz,
+               1.0 + (event_id * 3 % 17) / 17.0 AS j00_re,
+               (event_id * 5 % 19) / 19.0 - 0.5 AS j00_im,
+               (event_id * 7 % 23) / 23.0 - 0.5 AS j01_re,
+               (event_id * 11 % 29) / 29.0 - 0.5 AS j01_im,
+               (event_id * 13 % 31) / 31.0 - 0.5 AS j10_re,
+               (event_id * 17 % 37) / 37.0 - 0.5 AS j10_im,
+               1.0 + (event_id * 19 % 41) / 41.0 AS j11_re,
+               (event_id * 23 % 43) / 43.0 - 0.5 AS j11_im
+        FROM events WHERE event_id % 13 = 0
+    ), bc AS (
+        SELECT *,
+               1.0 / (0.5 * (j00_re * j00_re + j00_im * j00_im
+                             + j01_re * j01_re + j01_im * j01_im
+                             + j10_re * j10_re + j10_im * j10_im
+                             + j11_re * j11_re + j11_im * j11_im)) AS bc_psr
+        FROM src
+    ), ranked AS (
+        SELECT b.event_id, b.station, b.freq_mhz, b.bc_psr,
+               t.factor AS casa_factor,
+               row_number() OVER (
+                   PARTITION BY b.event_id
+                   ORDER BY abs(b.freq_mhz - t.freq_mhz), t.freq_mhz
+               ) AS rn
+        FROM bc b JOIN read_parquet('{_CASA_PQ}') t ON b.station = t.station
+    )
+    SELECT event_id, station, freq_mhz, casa_factor,
+           round(bc_psr, 6) AS bc_psr,
+           round(bc_psr / casa_factor, 6) AS beamcorr
+    FROM ranked WHERE rn = 1
+    """,
+    "D7+§2.8 Hamaker/Carozzi Jones beam correction "
+    "(lofar_gain_hamaker_carozzi.py:121-137), real casa_beamcorr table",
+)
+def q_jones_beam_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caldata import hamaker_carozzi_beamcorr, load_casa_beamcorr
+
+    e = F.col("event_id")
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.pmod(e, F.lit(13)) == 0
+    )
+    emod4 = F.pmod(e, F.lit(4)).cast("int")
+    src = ev.select(
+        "event_id",
+        F.when(emod4 == 0, "CS001")
+        .when(emod4 == 1, "CS002")
+        .when(emod4 == 2, "DE601")
+        .otherwise("RS106")
+        .alias("station"),
+        (F.lit(100.0) + F.pmod(e, F.lit(4000)) / 20.0).alias("freq_mhz"),
+        (F.lit(1.0) + F.pmod(e * 3, F.lit(17)) / 17.0).alias("j00_re"),
+        (F.pmod(e * 5, F.lit(19)) / 19.0 - 0.5).alias("j00_im"),
+        (F.pmod(e * 7, F.lit(23)) / 23.0 - 0.5).alias("j01_re"),
+        (F.pmod(e * 11, F.lit(29)) / 29.0 - 0.5).alias("j01_im"),
+        (F.pmod(e * 13, F.lit(31)) / 31.0 - 0.5).alias("j10_re"),
+        (F.pmod(e * 17, F.lit(37)) / 37.0 - 0.5).alias("j10_im"),
+        (F.lit(1.0) + F.pmod(e * 19, F.lit(41)) / 41.0).alias("j11_re"),
+        (F.pmod(e * 23, F.lit(43)) / 43.0 - 0.5).alias("j11_im"),
+    )
+    out = hamaker_carozzi_beamcorr(src, load_casa_beamcorr(spark))
+    return out.select(
+        "event_id",
+        "station",
+        "freq_mhz",
+        "casa_factor",
+        F.round("bc_psr", 6).alias("bc_psr"),
+        F.round("beamcorr", 6).alias("beamcorr"),
+    )
+
+
+@_register(
+    "channel_sefd",
+    f"""
+    WITH chans AS (
+        SELECT p_partkey,
+               10.0 + (p_partkey % 2400) / 10.0 AS freq_mhz,
+               (p_partkey % 3600) / 10.0 AS gl_deg,
+               (p_partkey % 1800) / 10.0 - 90.0 AS gb_deg
+        FROM part
+    ), keyed AS (
+        SELECT p_partkey, freq_mhz,
+               CASE WHEN gl_deg >= 360 THEN 0
+                    ELSE CAST(least(floor((gl_deg + 0.5) / 4.0), 89) AS INTEGER)
+               END AS l_idx,
+               CAST(least(floor(gb_deg + 90.5), 179) AS INTEGER) AS b_idx
+        FROM chans
+    ), cal AS (
+        SELECT k.p_partkey, k.freq_mhz,
+               2.7 + h.t408_k * pow(k.freq_mhz / 408.0, -2.55) AS tsky_k,
+               CASE WHEN k.freq_mhz < 100.0
+                    THEN {_tinst_horner_sql("LBA", "k.freq_mhz")}
+                    ELSE {_tinst_horner_sql("HBA", "k.freq_mhz")} END AS tinst_k,
+               CASE WHEN k.freq_mhz < 100.0
+                    THEN 48.0 * (299.792458 / k.freq_mhz)
+                         * (299.792458 / k.freq_mhz) / 3.0
+                    ELSE 48.0 * 16.0 * least(
+                         (299.792458 / k.freq_mhz)
+                         * (299.792458 / k.freq_mhz) / 3.0, 1.5625)
+               END AS aeff_m2
+        FROM keyed k
+        LEFT JOIN read_parquet('{_HASLAM_PQ}') h USING (l_idx, b_idx)
+    )
+    SELECT p_partkey, freq_mhz,
+           round(tinst_k, 6) AS tinst_k,
+           round(tsky_k + tinst_k, 6) AS tsys_k,
+           round({_SEFD_CONST} * (tsky_k + tinst_k) / (aeff_m2 * 10000.0), 6)
+               AS sefd_jy
+    FROM cal
+    """,
+    "D7 end-to-end channel calibration: Haslam Tsky + Tinst poly + Aeff "
+    "-> SEFD (lofar_fluxcal.py:652-668,741-757; lofar_tinst.py:40-67)",
+)
+def q_channel_sefd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caldata import channel_sefd_table, load_haslam
+
+    p = load_table(spark, "part", sf_dir)
+    chans = p.select(
+        "p_partkey",
+        (F.lit(10.0) + F.pmod(F.col("p_partkey"), F.lit(2400)) / 10.0).alias(
+            "freq_mhz"
+        ),
+        (F.pmod(F.col("p_partkey"), F.lit(3600)) / 10.0).alias("gl_deg"),
+        (F.pmod(F.col("p_partkey"), F.lit(1800)) / 10.0 - 90.0).alias("gb_deg"),
+    )
+    out = channel_sefd_table(chans, load_haslam(spark))
+    return out.select(
+        "p_partkey",
+        "freq_mhz",
+        F.round("tinst_k", 6).alias("tinst_k"),
+        F.round("tsys_k", 6).alias("tsys_k"),
+        F.round("sefd_jy", 6).alias("sefd_jy"),
+    )
 
 
 # --------------------------------------------------------------------
