@@ -117,3 +117,56 @@ def test_bilinear_interp_matches_numpy(spark):
     assert got[1] == pytest.approx(0.0, abs=1e-12)
     assert got[2] == pytest.approx(3 * 8.9 + 7 * 8.9, rel=1e-12)
     assert got[3] == pytest.approx(3 * 9 + 7 * 0, rel=1e-12)  # clamped
+
+
+def test_polyco_long_ephemeris_broadcast_join(spark):
+    # 500 segments (a multi-week observation at one segment/hour) must
+    # NOT inline a 500-element literal array: the plan switches to a
+    # broadcast bucket join with a constant-size expression tree.
+    import numpy as np
+
+    tmids = [3600.0 * i for i in range(500)]
+    segs = spark.createDataFrame(
+        [(i, tm, 0.1 * i, 1.0 + 1e-4 * i, [0.0], 3600.0) for i, tm in enumerate(tmids)],
+        POLYCO_SEGMENT_SCHEMA,
+    )
+    # samples inside, on the edges of, and far outside the ephemeris
+    ts = [0.0, 1799.9, 1800.1, 45_000.3, 499 * 3600.0 - 1.0, 499 * 3600.0 + 9e5]
+    df = spark.createDataFrame([(t, 1.0) for t in ts], "t double, value double")
+    out = attach_polyco(df, segs)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    got = {r["t"]: r["seg_id"] for r in out.collect()}
+    arr = np.array(tmids)
+    for t in ts:
+        d = np.abs(t - arr)
+        assert got[t] == int(np.flatnonzero(d == d.min())[0]), t
+
+
+def test_polyco_long_and_literal_paths_agree(spark):
+    # the two strategies must produce identical segment assignment and
+    # phases on the same ephemeris
+    from lofar_bf_pulsar_scripts_spark.operators import polyco as P
+
+    segs_rows = [
+        (i, 600.0 * i + 0.5 * (i % 3), 0.01 * i, 2.0 + 1e-3 * i, [0.1, -0.02 * i], 600.0)
+        for i in range(40)
+    ]
+    segs = spark.createDataFrame(segs_rows, POLYCO_SEGMENT_SCHEMA)
+    df = spark.createDataFrame(
+        [(7.3 * i, float(i % 11)) for i in range(900)], "t double, value double"
+    )
+    joined = attach_polyco(df, segs).orderBy("t").collect()  # 40 > limit
+    old_limit = P.LITERAL_SEGMENT_LIMIT
+    P.LITERAL_SEGMENT_LIMIT = 1000
+    try:
+        literal = attach_polyco(df, segs).orderBy("t").collect()
+    finally:
+        P.LITERAL_SEGMENT_LIMIT = old_limit
+    assert len(joined) == len(literal) == 900
+    for a, b in zip(joined, literal):
+        assert a["seg_id"] == b["seg_id"], a["t"]
+        assert a["phase"] == pytest.approx(b["phase"], rel=1e-12)
+        assert a["freq_hz"] == pytest.approx(b["freq_hz"], rel=1e-12)
