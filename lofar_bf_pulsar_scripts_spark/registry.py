@@ -1018,6 +1018,67 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_topk",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ), assign_scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_COS_DOT.format(a='e.embedding', b='c.ce')} AS score
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid ASC
+            ) AS rn FROM assign_scored
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id >= 8 AND vec_id < 13
+    ), probe AS (
+        SELECT qid, qe, cid FROM (
+            SELECT q.qid, q.qe, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS_DOT.format(a='q.qe', b='c.ce')} DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.qid, a.vec_id,
+               {_COS_DOT.format(a='p.qe', b='a.embedding')}
+               / ({_COS_NORM.format(a='p.qe')} * {_COS_NORM.format(a='a.embedding')})
+               AS cos
+        FROM probe p JOIN assigned a USING (cid)
+        WHERE a.vec_id != p.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cos
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rn FROM cand
+    ) WHERE rn <= 5
+    """,
+    "IVF approximate nearest-neighbour: centroid assign + nprobe=2 "
+    "partition-pruned probes (similarity.py scale path)",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, ivf_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = ivf_assign(e, cent)
+    queries_df = e.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk(corpus, queries_df, cent, k=5, nprobe=2)
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+
+
+@_register(
     "payload_metadata",
     """
     SELECT doc_id AS media_id,
@@ -2220,6 +2281,54 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "auto_off_window",
+    """
+    WITH prof AS (
+        SELECT CAST(least(CAST(floor(((epoch(ts) / 3600.0) % 1.0) * 48) AS BIGINT), 47) AS INTEGER) AS bin,
+               avg(value) AS profile
+        FROM events GROUP BY 1
+    ), peak AS (
+        SELECT bin AS peak_bin FROM prof ORDER BY profile DESC, bin ASC LIMIT 1
+    ), rot AS (
+        SELECT p.bin, p.profile,
+               CAST(((p.bin - k.peak_bin) % 48 + 48) % 48 AS INTEGER) AS rbin
+        FROM prof p CROSS JOIN peak k
+    ), st AS (
+        SELECT avg(profile) AS m, stddev_samp(profile) AS s FROM rot
+    ), flag AS (
+        SELECT r.bin, r.profile, r.rbin,
+               CASE WHEN r.profile > st.m + 2.5 * st.s THEN 1 ELSE 0 END AS f
+        FROM rot r CROSS JOIN st
+    ), trimmed AS (
+        SELECT *, CASE WHEN f = 1
+                        AND coalesce(lag(f) OVER w, 0) = 0
+                        AND coalesce(lead(f) OVER w, 0) = 0
+                        AND rbin != 0
+                       THEN 0 ELSE f END AS f2
+        FROM flag WINDOW w AS (ORDER BY rbin)
+    )
+    SELECT t.bin, round(t.profile, 6) AS profile,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM trimmed fl WHERE fl.f2 = 1
+               AND least(((t.rbin - fl.rbin) % 48 + 48) % 48,
+                         ((fl.rbin - t.rbin) % 48 + 48) % 48) <= 7
+           ) THEN 1 ELSE 0 END AS is_on
+    FROM trimmed t
+    """,
+    "W4 automatic off-pulse window: rotate-to-peak, sigma-flag, "
+    "island-trim, circular pad (snr.py:70-146)",
+)
+def q_auto_off_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spectrum import auto_off_window
+
+    prof = fold(_events_t(spark, sf_dir), FOLD_PERIOD, 48)
+    out = auto_off_window(prof, nbins=48, value_col="profile")
+    return out.select(
+        "bin", F.round("profile", 6).alias("profile"), "is_on"
+    )
+
+
 # --------------------------------------------------------------------
 # Calibration data tables (D7) — real Haslam / Tinst / casa_beamcorr
 # dims decoded from the reference by tools/build_caldata.py. Oracles
@@ -2465,6 +2574,7 @@ _TAIL: tuple[str, ...] = (
     "streaming_fold_replay",
     "approx_sketches",
     # operator shape already gated by an in-window query
+    "doc_fingerprint_groups",  # exact dedup gated by dedup_documents
     "file_placement",  # hash placement; LTA manifest gates S8/P5
     "cube_pricing",  # A11 gated by rollup_pricing
     "pivot_event_values",  # reshaping; aggs gated throughout
