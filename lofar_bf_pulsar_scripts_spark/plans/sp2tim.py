@@ -80,6 +80,104 @@ def toa_lines_presto(sp: DataFrame, epoch_int: Column, epoch_frac: Column) -> Da
     return w.withColumn("toa_line", line)
 
 
+def reference_toa_str(
+    offset: Column, startmjd: float, tres_s: float
+) -> Column:
+    """The reference's TOA string: '%.13f' % (startmjd +
+    offset*tres/86400) — plain double formatting (sp2tim.py:126),
+    precision bounded by the double at ~1e-11 day. Use
+    ``arrival_mjd_cols`` when full precision matters; this form exists
+    for byte parity with the reference's .tim output.
+
+    Java's %f pads the shortest double repr with zeros instead of
+    expanding the exact binary value (CPython expands), so the 13
+    fractional digits are rendered from round(frac*1e13) as an
+    integer — identical to CPython's output except when the exact
+    expansion sits within ~1e-4 of the final-digit rounding boundary
+    (~1e-11 day, below the timing noise the reference accepts)."""
+    mjd = F.lit(float(startmjd)) + offset.cast("double") * F.lit(
+        float(tres_s)
+    ) / F.lit(SECONDS_PER_DAY)
+    mjd_int = F.floor(mjd).cast("bigint")
+    frac13 = F.round((mjd - mjd_int) * F.lit(1.0e13)).cast("bigint")
+    # a frac of .99999999999996+ rounds up to 1e13: carry into the day
+    carry = (frac13 >= F.lit(10_000_000_000_000)).cast("bigint")
+    frac13 = frac13 - carry * F.lit(10_000_000_000_000)
+    return F.format_string("%d.%013d", mjd_int + carry, frac13)
+
+
+def toa_lines_reference(
+    sp: DataFrame,
+    startmjd: float,
+    tres_s: float,
+    freq_mhz: float,
+    source: str = "J0000+0000",
+    obscode: str = "1",
+    tempo2: bool = False,
+    phase_col: str | None = None,
+    col6_col: str | None = None,
+    extra: str = "",
+) -> DataFrame:
+    """All 8 of the reference's .tim line variants (sp2tim.py:133-187):
+    {Tempo2, Princeton} x {with/without polyco phase} x {optional
+    .singlepulse col6 and/or --extra field}, byte-exact printf shapes.
+
+    Expects columns (sigma double, downfact int, offset int). unc is
+    '%9f' % (tres*1e6) (sp2tim.py:110); Tempo2's first field is the
+    comma-joined sigma,downfact[,phase][,col6][,extra] blob, Princeton
+    is the fixed-width Tempo1 layout with a literal '0.0' phase slot
+    when no polyco is given. Pure column projection — formatting
+    happens JVM-side, no UDF."""
+    unc = "%9f" % (tres_s * 1_000_000.0)
+    toa = reference_toa_str(F.col("offset"), startmjd, tres_s)
+    sigma_s = F.col("sigma").cast("string")
+    down_s = F.col("downfact").cast("string")
+    phase = F.col(phase_col) if phase_col else None
+    col6 = F.col(col6_col) if col6_col else None
+
+    if tempo2:
+        parts: list[Column] = [sigma_s, down_s]
+        if phase is not None:
+            parts.append(F.format_string("%f", phase))
+        elif col6 is not None or extra:
+            parts.append(F.lit(""))  # the ',,' empty phase slot
+        if col6 is not None:
+            parts.append(col6.cast("string"))
+        if extra:
+            parts.append(F.lit(extra))
+        line = F.format_string(
+            "%s   %8.3f   %s   %s   %s",
+            F.concat_ws(",", *parts),
+            F.lit(float(freq_mhz)),
+            toa,
+            F.lit(unc),
+            F.lit(obscode),
+        )
+    else:
+        head = F.format_string(
+            "%1s %-12s %8.3f %-20s%9s%10s   %s   %s",
+            F.lit(obscode),
+            F.lit(source),
+            F.lit(float(freq_mhz)),
+            toa,
+            F.lit(unc),
+            F.lit("0"),
+            sigma_s,
+            down_s,
+        )
+        tail: list[Column] = []
+        if phase is not None:
+            tail.append(F.format_string("%f", phase))
+        elif col6 is not None or extra:
+            tail.append(F.lit("0.0"))
+        if col6 is not None:
+            tail.append(col6.cast("string"))
+        if extra:
+            tail.append(F.lit(extra))
+        line = F.concat_ws("   ", head, *tail) if tail else head
+    return sp.withColumn("toa_line", line)
+
+
 def write_tim(df: DataFrame, path: str, header: str = "FORMAT 1") -> None:
     """K5 sink: single text file with a header line. coalesce(1) is
     deliberate — a .tim file is a small human-facing artifact, not a

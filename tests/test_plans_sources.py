@@ -311,3 +311,85 @@ def test_sp2tim_full_precision(spark):
     assert row["toa_line"].startswith("L1 150.000 60001.")
     frac_str = row["toa_line"].split()[2]
     assert float(frac_str) == pytest.approx(60001 + expected_frac, abs=5e-14)
+
+
+def test_sp2tim_reference_variants_golden(spark):
+    # Byte-exact parity with the reference's 8 printf shapes
+    # (sp2tim.py:133-187), expected lines computed with the identical
+    # Python % -formatting the reference uses.
+    from lofar_bf_pulsar_scripts_spark.plans.sp2tim import toa_lines_reference
+
+    startmjd, tres, freq, obscode, source = 56000.123456789, 0.16384, 147.607, "1", "B0329+54"
+    unc = "%9f" % (tres * 1e6)
+    rows = [
+        (26.77, 8.5, 120, 30, 0.371002, "c6a"),
+        (26.77, 12.25, 4096, 1, 0.999999, "c6b"),
+        (26.78, 7.0, 999999, 128, 0.0, "c6c"),
+    ]
+    sp = spark.createDataFrame(
+        rows, "dm double, sigma double, offset int, downfact int, ph double, c6 string"
+    )
+    toas = ["%.13f" % (startmjd + (off * tres) / 86400.0) for _, _, off, _, _, _ in rows]
+
+    def got(**kw):
+        return [
+            r["toa_line"]
+            for r in toa_lines_reference(
+                sp, startmjd, tres, freq, source=source, obscode=obscode, **kw
+            ).orderBy("offset").collect()
+        ]
+
+    # -- tempo2, phase, col6 + extra (sp2tim.py:144)
+    exp = [
+        "%s,%d,%f,%s,%s   %8.3f   %s   %s   %s"
+        % (str(sg), dfct, ph, c6, "XX", freq, t, unc, obscode)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(tempo2=True, phase_col="ph", col6_col="c6", extra="XX") == exp
+    # -- tempo2, no phase, extra only (sp2tim.py:150)
+    exp = [
+        "%s,%d,,%s   %8.3f   %s   %s   %s" % (str(sg), dfct, "XX", freq, t, unc, obscode)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(tempo2=True, extra="XX") == exp
+    # -- tempo2 plain (sp2tim.py:157)
+    exp = [
+        "%s,%d   %8.3f   %s   %s   %s" % (str(sg), dfct, freq, t, unc, obscode)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(tempo2=True) == exp
+    # -- princeton, phase (sp2tim.py:169)
+    exp = [
+        "%1s %-12s %8.3f %-20s%9s%10s   %s   %d   %f"
+        % (obscode, source, freq, t, unc, "0", str(sg), dfct, ph)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(phase_col="ph") == exp
+    # -- princeton, no phase, col6 (sp2tim.py:181)
+    exp = [
+        "%1s %-12s %8.3f %-20s%9s%10s   %s   %d   0.0   %s"
+        % (obscode, source, freq, t, unc, "0", str(sg), dfct, c6)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(col6_col="c6") == exp
+    # -- princeton plain (sp2tim.py:187)
+    exp = [
+        "%1s %-12s %8.3f %-20s%9s%10s   %s   %d"
+        % (obscode, source, freq, t, unc, "0", str(sg), dfct)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got() == exp
+    # -- princeton, phase, col6+extra (sp2tim.py:166)
+    exp = [
+        "%1s %-12s %8.3f %-20s%9s%10s   %s   %d   %f   %s   %s"
+        % (obscode, source, freq, t, unc, "0", str(sg), dfct, ph, c6, "XX")
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(phase_col="ph", col6_col="c6", extra="XX") == exp
+    # -- tempo2, phase, col6 only (sp2tim.py:142)
+    exp = [
+        "%s,%d,%f,%s   %8.3f   %s   %s   %s"
+        % (str(sg), dfct, ph, c6, freq, t, unc, obscode)
+        for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
+    ]
+    assert got(tempo2=True, phase_col="ph", col6_col="c6") == exp
