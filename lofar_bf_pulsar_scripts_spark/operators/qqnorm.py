@@ -154,13 +154,30 @@ def qq_stats_sql(
         *group_cols,
         F.col(value_col).alias("__v"),
         norm_ppf_col(m).alias("__osm"),
-    ).filter(
+    ).withColumn(
+        "__in",
         (F.col("__osm") >= F.lit(float(osm_lo)))
-        & (F.col("__osm") <= F.lit(float(osm_hi)))
+        & (F.col("__osm") <= F.lit(float(osm_hi))),
     )
-    return ranked.groupBy(*group_cols).agg(
-        F.regr_intercept(F.col("__v"), F.col("__osm")).alias("qq_mean"),
-        F.regr_slope(F.col("__v"), F.col("__osm")).alias("qq_rms"),
+    # qq_mean_rms falls back to fitting ALL points when fewer than 2
+    # survive the [osm_lo, osm_hi] filter (tiny groups) — mirror it so
+    # the SQL and pandas variants stay parity-testable. regr_* skip
+    # rows where either argument is NULL, so the in-range regression
+    # is a conditional projection, not a second scan.
+    v_in = F.when(F.col("__in"), F.col("__v"))
+    o_in = F.when(F.col("__in"), F.col("__osm"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.regr_intercept(v_in, o_in).alias("__m_in"),
+        F.regr_slope(v_in, o_in).alias("__s_in"),
+        F.regr_intercept(F.col("__v"), F.col("__osm")).alias("__m_all"),
+        F.regr_slope(F.col("__v"), F.col("__osm")).alias("__s_all"),
+        F.sum(F.col("__in").cast("int")).alias("__n_in"),
+    )
+    use_in = F.col("__n_in") >= 2
+    return agg.select(
+        *group_cols,
+        F.when(use_in, F.col("__m_in")).otherwise(F.col("__m_all")).alias("qq_mean"),
+        F.when(use_in, F.col("__s_in")).otherwise(F.col("__s_all")).alias("qq_rms"),
     )
 
 

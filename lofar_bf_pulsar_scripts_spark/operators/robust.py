@@ -157,14 +157,21 @@ def sorted_gap_cut(
         (F.col(value_col) - F.lag(value_col, 1).over(w)).alias("__gap"),
         F.lag(value_col, 1).over(w).alias("__prev"),
     )
+    # pulsestack.py:86 scans gaps sort[n/2+1:] - sort[n/2:-1]: the
+    # first admissible gap has lower edge at 0-based index n/2, which
+    # is 1-based __i >= floor(n*uf) + 2 here (__gap at __i spans
+    # sorted positions __i-2 -> __i-1).
     upper = ranked.filter(
-        (F.col("__i") > F.col("__n") * F.lit(float(upper_fraction)))
+        (F.col("__i") > F.floor(F.col("__n") * F.lit(float(upper_fraction))) + 1)
         & F.col("__gap").isNotNull()
     )
+    # numpy argmax takes the FIRST maximum: tie-break toward the
+    # smallest sorted index via the negated rank in the max-struct.
     best = upper.groupBy(*group_cols).agg(
         F.max(
             F.struct(
                 F.col("__gap").alias("g"),
+                (-F.col("__i")).alias("negi"),
                 F.col("__prev").alias("cut"),
                 F.col("__i").alias("i"),
             )

@@ -257,3 +257,44 @@ def test_astro_expressions_match_numpy(spark):
         ).alias("dm2")
     ).first()
     assert rt["dm2"] == pytest.approx(26.76, rel=1e-12)
+
+
+def test_sorted_gap_cut_exact_reference_window_and_ties(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.robust import sorted_gap_cut
+
+    # pulsestack.py:86 scans gaps sort[n/2+1:] - sort[n/2:-1], i.e. the
+    # first admissible gap's LOWER edge is 0-based index n/2. A huge
+    # gap just below that (j = n/2 - 1) must be ignored. n=10, n/2=5:
+    # gap between sort[4]=1.04 and sort[5]=3.0 is 1.96 (inadmissible);
+    # admissible gaps are 0.1 except sort[7]->sort[8] = 0.5.
+    vals = [1.0, 1.01, 1.02, 1.03, 1.04, 3.0, 3.1, 3.2, 3.7, 3.8]
+    df = spark.createDataFrame([(float(v),) for v in vals], "__sigma double")
+    row = sorted_gap_cut(df).first()
+    assert row["hicut"] == pytest.approx(3.2)
+    assert row["n_above"] == 2
+
+    # numpy argmax takes the FIRST max: two equal 0.5 gaps in the
+    # admissible region -> cut at the earlier one (lower edge 3.0)
+    vals = [1.0, 1.01, 1.02, 1.03, 1.04, 3.0, 3.5, 3.6, 4.1, 4.2]
+    df = spark.createDataFrame([(float(v),) for v in vals], "__sigma double")
+    row = sorted_gap_cut(df).first()
+    assert row["hicut"] == pytest.approx(3.0)
+    assert row["n_above"] == 4
+
+
+def test_qq_sql_tiny_group_fallback(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.qqnorm import qq_stats, qq_stats_sql
+
+    # 3-point groups: every Filliben osm is outside [-0.1, 0.1], so the
+    # in-range regression has <2 points and both variants must fall
+    # back to fitting all points (qq_mean_rms's sel fallback).
+    rows = [(g, float(v)) for g in range(2) for v in (1.0 + g, 4.0 + g, 9.0 + g)]
+    df = spark.createDataFrame(rows, "grp int, value double")
+    a = {r["grp"]: (r["qq_mean"], r["qq_rms"])
+         for r in qq_stats(df, ["grp"], osm_lo=-0.1, osm_hi=0.1).collect()}
+    b = {r["grp"]: (r["qq_mean"], r["qq_rms"])
+         for r in qq_stats_sql(df, ["grp"], osm_lo=-0.1, osm_hi=0.1).collect()}
+    for g in a:
+        assert b[g][0] == pytest.approx(a[g][0], rel=1e-9)
+        assert b[g][1] == pytest.approx(a[g][1], rel=1e-9)
+        assert b[g][1] is not None
