@@ -1,18 +1,16 @@
-"""PSRFITS / HDF5 metadata readers (SURVEY §2.1 S5/S9) — import-gated.
+"""PSRFITS / HDF5 metadata readers (SURVEY §2.1 S5/S9).
 
-Neither astropy/pyfits nor h5py ships in this container, so the
-library-dependent decode is gated behind an import-try with a clear
-error; everything Spark-side (schemas, the scale/offset projection,
-the one-row-per-file metadata shape) is real and tested:
-
-* S5 PSRFITS (/root/reference/subdyn.py:474-556): 8-bit rasters with
-  per-row dat_scl/dat_offs — the decode IS `sources.binary.
-  scale_offset_decode`, a pure projection; only the FITS container
-  parsing needs astropy.
+* S5 PSRFITS (/root/reference/subdyn.py:474-556): parsed with a
+  dependency-free FITS reader below (FITS is 2880-byte blocks of
+  80-char cards + big-endian data — no astropy needed): header scan,
+  BINTABLE column extraction, and the SUBINT rows with per-row
+  dat_scl/dat_offs; the calibrated decode IS
+  `sources.binary.scale_offset_decode`, a pure projection.
 * S9 HDF5 attrs (/root/reference/fluxcal/lofar_fluxcal.py:151-172;
   get_flagged_tiles.py:50-64): FILTER_SELECTION,
   OBSERVATION_STATIONS_LIST, OBSERVATION_START_UTC — one metadata row
-  per .h5 file.
+  per .h5 file. HDF5's container format is NOT reimplemented here;
+  this one stays import-gated on h5py.
 """
 
 from __future__ import annotations
@@ -93,10 +91,267 @@ def read_h5_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+# --- pure-Python FITS container parsing (no astropy needed) ----------
+#
+# FITS is 2880-byte blocks of 36 80-char ASCII cards followed by
+# 2880-padded big-endian data (NASA FITS standard 4.0). That is simple
+# enough to parse dependency-free, which un-gates the S5 PSRFITS scan:
+# the reference reads hdu[0]/hdu[1] headers and the SUBINT bintable's
+# dat_scl/dat_offs/data columns (subdyn.py:474-556).
+
+_FITS_BLOCK = 2880
+
+_TFORM_SIZES = {
+    "L": 1, "X": 1, "B": 1, "I": 2, "J": 4, "K": 8,
+    "A": 1, "E": 4, "D": 8, "C": 8, "M": 16,
+}
+
+
+def _parse_card_value(raw: str):
+    """Value of one 'KEY = value / comment' card."""
+    s = raw.strip()
+    if s.startswith("'"):
+        # string: up to the closing quote, '' escapes a quote
+        out, i = [], 1
+        while i < len(s):
+            if s[i] == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(s[i])
+            i += 1
+        return "".join(out).rstrip()
+    s = s.split("/", 1)[0].strip()
+    if s == "T":
+        return True
+    if s == "F":
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s.replace("D", "E").replace("d", "e"))
+    except ValueError:
+        return s
+
+
+def parse_fits(buf: bytes) -> list[dict]:
+    """Parse every HDU of an in-memory FITS file: returns dicts with
+    lower-cased ``cards``, ``data_start``, ``data_bytes`` and
+    ``hdu_name`` (PRIMARY / XTENSION value / EXTNAME if present)."""
+    hdus: list[dict] = []
+    pos = 0
+    while pos + _FITS_BLOCK <= len(buf):
+        cards: dict = {}
+        end = False
+        start = pos
+        while not end and pos + _FITS_BLOCK <= len(buf):
+            block = buf[pos : pos + _FITS_BLOCK]
+            pos += _FITS_BLOCK
+            for i in range(36):
+                card = block[i * 80 : (i + 1) * 80].decode("ascii", "replace")
+                key = card[:8].strip()
+                if key == "END":
+                    end = True
+                    break
+                if not key or key in ("COMMENT", "HISTORY", "CONTINUE"):
+                    continue
+                if card[8:10] != "= ":
+                    continue
+                cards[key.lower()] = _parse_card_value(card[10:])
+        if not end:
+            break  # truncated header -> stop
+        if not hdus and not cards.get("simple", False) and "xtension" not in cards:
+            raise ValueError("not a FITS file (no SIMPLE card)")
+        bitpix = abs(int(cards.get("bitpix", 8)))
+        naxis = int(cards.get("naxis", 0))
+        shape = [int(cards.get(f"naxis{i}", 0)) for i in range(1, naxis + 1)]
+        nelem = 1
+        for s in shape:
+            nelem *= s
+        if naxis == 0:
+            nelem = 0
+        gcount = int(cards.get("gcount", 1))
+        pcount = int(cards.get("pcount", 0))
+        data_bytes = (bitpix // 8) * gcount * (pcount + nelem)
+        hdus.append(
+            {
+                "hdu_name": (
+                    cards.get("extname")
+                    or cards.get("xtension")
+                    or ("PRIMARY" if not hdus else f"HDU{len(hdus)}")
+                ),
+                "cards": cards,
+                "shape": shape,
+                "data_start": pos,
+                "data_bytes": data_bytes,
+            }
+        )
+        pos += -(-data_bytes // _FITS_BLOCK) * _FITS_BLOCK
+    if not hdus:
+        raise ValueError("not a FITS file (no parseable HDU)")
+    return hdus
+
+
+def bintable_layout(cards: dict) -> list[tuple[str, int, str, int]]:
+    """(name, repeat, typecode, byte_offset) per TFORMn column of a
+    BINTABLE HDU, validated against NAXIS1."""
+    import re
+
+    ncols = int(cards.get("tfields", 0))
+    layout = []
+    offset = 0
+    for i in range(1, ncols + 1):
+        tform = str(cards.get(f"tform{i}", "")).strip()
+        m = re.match(r"^(\d*)([LXBIJKAEDCM])", tform)
+        if not m:
+            raise ValueError(f"unsupported TFORM{i}: {tform!r}")
+        repeat = int(m.group(1) or 1)
+        code = m.group(2)
+        name = str(cards.get(f"ttype{i}", f"col{i}")).strip().lower()
+        layout.append((name, repeat, code, offset))
+        offset += repeat * _TFORM_SIZES[code]
+    naxis1 = int(cards.get("naxis1", offset))
+    if offset != naxis1:
+        raise ValueError(f"TFORM widths sum to {offset}, NAXIS1 is {naxis1}")
+    return layout
+
+
+_NP_CODES = {"B": "u1", "I": ">i2", "J": ">i4", "K": ">i8", "E": ">f4",
+             "D": ">f8", "L": "u1", "A": "S1", "X": "u1"}
+
+
+def bintable_column(buf: bytes, hdu: dict, name: str):
+    """One BINTABLE column as a (nrows, repeat) numpy array —
+    big-endian per the FITS standard."""
+    import numpy as np
+
+    cards = hdu["cards"]
+    layout = {n: (r, c, o) for n, r, c, o in bintable_layout(cards)}
+    repeat, code, off = layout[name.lower()]
+    naxis1 = int(cards["naxis1"])
+    nrows = int(cards["naxis2"])
+    raw = np.frombuffer(
+        buf, dtype="u1", count=naxis1 * nrows, offset=hdu["data_start"]
+    ).reshape(nrows, naxis1)
+    width = repeat * _TFORM_SIZES[code]
+    cells = raw[:, off : off + width].tobytes()
+    return np.frombuffer(cells, dtype=_NP_CODES[code]).reshape(nrows, repeat)
+
+
+def scan_fits_headers(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S5/S9 metadata scan: one row per (file, hdu, keyword) — the
+    queryable long form of every header card, parsed dependency-free.
+    Arrow-batched mapInPandas over binaryFile; the parse touches only
+    header blocks."""
+    schema = T.StructType(
+        [
+            T.StructField("obs_file", T.StringType(), False),
+            T.StructField("hdu", T.IntegerType(), False),
+            T.StructField("hdu_name", T.StringType(), False),
+            T.StructField("keyword", T.StringType(), False),
+            T.StructField("value", T.StringType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for i, hdu in enumerate(parse_fits(bytes(row["content"]))):
+                    for k, v in hdu["cards"].items():
+                        rows.append(
+                            {
+                                "obs_file": row["path"],
+                                "hdu": i,
+                                "hdu_name": str(hdu["hdu_name"]),
+                                "keyword": k,
+                                "value": None if v is None else str(v),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "content")
+        .mapInPandas(decode, schema=schema)
+    )
+
+
 def read_psrfits(spark: SparkSession, path_glob: str) -> DataFrame:
-    """S5: PSRFITS SUBINT rows (requires astropy); compose with
-    sources.binary.scale_offset_decode for calibrated values."""
-    _require("astropy", "PSRFITS scan")
-    raise NotImplementedError(
-        "PSRFITS parse is astropy-gated; not reachable in this container"
-    )  # pragma: no cover
+    """S5: PSRFITS SUBINT rows in PSRFITS_SUBINT_SCHEMA, parsed with
+    the dependency-free FITS reader (container layout per
+    subdyn.py:474-556: hdu[1] BINTABLE, per-row dat_scl/dat_offs of
+    nchan floats, 'data' uint8 interleaved sample-major so channel ch
+    occupies data[s*nchan + ch]).
+
+    Values stay RAW uint8 here; compose with
+    ``sources.binary.scale_offset_decode`` for calibrated floats — the
+    decode is a column projection, exactly the reference's
+    data*scl+offs (subdyn.py:555)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["content"])
+                hdus = parse_fits(buf)
+                sub = next(
+                    (
+                        h
+                        for h in hdus[1:]
+                        if str(h["hdu_name"]).upper().startswith(("SUBINT", "BINTABLE"))
+                    ),
+                    None,
+                )
+                if sub is None:
+                    continue
+                cards = sub["cards"]
+                nchan = int(cards["nchan"])
+                scl = bintable_column(buf, sub, "dat_scl").astype("f8")
+                offs = bintable_column(buf, sub, "dat_offs").astype("f8")
+                data = bintable_column(buf, sub, "data")
+                nrows, rowlen = data.shape
+                nsblk = rowlen // nchan
+                for r in range(nrows):
+                    samples = data[r].reshape(nsblk, nchan)
+                    for ch in range(nchan):
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "obs_file": row["path"],
+                                    "subint": r,
+                                    "chan": ch,
+                                    "sample_idx": np.arange(nsblk, dtype="i8")
+                                    + r * nsblk,
+                                    "value": samples[:, ch].astype("i4"),
+                                    "dat_scl": scl[r, ch],
+                                    "dat_offs": offs[r, ch],
+                                }
+                            )
+                        )
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(
+                    {f.name: [] for f in PSRFITS_SUBINT_SCHEMA.fields}
+                )
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "content")
+        .mapInPandas(decode, schema=PSRFITS_SUBINT_SCHEMA)
+    )
