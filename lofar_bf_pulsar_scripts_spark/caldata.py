@@ -215,6 +215,106 @@ def hamaker_carozzi_beamcorr(
     return out.withColumn("beamcorr", F.col("bc_psr") / F.col("casa_factor"))
 
 
+# --- Wijnholds gain cube (Aeff/Tsys simulation) -----------------------
+#
+# The cube file itself ships outside even the reference repo (loaded
+# from $LOFARSOFT at lofar_gain.py:173-190), so no data is committed
+# here; the full ingest -> azimuth-average -> Trec-correction pipeline
+# is implemented against the documented layout and tested on a
+# synthetic cube.
+
+WIJNHOLDS_NFREQ, WIJNHOLDS_NAZ, WIJNHOLDS_NEL = 29, 361, 91
+
+
+def wijnholds_cube_from_text(spark: SparkSession, path: str) -> DataFrame:
+    """(idx, raw) rows from the flat whitespace-separated cube file —
+    952,679 numbers, elevation the fastest-running index, azimuth
+    next, frequency slowest (lofar_gain.py:165-171). The file is
+    ~10 MB, a dimension input: parsed driver-side (order-preserving,
+    unlike a distributed text scan) and shipped Arrow-batched."""
+    import pandas as pd
+
+    vals = pd.read_csv(path, sep=r"\s+", header=None).to_numpy().ravel()
+    pdf = pd.DataFrame({"idx": range(len(vals)), "raw": vals.astype("f8")})
+    return spark.createDataFrame(pdf)
+
+
+def wijnholds_aeff_table(
+    cube: DataFrame,
+    flow_mhz: float = 110.0,
+    fstep_mhz: float = 5.0,
+    naz: int = WIJNHOLDS_NAZ,
+    nel: int = WIJNHOLDS_NEL,
+) -> DataFrame:
+    """Aeff(freq, el) dimension from a flat (idx, raw) cube:
+
+    1. index -> (freq, az, el) per the file layout;
+    2. mean over azimuth — stations are randomly rotated
+       (lofar_gain.py:193);
+    3. multiply back the Tsys the simulation divided by:
+       t = 400 + (lambda/0.2008)^2.55 + (f/1e9)^1.8 + 2.7
+       (lofar_gain.py:200-214, Trec=400 quote from the code).
+
+    One map-side-combinable aggregation over 2,639 groups; the result
+    is a broadcast dimension for ``bilinear_interp`` (the reference
+    interpolates linearly in el and in freq: lofar_gain.py:260-297)."""
+    per_freq = naz * nel
+    fi = (F.col("idx") / F.lit(per_freq)).cast("long")
+    az = ((F.col("idx") / F.lit(nel)) % F.lit(naz)).cast("long")
+    el = (F.col("idx") % F.lit(nel)).cast("long")
+    keyed = cube.select(
+        fi.alias("__fi"), az.alias("__az"), el.cast("double").alias("el_deg"),
+        F.col("raw"),
+    )
+    avg = keyed.groupBy("__fi", "el_deg").agg(F.avg("raw").alias("__m"))
+    f_hz = (F.lit(float(flow_mhz)) + F.lit(float(fstep_mhz)) * F.col("__fi")) * 1.0e6
+    lam = F.lit(3.0e8) / f_hz
+    t = (
+        F.lit(400.0)
+        + F.pow(lam / F.lit(0.2008), F.lit(2.55))
+        + F.pow(f_hz / F.lit(1.0e9), F.lit(1.8))
+        + F.lit(2.7)
+    )
+    return avg.select(
+        (f_hz / 1.0e6).alias("freq_mhz"),
+        "el_deg",
+        (F.col("__m") * t).alias("aeff_m2"),
+    )
+
+
+def wijnholds_aeff_lookup(
+    points: DataFrame,
+    aeff_table: DataFrame,
+    flow_mhz: float = 110.0,
+    fstep_mhz: float = 5.0,
+    freq_col: str = "freq_mhz",
+    el_col: str = "el_deg",
+    out_col: str = "aeff_m2",
+) -> DataFrame:
+    """Aeff at arbitrary (freq, el): separable linear interpolation in
+    the cube's (freq, el) grid, exactly the reference's np.interp in
+    el and in freq (lofar_gain.py:260-297). Maps frequency to grid
+    index (el is already unit-indexed) and reuses the J8 bilinear
+    broadcast-join operator — grid is 2,639 rows, always broadcast."""
+    from .operators.interp import bilinear_interp
+
+    grid = aeff_table.select(
+        ((F.col("freq_mhz") - F.lit(float(flow_mhz))) / F.lit(float(fstep_mhz)))
+        .cast("int")
+        .alias("gx"),
+        F.col("el_deg").cast("int").alias("gy"),
+        F.col("aeff_m2").alias("gval"),
+    )
+    idx = points.withColumn(
+        "__fidx",
+        (F.col(freq_col) - F.lit(float(flow_mhz))) / F.lit(float(fstep_mhz)),
+    )
+    out = bilinear_interp(
+        idx, grid, x_col="__fidx", y_col=el_col, out_col=out_col
+    )
+    return out.drop("__fidx")
+
+
 # --- End-to-end per-channel calibration dimension ---------------------
 
 def channel_sefd_table(

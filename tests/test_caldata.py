@@ -141,3 +141,69 @@ def test_stations_table(spark):
     assert rows["DE601"].lat == pytest.approx(50.52483)
     # core stations are metre offsets
     assert any(r.unit == "m" for r in rows.values())
+
+
+def test_wijnholds_cube_pipeline_matches_numpy(spark, tmp_path):
+    # Small synthetic cube in the documented layout (el fastest, az,
+    # freq slowest); expected values from a numpy replica of the
+    # reference's loadtxt -> reshape -> mean(axis=1) -> t-correction
+    # loop (lofar_gain.py:165-214).
+    import numpy as np
+
+    nf, naz, nel = 3, 5, 7
+    rng = np.random.RandomState(3)
+    cube = rng.uniform(0.001, 0.01, (nf, naz, nel))
+    flat = cube.ravel()
+    path = tmp_path / "gain_cube.txt"
+    np.savetxt(path, flat.reshape(-1, 7))
+
+    flow, fstep = 110.0, 5.0
+    gtable = cube.mean(axis=1)  # average over azimuths
+    for ii in range(nf):
+        f = (flow + fstep * ii) * 1.0e6
+        lam = 3.0e8 / f
+        t = 400.0 + (lam / 0.2008) ** 2.55 + (f / 1e9) ** 1.8 + 2.7
+        gtable[ii, :] *= t
+
+    from lofar_bf_pulsar_scripts_spark import caldata
+
+    df = caldata.wijnholds_cube_from_text(spark, str(path))
+    out = caldata.wijnholds_aeff_table(df, naz=naz, nel=nel)
+    rows = out.collect()
+    assert len(rows) == nf * nel
+    for r in rows:
+        fi = int(round((r.freq_mhz - flow) / fstep))
+        el = int(r.el_deg)
+        assert r.aeff_m2 == pytest.approx(gtable[fi, el], rel=1e-12), (fi, el)
+
+
+def test_wijnholds_aeff_bilinear_lookup(spark, tmp_path):
+    # compose with the J8 bilinear interpolation: an off-grid (freq,
+    # el) request reproduces numpy's separable linear interpolation
+    import numpy as np
+
+    nf, naz, nel = 3, 4, 6
+    cube = np.fromfunction(
+        lambda f, a, e: 0.002 + 0.0001 * e + 0.00001 * a + 0.0005 * f,
+        (nf, naz, nel),
+    )
+    import pandas as pd
+
+    from lofar_bf_pulsar_scripts_spark import caldata
+
+    flat = pd.DataFrame({"idx": range(cube.size), "raw": cube.ravel()})
+    table = caldata.wijnholds_aeff_table(
+        spark.createDataFrame(flat), naz=naz, nel=nel
+    )
+    req = spark.createDataFrame([(112.5, 2.25)], "freq_mhz double, el_deg double")
+    got = caldata.wijnholds_aeff_lookup(req, table).first()
+
+    gtable = cube.mean(axis=1)
+    for ii in range(nf):
+        f = (110.0 + 5.0 * ii) * 1.0e6
+        lam = 3.0e8 / f
+        gtable[ii, :] *= 400.0 + (lam / 0.2008) ** 2.55 + (f / 1e9) ** 1.8 + 2.7
+    lo = np.interp(2.25, np.arange(nel), gtable[0])
+    hi = np.interp(2.25, np.arange(nel), gtable[1])
+    expect = np.interp(112.5, [110.0, 115.0], [lo, hi])
+    assert got["aeff_m2"] == pytest.approx(expect, rel=1e-12)
