@@ -128,6 +128,51 @@ def retrieve_manifest(
     )
 
 
+def staged_retrieval_stream(
+    staged_events: DataFrame,
+    manifest: DataFrame,
+    fetch: Callable[[str, str], tuple[bool, int, str | None]],
+    sink_path: str,
+    checkpoint_path: str,
+    host_parallelism: int = 4,
+    key_col: str = "filename",
+    ts_col: str = "ts",
+):
+    """The reference's staging/download overlap loop
+    (lta-retrieve.py:482-568) as Structured Streaming: the xmlrpc
+    polling becomes a staged-URL event stream; ``ready - downloaded``
+    set subtraction becomes the watermarked first-seen dedup
+    (streaming.fold_stream.streaming_dedup_new_urls); each micro-batch
+    of newly staged files semi-joins the manifest and runs the
+    host-partitioned retrieve executor, appending the per-attempt
+    ledger to ``sink_path``. Downloads start while staging is still in
+    progress — the overlap the reference's loop exists for.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from ..streaming.fold_stream import streaming_dedup_new_urls
+
+    deduped = streaming_dedup_new_urls(
+        staged_events, key_col=key_col, ts_col=ts_col
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_files = batch_df.select(F.col(key_col).alias("filename")).distinct()
+        todo = manifest.join(F.broadcast(new_files), "filename", "left_semi")
+        if todo.isEmpty():
+            return
+        res = retrieve_manifest(todo, fetch, host_parallelism)
+        res.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_path)
+
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(run_batch)
+        .start()
+    )
+
+
 def retry_manifest(results: DataFrame, manifest: DataFrame) -> DataFrame:
     """Failed rows joined back to the manifest — the reference's
     .retry file (lta-retrieve.py:416-420,550-555) as a DataFrame that

@@ -93,3 +93,64 @@ def test_host_partitioning_colocates_mirror(spark):
     for r in part:
         by_host.setdefault(r.download_host, set()).add(r.pid)
     assert all(len(pids) == 1 for pids in by_host.values())
+
+
+def test_staged_retrieval_stream_overlap(spark, tmp_path):
+    # staging/download overlap (lta-retrieve.py:482-568): two polls of
+    # staged URLs with overlap; the overlapping file downloads once.
+    import os
+
+    src = str(tmp_path / "staged")
+    sink = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    fetched = str(tmp_path / "data")
+
+    def fetch(url, dest_dir):
+        d = os.path.join(fetched, dest_dir)
+        os.makedirs(d, exist_ok=True)
+        name = url.rsplit("/", 1)[-1]
+        with open(os.path.join(d, name), "ab") as fh:
+            fh.write(b"y")
+        return True, 1, None
+
+    m = _manifest(spark)
+
+    def staged_batch(rows, part):
+        spark.createDataFrame(
+            rows, "filename string, off double"
+        ).withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(CAST(1700000000000000 + off * 1000000 AS BIGINT))"
+            ),
+        ).drop("off").write.mode("append").parquet(src)
+
+    # poll 1: two files staged
+    staged_batch(
+        [("L123456_SAP000_B000_S0_P000_bf.tar", 1.0),
+         ("L777777_CSplots_summary.tar", 2.0)], 0)
+    stream = spark.readStream.schema("filename string, ts timestamp").parquet(src)
+    q = R.staged_retrieval_stream(stream, m, fetch, sink, ckpt, host_parallelism=2)
+    try:
+        q.processAllAvailable()
+        # poll 2: one repeat + one new
+        staged_batch(
+            [("L777777_CSplots_summary.tar", 3.0),
+             ("L123456_SAP000_B001_S0_P001_bf.tar", 4.0)], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ledger = spark.read.parquet(sink)
+    rows = ledger.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.filename, []).append(r)
+    # the repeated file downloaded exactly once across both polls
+    assert len(by_file["L777777_CSplots_summary.tar"]) == 1
+    assert set(by_file) == {
+        "L123456_SAP000_B000_S0_P000_bf.tar",
+        "L777777_CSplots_summary.tar",
+        "L123456_SAP000_B001_S0_P001_bf.tar",
+    }
+    assert all(r.ok for r in rows)
