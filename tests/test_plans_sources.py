@@ -393,3 +393,41 @@ def test_sp2tim_reference_variants_golden(spark):
         for (_, sg, off, dfct, ph, c6), t in zip(rows, toas)
     ]
     assert got(tempo2=True, phase_col="ph", col6_col="c6") == exp
+
+
+def test_superquery_single_form_scans_fact_once(spark, tmp_path):
+    # regression guard for the measured catalog_union/superquery
+    # rewrite (SCALE.md): the default single-form superquery must scan
+    # the file_object fact exactly once, not once per dp_type branch.
+    tables = lta.make_synthetic_catalog(spark)
+    # materialize file_object so the scan is countable in the plan
+    path = str(tmp_path / "file_object")
+    tables["file_object"].write.mode("overwrite").parquet(path)
+    tables = dict(tables, file_object=spark.read.parquet(path))
+    lta.register_catalog(spark, tables)
+    def fact_scans(df):
+        # formatted explain lists each scan node with its full
+        # location (treeString truncates long plans mid-path)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        txt = df._jdf.queryExecution().explainString(mode)
+        return sum(
+            1
+            for line in txt.splitlines()
+            if "Scan parquet" in line or ("file_object" in line and "Location" in line)
+        ), txt
+
+    n_single, txt = fact_scans(lta.superquery(spark))
+    assert txt.count("file_object") >= 1
+    assert sum(
+        1 for line in txt.splitlines() if "Location" in line and "file_object" in line
+    ) == 1
+    # the literal 4-branch parity form scans it once per dp_type —
+    # which is why 'single' is the default
+    _, txt_u = fact_scans(lta.superquery(spark, form="union"))
+    assert sum(
+        1
+        for line in txt_u.splitlines()
+        if "Location" in line and "file_object" in line
+    ) == 4
