@@ -103,3 +103,81 @@ def validated_station_join(
         .when(F.col("n_matches") == 0, "missing")
         .otherwise("ambiguous"),
     )
+
+
+def flagged_tiles_summary(
+    flagged: DataFrame,
+    antenna: str = "HBA",
+    station_col: str = "substation",
+    ntiles_col: str = "ntiles",
+) -> DataFrame:
+    """The flagged-tiles observation summary
+    (/root/reference/fluxcal/get_flagged_tiles.py:85-139): given the
+    per-(sub)station flagged counts already scoped to one observation
+    (date-filtered + station-list joined — compose with
+    ``validated_station_join``), produce the reference's
+    '%g %d %d' output triple plus the worst-station diagnostics:
+
+    * total_tiles by station class — HBA: CS sub-stations carry 24
+      tiles, RS 48, international 96; LBA: CS/RS 48, international 96
+      (:114-125);
+    * nflagged = sum of flagged counts, fraction = nflagged/total;
+    * worst = max count, st_worst = ALL stations tied at the max
+      (:89-105 appends ties), sorted for determinism;
+    * worst_fraction uses the reference's class precedence: any CS in
+      the tie -> CS denominator, else RS, else international
+      (:117-131).
+
+    One hash aggregation; the tie scan is an array expression over the
+    collected (count, station) pairs — an observation has tens of
+    stations, so the collected list is a scalar-sized working set."""
+    cls = F.substring(F.col(station_col), 1, 2)
+    if antenna == "HBA":
+        den = (
+            F.when(cls == "CS", F.lit(24.0))
+            .when(cls == "RS", F.lit(48.0))
+            .otherwise(F.lit(96.0))
+        )
+    else:
+        den = F.when(
+            (cls == "CS") | (cls == "RS"), F.lit(48.0)
+        ).otherwise(F.lit(96.0))
+    keyed = flagged.select(
+        F.col(station_col).alias("__st"),
+        F.col(ntiles_col).cast("int").alias("__n"),
+        den.alias("__den"),
+    )
+    agg = keyed.agg(
+        F.sum("__n").alias("nflagged"),
+        F.sum("__den").alias("total_tiles"),
+        F.collect_list(F.struct("__n", "__st", "__den")).alias("__items"),
+    )
+    worst = F.array_max(F.transform(F.col("__items"), lambda x: x["__n"]))
+    ties = F.filter(F.col("__items"), lambda x: x["__n"] == worst)
+    worst_stations = F.sort_array(
+        F.transform(ties, lambda x: x["__st"])
+    )
+    # reference precedence: any CS among the worst -> /24 (HBA) else
+    # RS -> /48 else /96 (get_flagged_tiles.py:117-131)
+    worst_den = F.array_min(F.transform(ties, lambda x: x["__den"]))
+    return agg.select(
+        (F.col("nflagged") / F.col("total_tiles")).alias("fraction"),
+        F.col("nflagged"),
+        F.col("total_tiles").cast("long").alias("total_tiles"),
+        worst.alias("worst_ntiles"),
+        worst_stations.alias("worst_stations"),
+        (worst / worst_den).alias("worst_fraction"),
+        # Java %g keeps trailing zeros where C/CPython strips them —
+        # normalize so the line is byte-identical to the reference's
+        # print "%g %d %d" (get_flagged_tiles.py:139)
+        F.concat_ws(
+            " ",
+            F.regexp_replace(
+                F.format_string("%g", F.col("nflagged") / F.col("total_tiles")),
+                r"\.?0+(e|$)",
+                "$1",
+            ),
+            F.col("nflagged").cast("string"),
+            F.col("total_tiles").cast("long").cast("string"),
+        ).alias("summary_line"),
+    )

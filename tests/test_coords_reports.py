@@ -139,3 +139,57 @@ def test_validated_station_join(spark):
     assert out["CS001"]["match_status"] == "ok" and out["CS001"]["ntiles"] == 3
     assert out["CS002"]["match_status"] == "ambiguous"
     assert out["RS509"]["match_status"] == "missing"
+
+
+def test_flagged_tiles_summary_reference_fixture(spark):
+    # the reference's own sample fixture
+    # (tiles/lofar_antenna_state/test.txt: 48 HBA sub-stations on
+    # 2016-05-23), expected values from a replica of
+    # get_flagged_tiles.py:85-139.
+    from lofar_bf_pulsar_scripts_spark.plans.reports import flagged_tiles_summary
+
+    counts = {
+        "CS002HBA0": 0, "CS002HBA1": 3, "CS003HBA0": 0, "CS003HBA1": 0,
+        "CS004HBA0": 4, "CS004HBA1": 1, "CS005HBA0": 5, "CS005HBA1": 2,
+        "CS006HBA0": 0, "CS006HBA1": 2, "CS007HBA0": 2, "CS007HBA1": 0,
+        "CS001HBA0": 0, "CS001HBA1": 4, "CS011HBA0": 2, "CS011HBA1": 0,
+        "CS013HBA0": 1, "CS013HBA1": 0, "CS017HBA0": 4, "CS017HBA1": 3,
+        "CS021HBA0": 3, "CS021HBA1": 4, "CS024HBA0": 0, "CS024HBA1": 2,
+        "CS026HBA0": 1, "CS026HBA1": 1, "CS028HBA0": 1, "CS028HBA1": 1,
+        "CS030HBA0": 2, "CS030HBA1": 6, "CS031HBA0": 1, "CS031HBA1": 1,
+        "CS032HBA0": 4, "CS032HBA1": 3, "CS101HBA0": 5, "CS101HBA1": 1,
+        "CS103HBA0": 2, "CS103HBA1": 0, "CS201HBA0": 3, "CS201HBA1": 0,
+        "CS301HBA0": 4, "CS301HBA1": 4, "CS302HBA0": 6, "CS302HBA1": 2,
+        "CS401HBA0": 3, "CS401HBA1": 8, "CS501HBA0": 4, "CS501HBA1": 3,
+    }
+    df = spark.createDataFrame(
+        [(st, n) for st, n in counts.items()], "substation string, ntiles int"
+    )
+    row = flagged_tiles_summary(df, antenna="HBA").first()
+
+    # reference replica: all 48 sub-stations are CS -> 24 tiles each
+    nflagged = sum(counts.values())
+    total = 24 * 48
+    worst = max(counts.values())
+    st_worst = sorted(s for s, n in counts.items() if n == worst)
+    assert row["nflagged"] == nflagged
+    assert row["total_tiles"] == total
+    assert row["fraction"] == pytest.approx(nflagged / total)
+    assert row["worst_ntiles"] == worst == 8
+    assert row["worst_stations"] == st_worst == ["CS401HBA1"]
+    assert row["worst_fraction"] == pytest.approx(8 / 24.0)
+    assert row["summary_line"] == "%g %d %d" % (nflagged / total, nflagged, total)
+
+
+def test_flagged_tiles_summary_lba_and_class_mix(spark):
+    from lofar_bf_pulsar_scripts_spark.plans.reports import flagged_tiles_summary
+
+    rows = [("CS001LBA", 2), ("RS509LBA", 5), ("DE601LBA", 5)]
+    df = spark.createDataFrame(rows, "substation string, ntiles int")
+    row = flagged_tiles_summary(df, antenna="LBA").first()
+    # LBA: CS/RS 48 tiles, international 96 (get_flagged_tiles.py:124)
+    assert row["total_tiles"] == 48 + 48 + 96
+    assert row["nflagged"] == 12
+    # tie at 5 between RS and DE; precedence RS -> /48
+    assert row["worst_stations"] == ["DE601LBA", "RS509LBA"]
+    assert row["worst_fraction"] == pytest.approx(5 / 48.0)
