@@ -355,3 +355,95 @@ def read_psrfits(spark: SparkSession, path_glob: str) -> DataFrame:
         .select("path", "content")
         .mapInPandas(decode, schema=PSRFITS_SUBINT_SCHEMA)
     )
+
+
+PSRFITS_CUBE_SCHEMA = T.StructType(
+    [
+        T.StructField("obs_file", T.StringType(), False),
+        T.StructField("subint", T.IntegerType(), False),
+        T.StructField("pol", T.IntegerType(), False),
+        T.StructField("chan", T.IntegerType(), False),
+        T.StructField("bin", T.IntegerType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("weight", T.DoubleType(), True),
+    ]
+)
+
+
+def read_psrfits_cube(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S6: a folded PSRCHIVE/PSRFITS archive as the D3 long cube
+    (subint, pol, chan, bin, value, weight) — PSRCHIVE's .ar container
+    IS PSRFITS, so the dependency-free parser covers it (the reference
+    gets the same cube via the psrchive bindings,
+    fluxcal/lofar_fluxcal.py:300-360).
+
+    Folded-mode SUBINT layout (PSRFITS standard): DATA holds
+    NPOL*NCHAN*NBIN values per row, bin fastest
+    (idx = (p*nchan + c)*nbin + b); DAT_SCL/DAT_OFFS have one entry
+    per (pol, chan); DAT_WTS one per chan. The decoded value is
+    raw*scl+offs — emitted calibrated, with the channel weight riding
+    along for P9 weight-zapping."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["content"])
+                hdus = parse_fits(buf)
+                sub = next(
+                    (
+                        h
+                        for h in hdus[1:]
+                        if str(h["hdu_name"]).upper().startswith(("SUBINT", "BINTABLE"))
+                    ),
+                    None,
+                )
+                if sub is None:
+                    continue
+                cards = sub["cards"]
+                npol = int(cards.get("npol", 1))
+                nchan = int(cards["nchan"])
+                nbin = int(cards.get("nbin", 1))
+                scl = bintable_column(buf, sub, "dat_scl").astype("f8")
+                offs = bintable_column(buf, sub, "dat_offs").astype("f8")
+                data = bintable_column(buf, sub, "data").astype("f8")
+                try:
+                    wts = bintable_column(buf, sub, "dat_wts").astype("f8")
+                except KeyError:
+                    wts = np.ones((data.shape[0], nchan))
+                nrows = data.shape[0]
+                cube = data.reshape(nrows, npol, nchan, nbin)
+                s = scl.reshape(nrows, npol, nchan, 1)
+                o = offs.reshape(nrows, npol, nchan, 1)
+                cal = cube * s + o
+                r_idx, p_idx, c_idx, b_idx = np.indices(
+                    (nrows, npol, nchan, nbin)
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "obs_file": row["path"],
+                            "subint": r_idx.ravel().astype("i4"),
+                            "pol": p_idx.ravel().astype("i4"),
+                            "chan": c_idx.ravel().astype("i4"),
+                            "bin": b_idx.ravel().astype("i4"),
+                            "value": cal.ravel(),
+                            "weight": wts[r_idx.ravel(), c_idx.ravel()],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame({f.name: [] for f in PSRFITS_CUBE_SCHEMA.fields})
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "content")
+        .mapInPandas(decode, schema=PSRFITS_CUBE_SCHEMA)
+    )

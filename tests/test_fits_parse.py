@@ -143,3 +143,73 @@ def test_read_psrfits_decode_matches_reference(spark, tmp_path):
         expect = raw * scl8[r.subint, r.chan] + offs8[r.subint, r.chan]
         assert r.value == raw
         assert r.decoded == pytest.approx(expect, rel=1e-12)
+
+
+def test_read_psrfits_cube_folded_archive(spark, tmp_path):
+    # folded-mode archive (S6): NPOL*NCHAN*NBIN 16-bit data per row,
+    # per-(pol,chan) scale/offset, per-chan weights; decode checked
+    # against the numpy expression and composed with the fluxcal
+    # pscrunch plan.
+    npol, nchan, nbin, nrows = 2, 3, 4, 2
+    rng = np.random.RandomState(11)
+    scl = rng.uniform(0.5, 1.5, (nrows, npol * nchan)).astype(">f4")
+    offs = rng.uniform(-2.0, 2.0, (nrows, npol * nchan)).astype(">f4")
+    wts = np.array([[1.0, 0.0, 1.0]] * nrows).astype(">f4")
+    data = rng.randint(-500, 500, (nrows, npol * nchan * nbin)).astype(">i2")
+    naxis1 = (npol * nchan) * 4 * 2 + nchan * 4 + npol * nchan * nbin * 2
+    hdr = _header(
+        [
+            _card("XTENSION", "BINTABLE"),
+            _card("BITPIX", 8),
+            _card("NAXIS", 2),
+            _card("NAXIS1", naxis1),
+            _card("NAXIS2", nrows),
+            _card("PCOUNT", 0),
+            _card("GCOUNT", 1),
+            _card("TFIELDS", 4),
+            _card("EXTNAME", "SUBINT"),
+            _card("TTYPE1", "DAT_SCL"),
+            _card("TFORM1", f"{npol * nchan}E"),
+            _card("TTYPE2", "DAT_OFFS"),
+            _card("TFORM2", f"{npol * nchan}E"),
+            _card("TTYPE3", "DAT_WTS"),
+            _card("TFORM3", f"{nchan}E"),
+            _card("TTYPE4", "DATA"),
+            _card("TFORM4", f"{npol * nchan * nbin}I"),
+            _card("NPOL", npol),
+            _card("NCHAN", nchan),
+            _card("NBIN", nbin),
+        ]
+    )
+    primary = _header([_card("SIMPLE", True), _card("BITPIX", 8), _card("NAXIS", 0),
+                       _card("EXTEND", True)])
+    rows_blob = b"".join(
+        scl[r].tobytes() + offs[r].tobytes() + wts[r].tobytes() + data[r].tobytes()
+        for r in range(nrows)
+    )
+    (tmp_path / "archive.ar").write_bytes(primary + hdr + _pad_data(rows_blob))
+
+    from lofar_bf_pulsar_scripts_spark.sources.fits_h5 import read_psrfits_cube
+
+    cube = read_psrfits_cube(spark, str(tmp_path / "archive.ar"))
+    got = cube.orderBy("subint", "pol", "chan", "bin").collect()
+    assert len(got) == nrows * npol * nchan * nbin
+    scl8, offs8 = scl.astype("f8"), offs.astype("f8")
+    d = data.astype("f8").reshape(nrows, npol, nchan, nbin)
+    for r in got[:: max(len(got) // 23, 1)]:
+        pc = r.pol * nchan + r.chan
+        expect = d[r.subint, r.pol, r.chan, r.bin] * scl8[r.subint, pc] + offs8[r.subint, pc]
+        assert r.value == pytest.approx(expect, rel=1e-12)
+        assert r.weight == wts.astype("f8")[r.subint, r.chan]
+
+    # compose with the fluxcal plan: pol-scrunch sums over pol
+    from lofar_bf_pulsar_scripts_spark.plans.fluxcal import pscrunch
+
+    ps = {
+        (r["subint"], r["chan"], r["bin"]): r["value"]
+        for r in pscrunch(cube).collect()
+    }
+    expect_ps = (d * scl8.reshape(nrows, npol, nchan, 1)
+                 + offs8.reshape(nrows, npol, nchan, 1)).sum(axis=1)
+    for (s, c, b), v in ps.items():
+        assert v == pytest.approx(expect_ps[s, c, b], rel=1e-12)
