@@ -447,3 +447,103 @@ def read_psrfits_cube(spark: SparkSession, path_glob: str) -> DataFrame:
         .select("path", "content")
         .mapInPandas(decode, schema=PSRFITS_CUBE_SCHEMA)
     )
+
+
+def _fits_card(key: str, value) -> bytes:
+    if isinstance(value, bool):
+        body = f"{key.upper():<8}= {'T' if value else 'F':>20}"
+    elif isinstance(value, str):
+        body = f"{key.upper():<8}= '{value:<8}'"
+    elif isinstance(value, float):
+        body = f"{key.upper():<8}= {value:>20.12G}"
+    else:
+        body = f"{key.upper():<8}= {value:>20d}"
+    return body.ljust(80).encode("ascii")
+
+
+def _fits_header(cards: list[bytes]) -> bytes:
+    blob = b"".join(cards) + b"END".ljust(80)
+    return blob + b" " * ((-len(blob)) % _FITS_BLOCK)
+
+
+def write_psrfits_cube(
+    cube: DataFrame,
+    path: str,
+    extra_primary_cards: dict | None = None,
+) -> None:
+    """K4 calibrated-archive sink: serialize a D3 long cube
+    (subint, pol, chan, bin, value, weight) back into a folded-mode
+    PSRFITS file — the reference persists its calibrated archives via
+    psrchive's unload (``pam``/``lofar_fluxcal.py`` pipeline output);
+    this writes the same SUBINT container dependency-free.
+
+    16-bit quantization per (subint, pol, chan), the PSRFITS
+    convention: offs = (max+min)/2, scl = (max-min)/65534 (1.0 when
+    the profile is flat), raw = round((v-offs)/scl). One .ar file is
+    one observation — a driver-side artifact like the reference's, so
+    the cube is collected via Arrow (toPandas); partition-parallel
+    writes would shard per observation at scale."""
+    import numpy as np
+
+    pdf = cube.toPandas().sort_values(["subint", "pol", "chan", "bin"])
+    nsub = int(pdf["subint"].max()) + 1
+    npol = int(pdf["pol"].max()) + 1
+    nchan = int(pdf["chan"].max()) + 1
+    nbin = int(pdf["bin"].max()) + 1
+    vals = pdf["value"].to_numpy().reshape(nsub, npol, nchan, nbin)
+    if "weight" in pdf.columns:
+        wts = (
+            pdf[pdf["pol"].eq(0) & pdf["bin"].eq(0)]["weight"]
+            .to_numpy()
+            .reshape(nsub, nchan)
+        )
+    else:
+        wts = np.ones((nsub, nchan))
+    vmax = vals.max(axis=3)
+    vmin = vals.min(axis=3)
+    offs = (vmax + vmin) / 2.0
+    scl = (vmax - vmin) / 65534.0
+    scl[scl == 0.0] = 1.0
+    raw = np.round(
+        (vals - offs[..., None]) / scl[..., None]
+    ).astype(">i2")
+
+    primary_cards = [
+        _fits_card("SIMPLE", True),
+        _fits_card("BITPIX", 8),
+        _fits_card("NAXIS", 0),
+        _fits_card("EXTEND", True),
+    ] + [_fits_card(k, v) for k, v in (extra_primary_cards or {}).items()]
+    naxis1 = (npol * nchan) * 4 * 2 + nchan * 4 + npol * nchan * nbin * 2
+    subint_cards = [
+        _fits_card("XTENSION", "BINTABLE"),
+        _fits_card("BITPIX", 8),
+        _fits_card("NAXIS", 2),
+        _fits_card("NAXIS1", naxis1),
+        _fits_card("NAXIS2", nsub),
+        _fits_card("PCOUNT", 0),
+        _fits_card("GCOUNT", 1),
+        _fits_card("TFIELDS", 4),
+        _fits_card("EXTNAME", "SUBINT"),
+        _fits_card("TTYPE1", "DAT_SCL"),
+        _fits_card("TFORM1", f"{npol * nchan}E"),
+        _fits_card("TTYPE2", "DAT_OFFS"),
+        _fits_card("TFORM2", f"{npol * nchan}E"),
+        _fits_card("TTYPE3", "DAT_WTS"),
+        _fits_card("TFORM3", f"{nchan}E"),
+        _fits_card("TTYPE4", "DATA"),
+        _fits_card("TFORM4", f"{npol * nchan * nbin}I"),
+        _fits_card("NPOL", npol),
+        _fits_card("NCHAN", nchan),
+        _fits_card("NBIN", nbin),
+    ]
+    rows = b"".join(
+        scl[r].astype(">f4").tobytes()
+        + offs[r].astype(">f4").tobytes()
+        + wts[r].astype(">f4").tobytes()
+        + raw[r].tobytes()
+        for r in range(nsub)
+    )
+    data = rows + b"\x00" * ((-len(rows)) % _FITS_BLOCK)
+    with open(path, "wb") as fh:
+        fh.write(_fits_header(primary_cards) + _fits_header(subint_cards) + data)

@@ -213,3 +213,44 @@ def test_read_psrfits_cube_folded_archive(spark, tmp_path):
                  + offs8.reshape(nrows, npol, nchan, 1)).sum(axis=1)
     for (s, c, b), v in ps.items():
         assert v == pytest.approx(expect_ps[s, c, b], rel=1e-12)
+
+
+def test_write_psrfits_cube_roundtrip(spark, tmp_path):
+    # K4 sink: write a calibrated cube as a folded PSRFITS archive and
+    # read it back — values agree within 16-bit quantization.
+    from lofar_bf_pulsar_scripts_spark.sources.fits_h5 import (
+        read_psrfits_cube,
+        write_psrfits_cube,
+    )
+
+    nsub, npol, nchan, nbin = 2, 2, 3, 16
+    rng = np.random.RandomState(5)
+    rows = []
+    vals = rng.normal(50.0, 12.0, (nsub, npol, nchan, nbin))
+    for s in range(nsub):
+        for p in range(npol):
+            for c in range(nchan):
+                for b in range(nbin):
+                    rows.append((s, p, c, b, float(vals[s, p, c, b]),
+                                 1.0 if c != 1 else 0.0))
+    cube = spark.createDataFrame(
+        rows, "subint int, pol int, chan int, bin int, value double, weight double"
+    )
+    path = str(tmp_path / "out.ar")
+    write_psrfits_cube(cube, path, extra_primary_cards={"OBSFREQ": 149.9})
+
+    back = read_psrfits_cube(spark, path)
+    got = {
+        (r.subint, r.pol, r.chan, r.bin): (r.value, r.weight)
+        for r in back.collect()
+    }
+    assert len(got) == nsub * npol * nchan * nbin
+    for s in range(nsub):
+        for p in range(npol):
+            for c in range(nchan):
+                span = vals[s, p, c].max() - vals[s, p, c].min()
+                q = span / 65534.0  # one quantization step
+                for b in range(nbin):
+                    v, w = got[(s, p, c, b)]
+                    assert abs(v - vals[s, p, c, b]) <= q * 0.51
+                    assert w == (1.0 if c != 1 else 0.0)
