@@ -1,0 +1,166 @@
+"""Training-data pipeline operators beyond the reference (north star):
+deterministic dataset splits, duplicate-cluster resolution, and
+context-window sequence packing.
+
+Scale design:
+* hash_split — a pure projection (one xxhash per row, no shuffle, no
+  RNG state): split membership is a function of the id alone, so it is
+  stable across runs, partitions, and cluster sizes.
+* connected_components — iterative min-label propagation over the
+  candidate-pair graph (e.g. LSH output, `dedup.candidate_pairs`).
+  Each iteration is one shuffle on the node id; iterations are
+  O(log(diameter)) because labels jump through neighbor minima.
+  Convergence is checked with a count of changed labels, and
+  intermediate results are checkpointed through a parquet round-trip
+  every few iterations to cut the growing lineage — the standard
+  Spark iterative-algorithm discipline.
+* pack_sequences — first-fit packing of documents into max_tokens
+  context windows, partition-local via applyInPandas over a
+  hash-bucketed grouping: packing is embarrassingly parallel when the
+  corpus is pre-bucketed, and each bucket's working set is one Arrow
+  batch. Global optimality is NOT the goal (the reference scheduler
+  W10 shows greedy is the accepted trade) — deterministic, streaming-
+  friendly packing is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = xxhash64(id,
+    seed) mod 1e6 mapped through the cumulative weight ranges. Pure
+    projection — membership never changes with partitioning or data
+    order, the property random() splits lack."""
+    total = sum(weights.values())
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    acc = 0.0
+    expr = None
+    for name, w in weights.items():
+        acc += w / total
+        cond = h < int(acc * 1_000_000)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # guard the exact upper edge
+    last = list(weights)[-1]
+    return df.withColumn(out_col, expr.otherwise(last))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Duplicate clusters from a candidate-pair graph: (node,
+    component) with component = the minimum node id reachable —
+    min-label propagation to fixpoint.
+
+    Per iteration: each node adopts min(own label, neighbors' labels)
+    — one shuffle on node id. Stops when no label changes (counted,
+    not guessed) or max_iter. For 100 TB dedup graphs the pair list is
+    LSH-bucket-bounded (dedup.py), so edges ≪ rows²; every iteration
+    is a hash aggregation, never a cross product."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select("n")
+        .distinct()
+        .withColumn("comp", F.col("n"))
+    )
+    for it in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp"))
+                .cast("int")
+                .alias("__chg"),
+            )
+        )
+        if checkpoint_dir and (it + 1) % checkpoint_every == 0:
+            path = f"{checkpoint_dir}/cc_iter_{it}"
+            updated.write.mode("overwrite").parquet(path)
+            updated = spark.read.parquet(path)
+        changed = updated.agg(F.sum("__chg")).first()[0] or 0
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("comp").alias("component"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing packing of documents into context windows
+    of ``max_tokens``: returns (doc_id, n_tokens, bucket, pack_id,
+    pack_tokens). Documents longer than max_tokens get their own pack
+    (truncation is the caller's policy).
+
+    Packing runs independently inside hash buckets (deterministic
+    xxhash64 of the id), so the shuffle is one exchange on the bucket
+    key and each group packs its Arrow batch in pandas — the same
+    greedy-local trade the reference's scheduler makes (W10)."""
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(id_col), F.lit("pack")), F.lit(n_buckets))
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        packs: list[int] = []  # remaining capacity per pack
+        assign = []
+        for _, row in pdf.iterrows():
+            n = int(row[tokens_col])
+            placed = None
+            for i, cap in enumerate(packs):
+                if n <= cap:
+                    placed = i
+                    packs[i] = cap - n
+                    break
+            if placed is None:
+                packs.append(max(int(max_tokens) - n, 0))
+                placed = len(packs) - 1
+            assign.append(placed)
+        out = pdf[[id_col, tokens_col, "bucket"]].copy()
+        out["pack_id"] = [f"{bucket}_{a}" for a in assign]
+        return out
+
+    packed = bucketed.groupBy("bucket").applyInPandas(
+        pack,
+        schema=f"{id_col} string, {tokens_col} long, bucket long, pack_id string",
+    )
+    totals = packed.groupBy("pack_id").agg(
+        F.sum(tokens_col).alias("pack_tokens")
+    )
+    return packed.join(totals, "pack_id")

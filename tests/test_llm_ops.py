@@ -178,3 +178,72 @@ def test_cosine_expression_matches_numpy(spark, vectors):
     )
     got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
     assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import hash_split
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("doc_id"))
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # determinism: same assignment on re-computation and reordering
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.orderBy(F.desc("doc_id")), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_connected_components_clusters(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import connected_components
+
+    # two chains and a singleton edge: {1-2-3-4}, {10-11}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert {got[1], got[2], got[3], got[4]} == {1}
+    assert {got[10], got[11]} == {10}
+    assert {got[20], got[21]} == {20}
+
+
+def test_connected_components_long_chain_converges(spark, tmp_path):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import connected_components
+
+    n = 40  # a path graph needs ~log(n) label-jump iterations
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = connected_components(
+        edges, max_iter=50, checkpoint_dir=str(tmp_path)
+    )
+    comps = {r.component for r in got.collect()}
+    assert comps == {0}
+
+
+def test_pack_sequences_first_fit(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import pack_sequences
+
+    rows = [(f"d{i}", 100 + (i * 37) % 900) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = pack_sequences(df, max_tokens=2048, n_buckets=4).collect()
+    assert len(out) == 300  # every doc packed exactly once
+    per_pack = {}
+    for r in out:
+        per_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for pid, toks in per_pack.items():
+        assert sum(toks) <= 2048, pid
+    # packing efficiency: greedy FFD should stay well above half-full
+    fills = [sum(t) for t in per_pack.values()]
+    assert sum(fills) / (len(fills) * 2048) > 0.6
+    # oversized doc gets its own pack
+    big = spark.createDataFrame([("huge", 5000), ("small", 10)], "doc_id string, n_tokens long")
+    out2 = pack_sequences(big, max_tokens=2048, n_buckets=1).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in out2}
+    assert packs["huge"] != packs["small"] or len({r["pack_id"] for r in out2}) == 2
