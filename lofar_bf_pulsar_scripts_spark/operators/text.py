@@ -111,3 +111,37 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
     return F.md5(norm.cast("binary"))
+
+
+# --- PII redaction (north star: training-data scrubbing) -------------
+
+_PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails before bare domains, long digit runs last
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?<![\w.])\+?\d[\d\s().-]{7,}\d(?![\w.])", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Regex scrubbing of emails / IPv4 / phone-like digit runs — the
+    standard pre-training redaction pass, entirely JVM-side
+    (chained regexp_replace, no UDF). Patterns are deliberately
+    conservative: recall over precision is the training-data trade."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-category PII hit counts for corpus auditing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(name)
+            for (pat, token), name in zip(
+                _PII_PATTERNS, ["emails", "ips", "phones"]
+            )
+        ]
+    )

@@ -247,3 +247,31 @@ def test_pack_sequences_first_fit(spark):
     out2 = pack_sequences(big, max_tokens=2048, n_buckets=1).collect()
     packs = {r["doc_id"]: r["pack_id"] for r in out2}
     assert packs["huge"] != packs["small"] or len({r["pack_id"] for r in out2}) == 2
+
+
+def test_redact_pii_and_counts(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        ("a", "contact john.doe+x@example.co.uk or call +31 6 1234 5678 now"),
+        ("b", "server at 192.168.1.17 responded; version 2.1.3 unchanged"),
+        ("c", "no pii here, just text with numbers 42 and 3.14"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r.doc_id: (r.clean, r.counts)
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("clean"),
+            pii_counts("text").alias("counts"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out["a"][0] and "example.co.uk" not in out["a"][0]
+    assert "<PHONE>" in out["a"][0]
+    assert out["a"][1]["emails"] == 1 and out["a"][1]["phones"] == 1
+    assert "<IP>" in out["b"][0] and "192.168.1.17" not in out["b"][0]
+    # version strings survive (dotted short numbers are not IPs... 2.1.3
+    # has only 3 octets)
+    assert "2.1.3" in out["b"][0]
+    assert out["c"][0] == rows[2][1]  # untouched
+    assert out["c"][1]["emails"] == out["c"][1]["ips"] == out["c"][1]["phones"] == 0

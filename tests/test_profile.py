@@ -76,3 +76,54 @@ def test_islands(spark):
     )
     got = {r["start"]: (r["width"], r["peak"]) for r in islands(df, 2.5).collect()}
     assert got == {5: (4, 5.0), 20: (1, 7.0), 30: (3, 3.0)}
+
+
+def test_cross_method_mean_rms_agreement(spark):
+    # the reference's own validation strategy (snr.py:379-440 prints
+    # QQ / Off-window / Polynom estimates side by side for human
+    # comparison): on a synthetic profile with a known Gaussian
+    # off-pulse baseline, all three independent estimators must agree
+    # with the truth within sampling noise.
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.operators.fits import (
+        fit_polynomial_baseline,
+    )
+    from lofar_bf_pulsar_scripts_spark.operators.profile import off_window_stats
+    from lofar_bf_pulsar_scripts_spark.operators.qqnorm import qq_stats_sql
+
+    rng = np.random.RandomState(42)
+    nbins = 1024
+    true_mean, true_rms = 12.0, 1.5
+    prof = rng.normal(true_mean, true_rms, nbins)
+    prof[480:520] += 40.0  # the pulse sits in [480, 520)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(prof)], "bin int, profile double"
+    )
+
+    # method 1: off-window moments over the pulse-free half
+    off = off_window_stats(df, 600, 1024, nbins).first()
+    # method 2: QQ regression over the central quantiles (pulse bins
+    # are upper-tail outliers the [-1, 1] osm range excludes)
+    qq = (
+        qq_stats_sql(df.withColumn("g", F.lit(1)), ["g"], value_col="profile")
+        .first()
+    )
+    # method 3: residual rms after a degree-0 polynomial baseline over
+    # the off region (snr.py's Polynom method)
+    resid = fit_polynomial_baseline(
+        df.filter((F.col("bin") < 480) | (F.col("bin") >= 520)),
+        degree=0,
+        x_col="bin",
+        y_col="profile",
+    )
+    poly = resid.agg(
+        F.avg("baseline").alias("m"), F.stddev_samp("profile").alias("s")
+    ).first()
+
+    sem = true_rms / np.sqrt(400)  # loose sampling tolerance
+    for m, s in [(off["off_mean"], off["off_rms"]),
+                 (qq["qq_mean"], qq["qq_rms"]),
+                 (poly["m"], poly["s"])]:
+        assert abs(m - true_mean) < 8 * sem, (m, true_mean)
+        assert abs(s - true_rms) < 0.25, (s, true_rms)
