@@ -22,6 +22,7 @@ wget subprocess, HTTP library, or a test fake.
 """
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -41,6 +42,7 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("ok", T.BooleanType(), False),
         T.StructField("nbytes", T.LongType(), True),
         T.StructField("error", T.StringType(), True),
+        T.StructField("elapsed_s", T.DoubleType(), True),
     ]
 )
 
@@ -105,6 +107,10 @@ def retrieve_manifest(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                # per-file wall-clock, the reference's retrieve timers
+                # (lta-retrieve.py:184-288 prints retrieve/extract
+                # times per file) — telemetry rides the ledger row
+                t0 = time.time()
                 try:
                     ok, nbytes, err = fetch(r["url"], r["obsid_dir"])
                 except Exception as exc:  # fetcher bug == failed file
@@ -117,6 +123,7 @@ def retrieve_manifest(
                         "ok": bool(ok),
                         "nbytes": int(nbytes),
                         "error": err,
+                        "elapsed_s": time.time() - t0,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
