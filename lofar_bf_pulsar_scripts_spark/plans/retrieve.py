@@ -186,3 +186,45 @@ def retry_manifest(results: DataFrame, manifest: DataFrame) -> DataFrame:
     seeds the next retrieve_manifest() run."""
     failed = results.filter(~F.col("ok")).select("filename").distinct()
     return manifest.join(F.broadcast(failed), "filename", "left_semi")
+
+
+def transfer_waves(
+    plan: DataFrame,
+    mode: str = "all",
+    max_in_flight: int = -1,
+    file_col: str = "filename",
+    node_col: str = "obsid_dir",
+) -> DataFrame:
+    """The reference's three inter-cluster copy concurrency schemes
+    (cluster-copy.py:166-171,377-490) as a deterministic wave
+    assignment: every file gets a ``wave`` number; wave k starts when
+    wave k-1 drains (the Popen waiting_list barrier).
+
+    * ``all`` — everything at once: wave 0 (cluster-copy.py:386-401).
+    * ``max_n`` — at most ``max_in_flight`` concurrent transfers:
+      wave = rank/N over a deterministic file order
+      (cluster-copy.py:402-430's bounded popen pool, batch form).
+    * ``per_node`` — one file per destination node at a time:
+      wave = rank within the node's queue
+      (--one-file-per-dragnet-node-at-once, cluster-copy.py:432-490).
+
+    Window partitioned by nothing ('all', 'max_n' — the file list is a
+    manifest, dimension-sized) or by node ('per_node'); execution then
+    groups by wave and feeds each wave to retrieve_manifest."""
+    from pyspark.sql import Window
+
+    if mode == "all":
+        return plan.withColumn("wave", F.lit(0))
+    if mode == "max_n":
+        if max_in_flight <= 0:
+            return plan.withColumn("wave", F.lit(0))
+        rank = F.row_number().over(Window.orderBy(file_col)) - 1
+        return plan.withColumn(
+            "wave", (rank / F.lit(int(max_in_flight))).cast("int")
+        )
+    if mode == "per_node":
+        rank = F.row_number().over(
+            Window.partitionBy(node_col).orderBy(file_col)
+        ) - 1
+        return plan.withColumn("wave", rank.cast("int"))
+    raise ValueError(f"unknown transfer mode {mode!r}")

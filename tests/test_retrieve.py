@@ -154,3 +154,33 @@ def test_staged_retrieval_stream_overlap(spark, tmp_path):
         "L123456_SAP000_B001_S0_P001_bf.tar",
     }
     assert all(r.ok for r in rows)
+
+
+def test_transfer_waves_modes(spark):
+    # cluster-copy.py concurrency schemes as wave assignment
+    rows = [(f"L1_P{i:03d}.raw", f"node{i % 3}") for i in range(9)]
+    plan = spark.createDataFrame(rows, "filename string, obsid_dir string")
+
+    all_w = R.transfer_waves(plan, "all").select("wave").distinct().collect()
+    assert [r.wave for r in all_w] == [0]
+
+    mx = R.transfer_waves(plan, "max_n", max_in_flight=4).collect()
+    waves = {}
+    for r in mx:
+        waves.setdefault(r.wave, []).append(r.filename)
+    assert sorted(waves) == [0, 1, 2]
+    assert all(len(v) <= 4 for v in waves.values())
+    assert sum(len(v) for v in waves.values()) == 9
+
+    pn = R.transfer_waves(plan, "per_node").collect()
+    per = {}
+    for r in pn:
+        per.setdefault((r.obsid_dir, r.wave), []).append(r.filename)
+    # one file per node per wave
+    assert all(len(v) == 1 for v in per.values())
+    assert max(w for (_, w) in per) == 2  # 3 files per node -> 3 waves
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        R.transfer_waves(plan, "bogus")
