@@ -198,3 +198,31 @@ def sefd_jy(tsys_k: Column, aeff_m2: Column) -> Column:
     (fluxcal/lofar_fluxcal.py:741-757)."""
     k_b = 1.380649e-16
     return F.lit(2.0 * k_b * 1.0e23) * tsys_k / (aeff_m2 * F.lit(1.0e4))
+
+
+def aeff_arisN_m2(
+    n_elem: Column, f_mhz: Column, el_deg: Column
+) -> Column:
+    """'arisN' effective-area model: the analytic maximum scaled with
+    elevation as sin(EL)^1.39, Noutsos et al. (2015)
+    (fluxcal/lofar_gain.py:460-473; dispatched at
+    lofar_psrflux.py:531,693). HBA (>=100 MHz): n*16*min(lambda^2/3,
+    1.5625); LBA: n*lambda^2/3 — each scaled by the elevation term."""
+    import math
+
+    lam = F.lit(299.792458) / f_mhz
+    base = F.when(
+        f_mhz >= 100.0,
+        n_elem * F.lit(16.0) * F.least(lam * lam / F.lit(3.0), F.lit(1.5625)),
+    ).otherwise(n_elem * lam * lam / F.lit(3.0))
+    el_scale = F.pow(F.sin(el_deg * F.lit(math.pi / 180.0)), F.lit(1.39))
+    return base * el_scale
+
+
+def station_nelem(station: Column) -> Column:
+    """Element count by station class: CS/RS 48, international 96
+    (lofar_gain.py:633-640)."""
+    cls = F.substring(station, 1, 2)
+    return F.when((cls == "CS") | (cls == "RS"), F.lit(48.0)).otherwise(
+        F.lit(96.0)
+    )

@@ -207,3 +207,40 @@ def test_wijnholds_aeff_bilinear_lookup(spark, tmp_path):
     hi = np.interp(2.25, np.arange(nel), gtable[1])
     expect = np.interp(112.5, [110.0, 115.0], [lo, hi])
     assert got["aeff_m2"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_aeff_arisN_elevation_scaling(spark):
+    # arisN = analytic max * sin(EL)^1.39 (lofar_gain.py:460-473);
+    # band-average composes through the same midpoint integral the
+    # reference uses (lofar_gain.py:642-656 uses nparts+1 endpoint
+    # samples; our band_average is midpoint - both converge, compare
+    # pointwise here).
+    import math as m
+
+    from lofar_bf_pulsar_scripts_spark.functions.astro import (
+        aeff_arisN_m2,
+        station_nelem,
+    )
+
+    df = spark.createDataFrame(
+        [("CS002", 150.0, 30.0), ("DE601", 50.0, 90.0), ("RS509", 150.0, 90.0)],
+        "station string, freq_mhz double, el_deg double",
+    )
+    out = {
+        (r.station): r.aeff
+        for r in df.select(
+            "station",
+            aeff_arisN_m2(
+                station_nelem(F.col("station")), F.col("freq_mhz"), F.col("el_deg")
+            ).alias("aeff"),
+        ).collect()
+    }
+    lam150 = 299.792458 / 150.0
+    base_hba_48 = 48 * 16.0 * min(lam150 * lam150 / 3.0, 1.5625)
+    assert out["CS002"] == pytest.approx(
+        base_hba_48 * m.sin(m.radians(30.0)) ** 1.39, rel=1e-12
+    )
+    # at zenith the scale term is 1
+    assert out["RS509"] == pytest.approx(base_hba_48, rel=1e-12)
+    lam50 = 299.792458 / 50.0
+    assert out["DE601"] == pytest.approx(96 * lam50 * lam50 / 3.0, rel=1e-12)
