@@ -136,3 +136,32 @@ def output_spectrum(
         value_col="flux_mjy",
         weight_col="weight",
     )
+
+
+def flatten_bandpass(
+    cube: DataFrame,
+    value_col: str = "value",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """The lba-flatten-bandpass.py script end-to-end
+    (/root/reference/lba-flatten-bandpass.py:63-80): per (subint,
+    chan) profile, fit the Q-Q line over the central quantiles
+    (probplot + polyfit over osm in [-1, 1]) and normalize to
+    (x - mean)/rms; zero-weight channels are zeroed outright. Compose
+    with ``pscrunch``/``scrunch`` for the f/b/t-scrunch options and
+    ``sources.fits_h5.write_psrfits_cube`` for the .flat.ar sink.
+
+    One exchange on (subint, chan) — the same grouped shape as every
+    W2 use; ingest-time bucketing makes it map-side."""
+    from ..operators.qqnorm import qq_normalize
+
+    zapped = cube.filter(F.col(weight_col) == 0.0).withColumn(
+        value_col, F.lit(0.0)
+    )
+    live = cube.filter(F.col(weight_col) != 0.0)
+    flat = qq_normalize(live, ["subint", "chan"], value_col=value_col)
+    # zapped channels carry no stats
+    z = zapped.withColumn("qq_mean", F.lit(None).cast("double")).withColumn(
+        "qq_rms", F.lit(None).cast("double")
+    )
+    return flat.unionByName(z)

@@ -121,3 +121,39 @@ def test_dynsp_pipeline(spark):
     t_row, f_row = t_hp.first(), f_hp.first()
     assert t_row["half_power_lag"] is not None
     assert f_row["half_power_lag"] is not None
+
+
+def test_flatten_bandpass_script(spark):
+    # lba-flatten-bandpass.py: per-(subint,chan) QQ normalization with
+    # zero-weight channels zeroed; normalized profiles have ~0 mean
+    # and ~unit rms measured on the off-pulse.
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.plans.fluxcal import flatten_bandpass
+
+    rng = np.random.RandomState(8)
+    rows = []
+    nbin = 256
+    for s in range(2):
+        for c in range(3):
+            base = 10.0 * (c + 1)
+            w = 0.0 if c == 1 else 1.0
+            prof = rng.normal(base, 2.0 * (c + 1), nbin)
+            prof[100:110] += 50.0  # pulse
+            for b in range(nbin):
+                rows.append((s, c, b, float(prof[b]), w))
+    cube = spark.createDataFrame(
+        rows, "subint int, chan int, bin int, value double, weight double"
+    )
+    out = flatten_bandpass(cube)
+    got = out.groupBy("subint", "chan").agg(
+        F.avg(F.when((F.col("bin") < 100) | (F.col("bin") >= 110), F.col("value"))).alias("m"),
+        F.stddev_samp(F.when((F.col("bin") < 100) | (F.col("bin") >= 110), F.col("value"))).alias("s"),
+        F.sum(F.abs(F.col("value"))).alias("tot"),
+    ).collect()
+    for r in got:
+        if r["chan"] == 1:
+            assert r["tot"] == 0.0  # zero-weight channel zeroed
+        else:
+            assert abs(r["m"]) < 0.15, (r["subint"], r["chan"])
+            assert abs(r["s"] - 1.0) < 0.2, (r["subint"], r["chan"])
