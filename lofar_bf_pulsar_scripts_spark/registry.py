@@ -898,6 +898,68 @@ def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_clusters_oracle() -> str:
+    """LSH buckets -> candidate pairs -> connected components via a
+    recursive transitive-closure CTE (min reachable doc_id = the
+    component label, exactly pipeline.connected_components)."""
+    sig_cols = ",\n               ".join(
+        _minhash_sig_sql(i) for i in range(_NUM_MINHASH)
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR) AS bucket "
+        "FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM base
+    ), hashed AS (
+        SELECT doc_id, {_minhash_x_sql('s')} AS x FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM hashed GROUP BY doc_id
+    ), buckets AS (
+        {branches}
+    ), pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT ia AS n, ib AS m FROM pairs
+        UNION
+        SELECT ib AS n, ia AS m FROM pairs
+    ), reach(n, r) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM sym) nodes
+        UNION
+        SELECT s.m, reach.r FROM reach JOIN sym s ON s.n = reach.n
+    )
+    SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+    """
+
+
+@_register(
+    "dup_clusters",
+    _dup_clusters_oracle(),
+    "LSH candidate pairs -> connected components = dup clusters (north star)",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import candidate_pairs, lsh_buckets, minhash_signature
+    from .operators.pipeline import connected_components
+
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signature(d, num_hashes=_NUM_MINHASH)
+    b = lsh_buckets(sigs, id_col="doc_id", bands=4, rows_per_band=2)
+    pairs = candidate_pairs(b, "doc_id")
+    return connected_components(pairs, src_col="id_a", dst_col="id_b")
+
+
 @_register(
     "ngram_jaccard_pairs",
     f"""
@@ -2574,6 +2636,7 @@ _TAIL: tuple[str, ...] = (
     "streaming_fold_replay",
     "approx_sketches",
     # operator shape already gated by an in-window query
+    "minhash_signatures",  # signature math gated by lsh_bucket_sizes + dup_clusters
     "doc_fingerprint_groups",  # exact dedup gated by dedup_documents
     "file_placement",  # hash placement; LTA manifest gates S8/P5
     "cube_pricing",  # A11 gated by rollup_pricing

@@ -314,12 +314,17 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             comp_min.setdefault(r, v)
             comp_min[r] = min(comp_min[r], v)
 
-        got = {
-            r.node: r.component
-            for r in connected_components(
-                spark.createDataFrame(edges, "src long, dst long"), max_iter=30
-            ).collect()
-        }
-        assert set(got) == set(expected), trial
-        for v in expected:
-            assert got[v] == comp_min[expected[v]], (trial, v)
+        # threshold=0 forces the distributed label-propagation path;
+        # the default exercises the driver-side union-find fallback
+        for thresh in (0, 2_000_000):
+            got = {
+                r.node: r.component
+                for r in connected_components(
+                    spark.createDataFrame(edges, "src long, dst long"),
+                    max_iter=30,
+                    small_graph_threshold=thresh,
+                ).collect()
+            }
+            assert set(got) == set(expected), (trial, thresh)
+            for v in expected:
+                assert got[v] == comp_min[expected[v]], (trial, thresh, v)
