@@ -39,13 +39,33 @@ def hash_split(
     id_col: str = "doc_id",
     seed: str = "split",
     out_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Deterministic train/val/test assignment: bucket = xxhash64(id,
+    """Deterministic train/val/test assignment: bucket = hash(id,
     seed) mod 1e6 mapped through the cumulative weight ranges. Pure
     projection — membership never changes with partitioning or data
-    order, the property random() splits lack."""
+    order, the property random() splits lack.
+
+    hash_fn="xxhash64" (default) is the scale path: one JVM-side
+    64-bit hash, no string materialization. hash_fn="md5" derives the
+    bucket from the first 28 bits of md5(id || ':' || seed) — slower,
+    but portable across engines (any SQL dialect with md5() reproduces
+    the exact membership), which is what you want when the split must
+    be re-derivable outside Spark."""
     total = sum(weights.values())
-    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    if hash_fn == "md5":
+        from .dedup import _md5_int28
+
+        h = F.pmod(
+            _md5_int28(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+            ),
+            F.lit(1_000_000),
+        )
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     acc = 0.0
     expr = None
     for name, w in weights.items():

@@ -961,6 +961,41 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hash_split_counts",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               ({_minhash_x_sql("CAST(doc_id AS VARCHAR) || ':' || 'split'")})
+               % 1000000 AS b
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT split, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM s GROUP BY split
+    """,
+    "deterministic md5 train/val/test split histogram (north star)",
+)
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import hash_split
+
+    d = load_table(spark, "documents", sf_dir)
+    s = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("doc_id").alias("sum_doc"),
+    )
+
+
+@_register(
     "ngram_jaccard_pairs",
     f"""
     WITH base AS (
@@ -2637,6 +2672,7 @@ _TAIL: tuple[str, ...] = (
     "approx_sketches",
     # operator shape already gated by an in-window query
     "minhash_signatures",  # signature math gated by lsh_bucket_sizes + dup_clusters
+    "bpe_token_counts",  # token counting gated by token_stats; BPE regex pytest-covered
     "doc_fingerprint_groups",  # exact dedup gated by dedup_documents
     "file_placement",  # hash placement; LTA manifest gates S8/P5
     "cube_pricing",  # A11 gated by rollup_pricing

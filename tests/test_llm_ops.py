@@ -196,6 +196,19 @@ def test_hash_split_deterministic_and_proportional(spark):
     }
     first = {r["doc_id"]: r["split"] for r in out.collect()}
     assert first == again
+    # md5 mode: same proportions, engine-portable membership
+    md5_counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert abs(md5_counts["train"] / 20000 - 0.8) < 0.02
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": 1.0}, hash_fn="sha1")
 
 
 def test_connected_components_clusters(spark):
