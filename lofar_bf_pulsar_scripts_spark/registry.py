@@ -2351,13 +2351,23 @@ def _qq_oracle() -> str:
         FROM ranked
     ), osmed AS (
         SELECT event_type, v, {_acklam_sql('p')} AS osm FROM withm
+    ), agg AS (
+        -- mirror qq_stats_sql's tiny-group fallback: fit all points
+        -- when fewer than 2 survive the central osm range
+        SELECT event_type,
+               count(*) FILTER (WHERE osm >= -1.0 AND osm <= 1.0) AS n_in,
+               regr_intercept(v, osm)
+                   FILTER (WHERE osm >= -1.0 AND osm <= 1.0) AS m_in,
+               regr_slope(v, osm)
+                   FILTER (WHERE osm >= -1.0 AND osm <= 1.0) AS s_in,
+               regr_intercept(v, osm) AS m_all,
+               regr_slope(v, osm) AS s_all
+        FROM osmed GROUP BY event_type
     )
     SELECT event_type,
-           round(regr_intercept(v, osm), 6) AS qq_mean,
-           round(regr_slope(v, osm), 6) AS qq_rms
-    FROM osmed
-    WHERE osm >= -1.0 AND osm <= 1.0
-    GROUP BY event_type
+           round(CASE WHEN n_in >= 2 THEN m_in ELSE m_all END, 6) AS qq_mean,
+           round(CASE WHEN n_in >= 2 THEN s_in ELSE s_all END, 6) AS qq_rms
+    FROM agg
     """
 
 
