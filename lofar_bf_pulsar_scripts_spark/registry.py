@@ -1840,11 +1840,11 @@ def q_lta_superquery_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("L"),
             (F.lit(100000) + F.pmod(F.col("l_partkey"), F.lit(20))).cast("string"),
             F.lit("_SAP"),
-            F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(2))),
+            F.lpad(F.pmod(F.col("l_linenumber"), F.lit(2)).cast("string"), 3, "0"),
             F.lit("_B"),
-            F.format_string("%03d", F.pmod(F.col("l_suppkey"), F.lit(3)).cast("int")),
+            F.lpad(F.pmod(F.col("l_suppkey"), F.lit(3)).cast("string"), 3, "0"),
             F.lit("_S0_P"),
-            F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(4))),
+            F.lpad(F.pmod(F.col("l_linenumber"), F.lit(4)).cast("string"), 3, "0"),
             F.lit("_bf.tar"),
         ).alias("filename"),
         (F.col("l_extendedprice") * 1000).cast("bigint").alias("filesize"),
@@ -2268,7 +2268,7 @@ def q_file_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("L"),
             (F.lit(100000) + F.pmod(F.col("l_partkey"), F.lit(20))).cast("string"),
             F.lit("_P"),
-            F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(4))),
+            F.lpad(F.pmod(F.col("l_linenumber"), F.lit(4)).cast("string"), 3, "0"),
             F.lit("_bf.tar"),
         ).alias("filename"),
         F.pmod(F.col("l_linenumber"), F.lit(4)).cast("int").alias("part_num"),

@@ -9,8 +9,10 @@
 * S9 HDF5 attrs (/root/reference/fluxcal/lofar_fluxcal.py:151-172;
   get_flagged_tiles.py:50-64): FILTER_SELECTION,
   OBSERVATION_STATIONS_LIST, OBSERVATION_START_UTC — one metadata row
-  per .h5 file. HDF5's container format is NOT reimplemented here;
-  this one stays import-gated on h5py.
+  per .h5 file, parsed dependency-free by ``hdf5_lite`` (superblock
+  v0/v1 + v1 object headers, the format old LOFAR DAL files carry);
+  h5py is used as a fallback for newer container versions when it is
+  installed.
 """
 
 from __future__ import annotations
@@ -53,31 +55,45 @@ def _require(module: str, feature: str):
         ) from exc
 
 
-def read_h5_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
-    """S9: one metadata row per .h5 file (requires h5py)."""
-    _require("h5py", "HDF5 metadata scan")
+def _h5_attrs(buf: bytes) -> dict:
+    """Root attrs via hdf5_lite; h5py fallback for newer containers."""
+    from .hdf5_lite import parse_h5_root_attrs
 
-    def decode(batches: Iterator) -> Iterator:  # pragma: no cover
-        import h5py
+    try:
+        return parse_h5_root_attrs(buf)
+    except ValueError:
+        import io
+
+        h5py = _require("h5py", "HDF5 metadata scan (newer container)")
+        with h5py.File(io.BytesIO(buf), "r") as f:
+            return dict(f.attrs)
+
+
+def read_h5_metadata(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S9: one metadata row per .h5 file."""
+
+    def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                import io
-
-                with h5py.File(io.BytesIO(bytes(row["content"])), "r") as f:
-                    attrs = dict(f.attrs)
+                attrs = _h5_attrs(bytes(row["content"]))
                 stations = [
                     s.decode() if isinstance(s, bytes) else str(s)
                     for s in attrs.get("OBSERVATION_STATIONS_LIST", [])
                 ]
+                def _s(v):
+                    if v is None:
+                        return None
+                    return v.decode() if isinstance(v, bytes) else str(v)
+
                 rows.append(
                     {
                         "obs_file": row["path"],
-                        "filter_selection": attrs.get("FILTER_SELECTION"),
+                        "filter_selection": _s(attrs.get("FILTER_SELECTION")),
                         "stations": stations,
-                        "start_utc": attrs.get("OBSERVATION_START_UTC"),
+                        "start_utc": _s(attrs.get("OBSERVATION_START_UTC")),
                         "n_stations": len(stations),
                     }
                 )
