@@ -256,9 +256,14 @@ def pack_sequences(
         out["pack_id"] = [f"{bucket}_{a}" for a in assign]
         return out
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    tok_type = df.schema[tokens_col].dataType.simpleString()
     packed = bucketed.groupBy("bucket").applyInPandas(
         pack,
-        schema=f"{id_col} string, {tokens_col} long, bucket long, pack_id string",
+        schema=(
+            f"{id_col} {id_type}, {tokens_col} {tok_type}, "
+            "bucket long, pack_id string"
+        ),
     )
     totals = packed.groupBy("pack_id").agg(
         F.sum(tokens_col).alias("pack_tokens")

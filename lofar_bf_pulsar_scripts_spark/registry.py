@@ -960,6 +960,66 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src_col="id_a", dst_col="id_b")
 
 
+def _pack_oracle() -> str:
+    """First-fit-decreasing simulated in SQL: a recursive CTE carries
+    the per-pack remaining capacities as a list; each step places the
+    next doc in the first pack it fits (NULLIF guards DuckDB versions
+    where list_position returns 0, not NULL, on no match)."""
+    pos = (
+        "NULLIF(list_position("
+        "list_transform(f.caps, x -> x >= d.n_tokens), true), 0)"
+    )
+    return f"""
+    WITH RECURSIVE docs AS (
+        -- doc_id < 300 bounds the O(N^2) list-state recursion at any
+        -- scale factor; the Spark side applies the same subset
+        SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens,
+               row_number() OVER (ORDER BY len({_TOKENS_SQL}) DESC, doc_id)
+                   AS i
+        FROM documents WHERE doc_id < 300
+    ), fit(i, caps, assigns) AS (
+        SELECT 0, []::BIGINT[], []::BIGINT[]
+        UNION ALL
+        SELECT f.i + 1,
+               CASE WHEN {pos} IS NULL
+                    THEN list_append(f.caps, greatest(1024 - d.n_tokens, 0))
+                    ELSE f.caps[1:{pos}-1] || [f.caps[{pos}] - d.n_tokens]
+                         || f.caps[{pos}+1:len(f.caps)]
+               END,
+               list_append(f.assigns, COALESCE({pos}, len(f.caps) + 1))
+        FROM fit f JOIN docs d ON d.i = f.i + 1
+    ), final AS (
+        SELECT assigns FROM fit ORDER BY i DESC LIMIT 1
+    ), placed AS (
+        SELECT d.doc_id, d.n_tokens, fin.assigns[d.i] AS pidx
+        FROM docs d CROSS JOIN final fin
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           '0_' || CAST(pidx - 1 AS VARCHAR) AS pack_id,
+           CAST(sum(n_tokens) OVER (PARTITION BY pidx) AS BIGINT)
+               AS pack_tokens
+    FROM placed
+    """
+
+
+@_register(
+    "sequence_packing",
+    _pack_oracle(),
+    "first-fit-decreasing context-window packing (north star; W10 greedy dual)",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import pack_sequences
+    from .operators.text import token_count
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+    )
+    out = pack_sequences(d, max_tokens=1024, n_buckets=1)
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_tokens")
+
+
 @_register(
     "hash_split_counts",
     f"""
@@ -2680,6 +2740,10 @@ _TAIL: tuple[str, ...] = (
     # rows-only by design (no DuckDB-expressible oracle)
     "streaming_fold_replay",
     "approx_sketches",
+    # oracle-bearing but outside the driver's 50-query window by
+    # choice: verified by the strict local replica instead, so no
+    # SURVEY-gating query loses its driver row
+    "sequence_packing",
     # operator shape already gated by an in-window query
     "minhash_signatures",  # signature math gated by lsh_bucket_sizes + dup_clusters
     "bpe_token_counts",  # token counting gated by token_stats; BPE regex pytest-covered
