@@ -77,6 +77,50 @@ def hash_split(
     return df.withColumn(out_col, expr.otherwise(last))
 
 
+def hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    default_fraction: float = 0.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    hash(id, seed) mod 1e6 < fraction(stratum) * 1e6 — the
+    downsample-a-stratum primitive of a training-data pipeline (e.g.
+    keep 10% of low-quality docs, all of high-quality ones).
+
+    Like hash_split this is a pure projection + filter: membership is
+    a function of the id alone, so samples are stable across runs,
+    partition layouts, and cluster sizes, and a row kept at fraction
+    0.1 is still kept at 0.2 (nested samples — hash thresholds grow
+    monotonically). Strata missing from ``fractions`` get
+    ``default_fraction``. hash_fn="md5" gives engine-portable
+    membership (see hash_split)."""
+    if hash_fn == "md5":
+        from .dedup import _md5_int28
+
+        h = F.pmod(
+            _md5_int28(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+            ),
+            F.lit(1_000_000),
+        )
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    thresh = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum_col) == name
+        lit = F.lit(int(frac * 1_000_000))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    default = F.lit(int(default_fraction * 1_000_000))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(h < thresh)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,

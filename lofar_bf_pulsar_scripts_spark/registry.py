@@ -960,6 +960,51 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src_col="id_a", dst_col="id_b")
 
 
+@_register(
+    "stratified_sample",
+    f"""
+    WITH b AS (
+        SELECT event_id, event_type, value,
+               ({_minhash_x_sql("CAST(event_id AS VARCHAR) || ':' || 'sample'")})
+               % 1000000 AS bkt
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_kept,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 4) AS sum_value
+    FROM b
+    WHERE bkt < CASE event_type
+                     WHEN 'view' THEN 100000
+                     WHEN 'click' THEN 250000
+                     WHEN 'error' THEN 0
+                     ELSE 1000000 END
+    GROUP BY event_type
+    """,
+    "deterministic per-stratum hash sampling (north star)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import hash_sample
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    kept = hash_sample(
+        ev,
+        {"view": 0.1, "click": 0.25, "error": 0.0},
+        stratum_col="event_type",
+        id_col="event_id",
+        seed="sample",
+        default_fraction=1.0,
+        hash_fn="md5",
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("sum_id"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def _pack_oracle() -> str:
     """First-fit-decreasing simulated in SQL: a recursive CTE carries
     the per-pack remaining capacities as a list; each step places the
@@ -2744,6 +2789,7 @@ _TAIL: tuple[str, ...] = (
     # choice: verified by the strict local replica instead, so no
     # SURVEY-gating query loses its driver row
     "sequence_packing",
+    "stratified_sample",  # hash-threshold mechanism gated by hash_split_counts
     # operator shape already gated by an in-window query
     "minhash_signatures",  # signature math gated by lsh_bucket_sizes + dup_clusters
     "bpe_token_counts",  # token counting gated by token_stats; BPE regex pytest-covered

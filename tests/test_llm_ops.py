@@ -240,6 +240,43 @@ def test_connected_components_long_chain_converges(spark, tmp_path):
     assert comps == {0}
 
 
+def test_hash_sample_stratified_deterministic_nested(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import hash_sample
+
+    df = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("lo"), F.lit("mid"), F.lit("hi")),
+            F.pmod(F.col("id"), F.lit(3)).cast("int") + 1,
+        ).alias("quality"),
+    )
+    kept = hash_sample(
+        df, {"lo": 0.1, "hi": 1.0}, stratum_col="quality",
+        default_fraction=0.5,
+    )
+    counts = {
+        r["quality"]: r["n"]
+        for r in kept.groupBy("quality").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["lo"] / 10000 - 0.1) < 0.02
+    assert counts["hi"] == 10000  # fraction 1.0 keeps everything
+    assert abs(counts["mid"] / 10000 - 0.5) < 0.03  # default fraction
+    # nested: every row kept at 0.1 is kept at 0.2
+    lo_small = {
+        r["doc_id"]
+        for r in hash_sample(
+            df, {"lo": 0.1}, stratum_col="quality"
+        ).collect()
+    }
+    lo_big = {
+        r["doc_id"]
+        for r in hash_sample(
+            df, {"lo": 0.2}, stratum_col="quality"
+        ).collect()
+    }
+    assert lo_small < lo_big
+
+
 def test_pack_sequences_first_fit(spark):
     from lofar_bf_pulsar_scripts_spark.operators.pipeline import pack_sequences
 
