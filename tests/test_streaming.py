@@ -10,16 +10,10 @@ from lofar_bf_pulsar_scripts_spark.streaming.fold_stream import (
     streaming_dedup_new_urls,
     streaming_fold_subints,
 )
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
+from lofar_bf_pulsar_scripts_spark.tables import (
+    load_table,
+    stream_events,
+    ts_seconds,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -49,11 +43,7 @@ def test_streaming_fold_equals_batch(spark):
     tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_stream_tmp", "events")
     os.makedirs(tmp, exist_ok=True)
     shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(tmp, "events.parquet"))
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(tmp)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = stream_events(spark, tmp)
     agg = streaming_fold_subints(
         stream, PERIOD, NBINS, dump_seconds="1 day", watermark="1 minute"
     )
@@ -62,8 +52,8 @@ def test_streaming_fold_equals_batch(spark):
         for r in _run_complete(agg, "fold_stream").collect()
     }
 
-    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "t", F.expr("CAST((ts div 1000) AS DOUBLE) / 1000000.0")
+    batch = load_table(spark, "events", SF_DIR).withColumn(
+        "t", ts_seconds("ts")
     )
     expected = fold_subints(batch, PERIOD, NBINS, dump_time=86400.0)
     exp = {

@@ -6,11 +6,18 @@ names, and an order-insensitive value comparison. Exit code 0 iff all
 queries match.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_VANILLA=1`` to run the Spark side on a bare
+``SparkSession.builder.getOrCreate()`` (no repo configs) — the same
+session shape the driver uses, so config-dependent divergence (session
+timezone, AQE, Arrow, shuffle partitions) shows up here before it shows
+up in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -42,7 +49,13 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check_oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        print("[vanilla session: driver-shaped, no repo configs]")
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
