@@ -269,47 +269,55 @@ def pack_sequences(
 
     Packing runs independently inside hash buckets (deterministic
     xxhash64 of the id), so the shuffle is one exchange on the bucket
-    key and each group packs its Arrow batch in pandas — the same
-    greedy-local trade the reference's scheduler makes (W10)."""
+    key and each group packs its Arrow batch with a numpy first-fit
+    scan (C-speed per-doc probe instead of a Python inner loop) — the
+    same greedy-local trade the reference's scheduler makes (W10).
+    Pack totals are computed inside the same batch (np.bincount), so
+    no second exchange/join is needed."""
     bucketed = df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(id_col), F.lit("pack")), F.lit(n_buckets))
     )
 
     def pack(pdf):
-        import pandas as pd
+        import numpy as np
 
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
         bucket = int(pdf["bucket"].iloc[0])
-        packs: list[int] = []  # remaining capacity per pack
-        assign = []
-        for _, row in pdf.iterrows():
-            n = int(row[tokens_col])
-            placed = None
-            for i, cap in enumerate(packs):
-                if n <= cap:
-                    placed = i
-                    packs[i] = cap - n
-                    break
-            if placed is None:
-                packs.append(max(int(max_tokens) - n, 0))
-                placed = len(packs) - 1
-            assign.append(placed)
+        toks = pdf[tokens_col].to_numpy(dtype=np.int64)
+        cap = np.empty(len(toks), dtype=np.int64)  # open-pack capacities
+        assign = np.empty(len(toks), dtype=np.int64)
+        npacks = 0
+        cap_max = int(max_tokens)
+        for j in range(len(toks)):
+            n = toks[j]
+            open_caps = cap[:npacks]
+            fits = open_caps >= n
+            if fits.any():
+                i = int(fits.argmax())  # FIRST fit (lowest index)
+                cap[i] -= n
+            else:
+                i = npacks
+                cap[i] = max(cap_max - int(n), 0)
+                npacks += 1
+            assign[j] = i
+        totals = (
+            np.bincount(assign, weights=toks.astype(np.float64)).astype(np.int64)
+            if len(toks)
+            else np.zeros(0, dtype=np.int64)
+        )
         out = pdf[[id_col, tokens_col, "bucket"]].copy()
         out["pack_id"] = [f"{bucket}_{a}" for a in assign]
+        out["pack_tokens"] = totals[assign]
         return out
 
     id_type = df.schema[id_col].dataType.simpleString()
     tok_type = df.schema[tokens_col].dataType.simpleString()
-    packed = bucketed.groupBy("bucket").applyInPandas(
+    return bucketed.groupBy("bucket").applyInPandas(
         pack,
         schema=(
             f"{id_col} {id_type}, {tokens_col} {tok_type}, "
-            "bucket long, pack_id string"
+            "bucket long, pack_id string, pack_tokens long"
         ),
     )
-    totals = packed.groupBy("pack_id").agg(
-        F.sum(tokens_col).alias("pack_tokens")
-    )
-    return packed.join(totals, "pack_id")

@@ -68,9 +68,13 @@ def off_window_stats(
     bin_col: str = "bin",
     value_col: str = "profile",
     group_cols: list[str] | None = None,
+    exact_scale: float | None = None,
 ) -> DataFrame:
     """Mean/stddev over phase-bin window [bin_lo, bin_hi), wrapping if
-    bin_hi > nbins (W3; dynsp.py:188-192, lofar_fluxcal.py:218-220)."""
+    bin_hi > nbins (W3; dynsp.py:188-192, lofar_fluxcal.py:218-220).
+
+    ``exact_scale`` switches to deterministic integer-quantized moments
+    (see robust._exact_moments) for cross-engine bit-parity."""
     b = F.col(bin_col)
     if bin_hi <= nbins:
         mask = (b >= F.lit(bin_lo)) & (b < F.lit(bin_hi))
@@ -78,10 +82,19 @@ def off_window_stats(
         mask = (b >= F.lit(bin_lo)) | (b < F.lit(bin_hi - nbins))
     sel = df.filter(mask)
     grouped = sel.groupBy(*group_cols) if group_cols else sel.groupBy()
+    if exact_scale is None:
+        return grouped.agg(
+            F.avg(F.col(value_col)).alias("off_mean"),
+            F.stddev_samp(F.col(value_col)).alias("off_rms"),
+            F.count(F.col(value_col)).alias("off_n"),
+        )
+    from .robust import _exact_moments
+
+    vq = F.floor(F.col(value_col) * F.lit(float(exact_scale)) + F.lit(0.5))
+    n = F.count(vq)
+    mean, std = _exact_moments(vq, n, exact_scale, sample=True)
     return grouped.agg(
-        F.avg(F.col(value_col)).alias("off_mean"),
-        F.stddev_samp(F.col(value_col)).alias("off_rms"),
-        F.count(F.col(value_col)).alias("off_n"),
+        mean.alias("off_mean"), std.alias("off_rms"), n.alias("off_n")
     )
 
 

@@ -35,22 +35,56 @@ from .raster import block_id
 TRIM_STD_CORRECTION = 1.148
 
 
+def _exact_moments(vq, n, scale: float, sample: bool):
+    """Deterministic (mean, std) from integer-quantized sums.
+
+    ``vq`` must be an integer column; the sums are associative/exact,
+    and the returned doubles are fixed expressions over them — the
+    same result on any engine and any aggregation order (the oracle
+    SQL mirrors these expressions verbatim). Engine-native avg/stddev
+    (Welford) are order-dependent in the last ulp, which is enough to
+    flip a rounded digit across engines.
+    """
+    s1 = F.sum(vq).cast("double")
+    s2 = F.sum(vq * vq).cast("double")
+    denom = (n - F.lit(1)) if sample else n
+    mean = (s1 / n) / F.lit(float(scale))
+    std = F.sqrt((s2 - s1 * s1 / n) / denom) / F.lit(float(scale))
+    return mean, std
+
+
 def trimmed_block_stats(
     df: DataFrame,
     group_cols: list[str],
     value_col: str = "value",
+    exact_scale: float | None = None,
 ) -> DataFrame:
     """Mean/std of the lower half (values <= group median) per group
-    (A2, subdyn.py:426-427)."""
+    (A2, subdyn.py:426-427).
+
+    With ``exact_scale`` the stats are computed from integer-quantized
+    sums (floor(v*scale+0.5)) — bit-deterministic across engines and
+    aggregation orders; without it, engine-native avg/stddev_pop.
+    """
     med = df.groupBy(*group_cols).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
     )
     joined = df.join(med, on=group_cols)
     lower = F.col(value_col) <= F.col("__med")
+    if exact_scale is None:
+        return joined.groupBy(*group_cols).agg(
+            F.avg(F.when(lower, F.col(value_col))).alias("trim_mean"),
+            F.stddev_pop(F.when(lower, F.col(value_col))).alias("trim_std"),
+            F.count(F.when(lower, F.col(value_col))).alias("trim_n"),
+        )
+    vq = F.when(
+        lower,
+        F.floor(F.col(value_col) * F.lit(float(exact_scale)) + F.lit(0.5)),
+    )
+    n = F.count(vq)
+    mean, std = _exact_moments(vq, n, exact_scale, sample=False)
     return joined.groupBy(*group_cols).agg(
-        F.avg(F.when(lower, F.col(value_col))).alias("trim_mean"),
-        F.stddev_pop(F.when(lower, F.col(value_col))).alias("trim_std"),
-        F.count(F.when(lower, F.col(value_col))).alias("trim_n"),
+        mean.alias("trim_mean"), std.alias("trim_std"), n.alias("trim_n")
     )
 
 
@@ -59,12 +93,26 @@ def group_zscore(
     group_cols: list[str],
     value_col: str = "value",
     level_col: str = "level",
+    exact_scale: float | None = None,
 ) -> DataFrame:
-    """Attach level = (x - group mean)/group stddev (subdyn.py:423-447)."""
-    stats = df.groupBy(*group_cols).agg(
-        F.avg(F.col(value_col)).alias("__m"),
-        F.stddev_samp(F.col(value_col)).alias("__s"),
-    )
+    """Attach level = (x - group mean)/group stddev (subdyn.py:423-447).
+
+    ``exact_scale`` switches the group moments to deterministic
+    integer-quantized sums (see _exact_moments)."""
+    if exact_scale is None:
+        stats = df.groupBy(*group_cols).agg(
+            F.avg(F.col(value_col)).alias("__m"),
+            F.stddev_samp(F.col(value_col)).alias("__s"),
+        )
+    else:
+        vq = F.floor(
+            F.col(value_col) * F.lit(float(exact_scale)) + F.lit(0.5)
+        )
+        n = F.count(vq)
+        mean, std = _exact_moments(vq, n, exact_scale, sample=True)
+        stats = df.groupBy(*group_cols).agg(
+            mean.alias("__m"), std.alias("__s")
+        )
     return (
         df.join(stats, on=group_cols)
         .withColumn(level_col, (F.col(value_col) - F.col("__m")) / F.col("__s"))
@@ -79,6 +127,7 @@ def sigma_clip(
     threshold: float = 6.0,
     rfilimit: float | None = 0.1,
     replacement: float = 0.0,
+    exact_scale: float | None = None,
 ) -> DataFrame:
     """Sigma-clip mask (W8, subdyn.py:423-469,574-590).
 
@@ -88,7 +137,7 @@ def sigma_clip(
     fraction >= rfilimit are dropped entirely (subdyn.py:464-467).
     Returns the input columns plus (level, clipped).
     """
-    leveled = group_zscore(df, group_cols, value_col)
+    leveled = group_zscore(df, group_cols, value_col, exact_scale=exact_scale)
     clipped = leveled.withColumn(
         "clipped", (F.abs(F.col("level")) > F.lit(float(threshold))).cast("int")
     ).withColumn(

@@ -21,19 +21,25 @@ def sessionize_by_gap(
     df: DataFrame,
     key_cols: list[str],
     order_col: str,
-    gap: float,
+    gap: float | int,
     tiebreak_col: str | None = None,
     session_col: str = "session_id",
 ) -> DataFrame:
     """Attach a per-key session id; a new session starts when
-    order_col - previous order_col > gap."""
+    order_col - previous order_col > gap.
+
+    ``gap`` keeps its Python type: pass an int gap with an integer
+    order column (e.g. epoch-microseconds BIGINT) and the whole
+    comparison stays in exact integer arithmetic — no float rounding
+    to diverge across engines."""
     order_exprs = [F.col(order_col)]
     if tiebreak_col:
         order_exprs.append(F.col(tiebreak_col))
     w = Window.partitionBy(*key_cols).orderBy(*order_exprs)
     prev = F.lag(F.col(order_col), 1).over(w)
+    gap_lit = F.lit(gap if isinstance(gap, int) else float(gap))
     new_session = F.when(
-        prev.isNull() | ((F.col(order_col) - prev) > F.lit(float(gap))), 1
+        prev.isNull() | ((F.col(order_col) - prev) > gap_lit), 1
     ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("__new", new_session).withColumn(
@@ -45,7 +51,7 @@ def session_stats(
     df: DataFrame,
     key_cols: list[str],
     order_col: str,
-    gap: float,
+    gap: float | int,
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key session summary: number of sessions, largest session

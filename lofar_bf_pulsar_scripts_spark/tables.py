@@ -103,7 +103,14 @@ def stream_events(spark: SparkSession, directory: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    dt = spark.read.parquet(directory).schema["ts"].dataType
+    try:
+        dt = spark.read.parquet(directory).schema["ts"].dataType
+    except Exception as exc:  # empty dir / no parquet footers yet
+        raise ValueError(
+            f"stream_events needs at least one parquet file in "
+            f"{directory!r} to infer the on-disk ts representation "
+            f"(got: {exc})"
+        ) from exc
     base = (
         "event_id long, ts {}, user_id long, event_type string, "
         "value double, props string"

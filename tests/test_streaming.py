@@ -3,7 +3,7 @@ tumbling-dump fold over a bounded replay equals the batch A6 result;
 stateful dedup yields the distinct set."""
 
 import pytest
-from pyspark.sql import functions as F, types as T
+from pyspark.sql import functions as F
 
 from lofar_bf_pulsar_scripts_spark.operators.fold import fold_subints
 from lofar_bf_pulsar_scripts_spark.streaming.fold_stream import (

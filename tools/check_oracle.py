@@ -7,11 +7,14 @@ queries match.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
-Set ``SPARK_GRAFT_VANILLA=1`` to run the Spark side on a bare
-``SparkSession.builder.getOrCreate()`` (no repo configs) — the same
-session shape the driver uses, so config-dependent divergence (session
-timezone, AQE, Arrow, shuffle partitions) shows up here before it shows
-up in CORRECTNESS_r{N}.json.
+Set ``SPARK_GRAFT_VANILLA=1`` to run the Spark side on
+``SparkSession.builder.master('local[32]').getOrCreate()`` with no
+repo configs — driver-shaped, so config-dependent divergence (session
+timezone, AQE, Arrow, shuffle partitions) shows up here before it
+shows up in CORRECTNESS_r{N}.json. Note getOrCreate() reuses any
+pre-existing session in the process: vanilla mode is only truly
+driver-shaped when this is the first session created (which holds for
+the normal `python tools/check_oracle.py` CLI entry).
 """
 
 from __future__ import annotations
