@@ -126,10 +126,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     centroid_id_col: str = "cid",
+    partial_buckets: int = 32,
 ) -> DataFrame:
     """Approximate top-k: each query probes only its ``nprobe``
     closest centroids' partitions — the corpus side can be partitioned
-    by cid on disk, so a probe is a partition-pruned scan at scale."""
+    by cid on disk, so a probe is a partition-pruned scan at scale.
+
+    The final reduction is the same two-stage partial top-k as
+    ``brute_force_topk`` (per-(query, id-bucket) k-best, then merge):
+    a hot probed partition never funnels its whole candidate list
+    through one reducer."""
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
@@ -164,9 +170,22 @@ def ivf_topk(
     )
     rank = F.struct((-F.col("cos")).alias("neg"), F.col(id_col).alias("id"),
                     F.col("cos").alias("cos"))
-    return (
-        scored.groupBy(query_id_col)
+    partial = (
+        scored.groupBy(
+            query_id_col,
+            F.pmod(
+                F.crc32(F.col(id_col).cast("string")), partial_buckets
+            ).alias("__bkt"),
+        )
         .agg(F.slice(F.array_sort(F.collect_list(rank)), 1, k).alias("__top"))
+    )
+    return (
+        partial.groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(F.col("__top")))), 1, k
+            ).alias("__top")
+        )
         .select(query_id_col, F.explode("__top").alias("__t"))
         .select(query_id_col, F.col("__t.id").alias(id_col), F.col("__t.cos").alias("cos"))
     )

@@ -2464,13 +2464,27 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, FOLD_PERIOD, FOLD_NBINS, dump_seconds="1 day", watermark="1 minute"
     )
     name = "q_stream_fold_replay"
-    q = (
-        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    )
+    # Replay micro-optimizations: the stateful aggregation allocates
+    # one state store per shuffle partition, so drop the partition
+    # count for the (tiny-keyspace) replay, and use the availableNow
+    # trigger so the bounded source drains in as few micro-batches as
+    # possible instead of one batch per poll.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .select(
