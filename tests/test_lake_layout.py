@@ -44,6 +44,31 @@ def test_partition_pruning_for_sap_filter(spark):
         shutil.rmtree(TMP, ignore_errors=True)
 
 
+def test_lta_manifest_plan_shape(spark):
+    """Pin the lta_superquery_manifest physical plan (the r2 bench
+    anomaly investigation): the SAP rlike must be evaluated in the
+    fact-scan stage BEFORE any join, every catalog join must be a
+    broadcast join (dims are tiny), and the lineitem scan must be
+    pruned to the 4 columns the manifest derives from. A regression in
+    any of these is a plan-shape bug; a slow run with this exact plan
+    is an environment artifact."""
+    from lofar_bf_pulsar_scripts_spark.registry import _SPECS
+
+    fn = {s.name: s.spark_fn for s in _SPECS}["lta_superquery_manifest"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the rlike filter is attached to the lineitem scan stage, below
+    # every join: RLIKE appears in the scan's DataFilters
+    scan = plan.split("lineitem.parquet", 1)[0]
+    assert "RLIKE" in scan
+    assert (
+        "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,"
+        "l_linenumber:int,l_extendedprice:double>" in plan
+    )
+
+
 def test_bucketed_cube_groupby_has_no_exchange(spark):
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     cube = spark.range(2000).select(
