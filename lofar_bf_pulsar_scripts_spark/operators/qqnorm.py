@@ -123,18 +123,48 @@ def norm_ppf_col(p):
     )
 
 
+def _regr_exact(y, x, yscale: float, xscale: float):
+    """(slope, intercept, n) of the least-squares line, computed from
+    integer-quantized sums so the result is bit-deterministic across
+    engines and aggregation orders (the oracle SQL mirrors these
+    expressions verbatim). ``y``/``x`` must be NULL together (regr_*
+    pair-skip semantics). The exact integer sums are converted to
+    double once; every following op is a fixed expression."""
+    from pyspark.sql import functions as F
+
+    yq = F.floor(y * F.lit(float(yscale)) + F.lit(0.5))
+    xq = F.floor(x * F.lit(float(xscale)) + F.lit(0.5))
+    n = F.count(xq).cast("double")
+    sx = F.sum(xq).cast("double")
+    sy = F.sum(yq).cast("double")
+    sxy = F.sum(xq * yq).cast("double")
+    sxx = F.sum(xq * xq).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(
+        float(xscale) / float(yscale)
+    )
+    mean_x = (sx / n) / F.lit(float(xscale))
+    mean_y = (sy / n) / F.lit(float(yscale))
+    intercept = mean_y - slope * mean_x
+    return slope, intercept
+
+
 def qq_stats_sql(
     df: DataFrame,
     group_cols: list[str],
     value_col: str = "value",
     osm_lo: float = -1.0,
     osm_hi: float = 1.0,
+    exact_scales: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Pure-SQL Q-Q stats (no pandas UDF): rank -> Filliben quantile
-    -> Acklam ppf -> regr_slope/intercept over the central osm range.
+    -> Acklam ppf -> line fit over the central osm range.
     One window pass + one aggregation; ties in the value ordering are
     harmless (equal values contribute identical regression terms
-    whichever rank they take)."""
+    whichever rank they take).
+
+    ``exact_scales=(value_scale, osm_scale)`` switches the fit from
+    engine-native regr_slope/regr_intercept (order-dependent double
+    sums) to the deterministic integer-quantized form (_regr_exact)."""
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy(*group_cols).orderBy(value_col)
@@ -166,13 +196,25 @@ def qq_stats_sql(
     # is a conditional projection, not a second scan.
     v_in = F.when(F.col("__in"), F.col("__v"))
     o_in = F.when(F.col("__in"), F.col("__osm"))
-    agg = ranked.groupBy(*group_cols).agg(
-        F.regr_intercept(v_in, o_in).alias("__m_in"),
-        F.regr_slope(v_in, o_in).alias("__s_in"),
-        F.regr_intercept(F.col("__v"), F.col("__osm")).alias("__m_all"),
-        F.regr_slope(F.col("__v"), F.col("__osm")).alias("__s_all"),
-        F.sum(F.col("__in").cast("int")).alias("__n_in"),
-    )
+    if exact_scales is None:
+        agg = ranked.groupBy(*group_cols).agg(
+            F.regr_intercept(v_in, o_in).alias("__m_in"),
+            F.regr_slope(v_in, o_in).alias("__s_in"),
+            F.regr_intercept(F.col("__v"), F.col("__osm")).alias("__m_all"),
+            F.regr_slope(F.col("__v"), F.col("__osm")).alias("__s_all"),
+            F.sum(F.col("__in").cast("int")).alias("__n_in"),
+        )
+    else:
+        vs, os_ = exact_scales
+        s_in, m_in = _regr_exact(v_in, o_in, vs, os_)
+        s_all, m_all = _regr_exact(F.col("__v"), F.col("__osm"), vs, os_)
+        agg = ranked.groupBy(*group_cols).agg(
+            m_in.alias("__m_in"),
+            s_in.alias("__s_in"),
+            m_all.alias("__m_all"),
+            s_all.alias("__s_all"),
+            F.sum(F.col("__in").cast("int")).alias("__n_in"),
+        )
     use_in = F.col("__n_in") >= 2
     return agg.select(
         *group_cols,

@@ -254,6 +254,7 @@ def detrend_normalize(
     value_col: str = "value",
     group_cols: list[str] | None = None,
     fast: bool = True,
+    exact_scale: float | None = None,
 ) -> DataFrame:
     """Piecewise detrend + robust normalization (W1,
     pulsestack.py:47-97). Fast path (median subtract, the 2x-speedup
@@ -288,12 +289,21 @@ def detrend_normalize(
     per_chunk = with_chunk.groupBy(*group_cols, "__chunk").agg(*aggs)
 
     # sigma of the central 95%, corrected (pulsestack.py:68-76): std of
-    # values within [lo, hi], times 1.148.
+    # values within [lo, hi], times 1.148. With exact_scale the std
+    # derives from integer-quantized sums (see _exact_moments) so the
+    # per-chunk sigma — and everything normalized by it — is
+    # bit-deterministic across engines and aggregation orders.
     centered = with_chunk.join(per_chunk, on=[*group_cols, "__chunk"])
+    trimmed = centered.filter((v >= F.col("__lo")) & (v <= F.col("__hi")))
+    if exact_scale is None:
+        sig_expr = F.stddev_samp(v) * F.lit(TRIM_STD_CORRECTION)
+    else:
+        vq = F.floor(v * F.lit(float(exact_scale)) + F.lit(0.5))
+        _, std = _exact_moments(vq, F.count(vq), exact_scale, sample=True)
+        sig_expr = std * F.lit(TRIM_STD_CORRECTION)
     sig = (
-        centered.filter((v >= F.col("__lo")) & (v <= F.col("__hi")))
-        .groupBy(*group_cols, "__chunk")
-        .agg((F.stddev_samp(v) * F.lit(TRIM_STD_CORRECTION)).alias("__sigma"))
+        trimmed.groupBy(*group_cols, "__chunk")
+        .agg(sig_expr.alias("__sigma"))
     )
     # outlier chunks -> median sigma (pulsestack.py:84-91); MAD needs
     # two passes over the (tiny) per-chunk sigma table.

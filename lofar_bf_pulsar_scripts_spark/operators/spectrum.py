@@ -84,6 +84,7 @@ def auto_off_window(
     value_col: str = "profile",
     threshold_sigma: float = 2.5,
     pad_fraction: float = 0.15,
+    exact_scale: float | None = None,
 ) -> DataFrame:
     """W4 (snr.py:104-146, deterministic closed form):
 
@@ -106,9 +107,21 @@ def auto_off_window(
     rotated = profile.crossJoin(F.broadcast(peak)).withColumn(
         "__rbin", F.pmod(F.col(bin_col) - F.col("peak_bin"), F.lit(nbins))
     )
-    stats = rotated.agg(
-        F.avg(value_col).alias("m"), F.stddev_samp(value_col).alias("s")
-    )
+    if exact_scale is None:
+        stats = rotated.agg(
+            F.avg(value_col).alias("m"), F.stddev_samp(value_col).alias("s")
+        )
+    else:
+        # deterministic flag threshold: moments from integer-quantized
+        # sums (see robust._exact_moments) so the >2.5-sigma cut cannot
+        # flip across engines/aggregation orders
+        from .robust import _exact_moments
+
+        vq = F.floor(
+            F.col(value_col) * F.lit(float(exact_scale)) + F.lit(0.5)
+        )
+        mean, std = _exact_moments(vq, F.count(vq), exact_scale, sample=True)
+        stats = rotated.agg(mean.alias("m"), std.alias("s"))
     flagged = rotated.crossJoin(F.broadcast(stats)).withColumn(
         "__flag",
         (

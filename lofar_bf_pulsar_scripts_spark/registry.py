@@ -1545,13 +1545,18 @@ def q_tsky_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantile_cont(value, 0.025) AS lo,
                quantile_cont(value, 0.975) AS hi
         FROM chunked GROUP BY chunk
-    ), sig AS (
-        SELECT c.chunk,
-               stddev_samp(c.value) FILTER (
-                   WHERE c.value >= p.lo AND c.value <= p.hi
-               ) * 1.148 AS sigma
+    ), trimq AS (
+        SELECT c.chunk, CAST(floor(c.value * 1e3 + 0.5) AS BIGINT) AS vq
         FROM chunked c JOIN per_chunk p USING (chunk)
-        GROUP BY c.chunk
+        WHERE c.value >= p.lo AND c.value <= p.hi
+    ), sig AS (
+        -- trimmed sigma from exact integer sums (mirrors the Spark
+        -- operator's exact_scale mode bit-for-bit)
+        SELECT chunk,
+               sqrt((CAST(sum(vq * vq) AS DOUBLE)
+                     - CAST(sum(vq) AS DOUBLE) * CAST(sum(vq) AS DOUBLE)
+                       / count(vq)) / (count(vq) - 1)) / 1e3 * 1.148 AS sigma
+        FROM trimq GROUP BY chunk
     ), med AS (
         SELECT quantile_cont(sigma, 0.5) AS med_sigma FROM sig
     ), mad AS (
@@ -1575,7 +1580,9 @@ def q_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.robust import detrend_normalize
 
     ev = load_table(spark, "events", sf_dir).select("event_id", "value")
-    out = detrend_normalize(ev, detrendlen=1000, idx_col="event_id")
+    out = detrend_normalize(
+        ev, detrendlen=1000, idx_col="event_id", exact_scale=1e3
+    )
     return out.select("event_id", F.round("value", 6).alias("value"))
 
 
@@ -2669,23 +2676,51 @@ def _qq_oracle() -> str:
         FROM ranked
     ), osmed AS (
         SELECT event_type, v, {_acklam_sql('p')} AS osm FROM withm
+    ), quant AS (
+        -- integer-quantized regression inputs (v milli, osm micro):
+        -- the sums below are exact, so the fitted line is a fixed
+        -- double expression over them — mirrors qqnorm._regr_exact
+        SELECT event_type,
+               (osm >= -1.0 AND osm <= 1.0) AS inr,
+               CAST(floor(v * 1e3 + 0.5) AS BIGINT) AS yq,
+               CAST(floor(osm * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM osmed
     ), agg AS (
+        SELECT event_type,
+               count(*) FILTER (WHERE inr) AS n_in,
+               CAST(count(xq) FILTER (WHERE inr) AS DOUBLE) AS n_i,
+               CAST(sum(xq) FILTER (WHERE inr) AS DOUBLE) AS sx_i,
+               CAST(sum(yq) FILTER (WHERE inr) AS DOUBLE) AS sy_i,
+               CAST(sum(xq * yq) FILTER (WHERE inr) AS DOUBLE) AS sxy_i,
+               CAST(sum(xq * xq) FILTER (WHERE inr) AS DOUBLE) AS sxx_i,
+               CAST(count(xq) AS DOUBLE) AS n_a,
+               CAST(sum(xq) AS DOUBLE) AS sx_a,
+               CAST(sum(yq) AS DOUBLE) AS sy_a,
+               CAST(sum(xq * yq) AS DOUBLE) AS sxy_a,
+               CAST(sum(xq * xq) AS DOUBLE) AS sxx_a
+        FROM quant GROUP BY event_type
+    ), fit AS (
         -- mirror qq_stats_sql's tiny-group fallback: fit all points
         -- when fewer than 2 survive the central osm range
-        SELECT event_type,
-               count(*) FILTER (WHERE osm >= -1.0 AND osm <= 1.0) AS n_in,
-               regr_intercept(v, osm)
-                   FILTER (WHERE osm >= -1.0 AND osm <= 1.0) AS m_in,
-               regr_slope(v, osm)
-                   FILTER (WHERE osm >= -1.0 AND osm <= 1.0) AS s_in,
-               regr_intercept(v, osm) AS m_all,
-               regr_slope(v, osm) AS s_all
-        FROM osmed GROUP BY event_type
+        SELECT event_type, n_in,
+               (n_i * sxy_i - sx_i * sy_i) / (n_i * sxx_i - sx_i * sx_i)
+                   * 1000.0 AS s_in,
+               (sy_i / n_i) / 1e3
+                   - ((n_i * sxy_i - sx_i * sy_i)
+                      / (n_i * sxx_i - sx_i * sx_i) * 1000.0)
+                     * ((sx_i / n_i) / 1e6) AS m_in,
+               (n_a * sxy_a - sx_a * sy_a) / (n_a * sxx_a - sx_a * sx_a)
+                   * 1000.0 AS s_all,
+               (sy_a / n_a) / 1e3
+                   - ((n_a * sxy_a - sx_a * sy_a)
+                      / (n_a * sxx_a - sx_a * sx_a) * 1000.0)
+                     * ((sx_a / n_a) / 1e6) AS m_all
+        FROM agg
     )
     SELECT event_type,
            round(CASE WHEN n_in >= 2 THEN m_in ELSE m_all END, 6) AS qq_mean,
            round(CASE WHEN n_in >= 2 THEN s_in ELSE s_all END, 6) AS qq_rms
-    FROM agg
+    FROM fit
     """
 
 
@@ -2698,7 +2733,9 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.qqnorm import qq_stats_sql
 
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
-    out = qq_stats_sql(ev, ["event_type"], value_col="value")
+    out = qq_stats_sql(
+        ev, ["event_type"], value_col="value", exact_scales=(1e3, 1e6)
+    )
     return out.select(
         "event_type",
         F.round("qq_mean", 6).alias("qq_mean"),
@@ -2710,8 +2747,10 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "auto_off_window",
     """
     WITH prof AS (
+        -- profile in exact integer-micro mean units (values quantized
+        -- before the mean; integer-valued doubles sum exactly)
         SELECT CAST(least(CAST(floor((((CAST(datediff('microsecond', TIMESTAMP '1970-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0) / 3600.0) % 1.0) * 48) AS BIGINT), 47) AS INTEGER) AS bin,
-               avg(value) AS profile
+               avg(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS profile
         FROM events GROUP BY 1
     ), peak AS (
         SELECT bin AS peak_bin FROM prof ORDER BY profile DESC, bin ASC LIMIT 1
@@ -2719,8 +2758,16 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.bin, p.profile,
                CAST(((p.bin - k.peak_bin) % 48 + 48) % 48 AS INTEGER) AS rbin
         FROM prof p CROSS JOIN peak k
+    ), rotq AS (
+        SELECT CAST(floor(profile * 1.0 + 0.5) AS BIGINT) AS pq FROM rot
     ), st AS (
-        SELECT avg(profile) AS m, stddev_samp(profile) AS s FROM rot
+        -- moments from exact integer sums (mirrors the operator's
+        -- exact_scale=1.0 mode; /1.0 is a bitwise identity, omitted)
+        SELECT CAST(sum(pq) AS DOUBLE) / count(pq) AS m,
+               sqrt((CAST(sum(pq * pq) AS DOUBLE)
+                     - CAST(sum(pq) AS DOUBLE) * CAST(sum(pq) AS DOUBLE)
+                       / count(pq)) / (count(pq) - 1)) AS s
+        FROM rotq
     ), flag AS (
         SELECT r.bin, r.profile, r.rbin,
                CASE WHEN r.profile > st.m + 2.5 * st.s THEN 1 ELSE 0 END AS f
@@ -2733,7 +2780,7 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN 0 ELSE f END AS f2
         FROM flag WINDOW w AS (ORDER BY rbin)
     )
-    SELECT t.bin, round(t.profile, 6) AS profile,
+    SELECT t.bin, round(t.profile / 1e6, 6) AS profile,
            CASE WHEN EXISTS (
                SELECT 1 FROM trimmed fl WHERE fl.f2 = 1
                AND least(((t.rbin - fl.rbin) % 48 + 48) % 48,
@@ -2747,10 +2794,13 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_auto_off_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.spectrum import auto_off_window
 
-    prof = fold(_events_t(spark, sf_dir), FOLD_PERIOD, 48)
-    out = auto_off_window(prof, nbins=48, value_col="profile")
+    ev = _events_t(spark, sf_dir).withColumn("vq", _vq(F.col("value")))
+    prof = fold(ev, FOLD_PERIOD, 48, value_col="vq")
+    out = auto_off_window(
+        prof, nbins=48, value_col="profile", exact_scale=1.0
+    )
     return out.select(
-        "bin", F.round("profile", 6).alias("profile"), "is_on"
+        "bin", F.round(F.col("profile") / 1e6, 6).alias("profile"), "is_on"
     )
 
 
