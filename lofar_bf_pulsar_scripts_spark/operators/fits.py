@@ -23,18 +23,45 @@ def fit_powerlaw(
     x_col: str,
     y_col: str,
     group_cols: list[str] | None = None,
+    exact_scale: float | None = None,
 ) -> DataFrame:
     """Per group: y = amp * x^index fit in log-log space. Rows with
     non-positive x or y are excluded (log domain), matching the
-    reference's masking of zapped channels."""
+    reference's masking of zapped channels.
+
+    ``exact_scale`` quantizes (log10 x, log10 y) to integers before
+    the regression sums, making slope/intercept/r2 bit-deterministic
+    across engines and aggregation orders (the DuckDB oracle mirrors
+    the derived expressions verbatim)."""
     sel = df.filter((F.col(x_col) > 0) & (F.col(y_col) > 0))
     lx, ly = F.log10(F.col(x_col)), F.log10(F.col(y_col))
     grouped = sel.groupBy(*group_cols) if group_cols else sel.groupBy()
+    if exact_scale is None:
+        return grouped.agg(
+            F.regr_slope(ly, lx).alias("index"),
+            F.regr_intercept(ly, lx).alias("log_amp"),
+            F.regr_r2(ly, lx).alias("r2"),
+            F.regr_count(ly, lx).alias("n_used"),
+        )
+    s = F.lit(float(exact_scale))
+    xq = F.floor(lx * s + F.lit(0.5))
+    yq = F.floor(ly * s + F.lit(0.5))
+    n = F.count(xq).cast("double")
+    sx = F.sum(xq).cast("double")
+    sy = F.sum(yq).cast("double")
+    sxy = F.sum(xq * yq).cast("double")
+    sxx = F.sum(xq * xq).cast("double")
+    syy = F.sum(yq * yq).cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx  # x,y share the scale -> it cancels
+    intercept = (sy / n) / s - slope * ((sx / n) / s)
     return grouped.agg(
-        F.regr_slope(ly, lx).alias("index"),
-        F.regr_intercept(ly, lx).alias("log_amp"),
-        F.regr_r2(ly, lx).alias("r2"),
-        F.regr_count(ly, lx).alias("n_used"),
+        slope.alias("index"),
+        intercept.alias("log_amp"),
+        (cov * cov / (varx * vary)).alias("r2"),
+        F.count(xq).alias("n_used"),
     )
 
 

@@ -2506,14 +2506,35 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "spectral_index",
     """
+    WITH q AS (
+        -- (log10 x, log10 y) quantized to integer micro-units: the
+        -- regression sums are exact, the fit a fixed expression over
+        -- them (mirrors fits.fit_powerlaw's exact_scale mode)
+        SELECT event_type,
+               CAST(floor(log10(1.0 + user_id) * 1e6 + 0.5) AS BIGINT) AS xq,
+               CAST(floor(log10(value) * 1e6 + 0.5) AS BIGINT) AS yq
+        FROM events
+        WHERE (1.0 + user_id) > 0 AND value > 0
+    ), agg AS (
+        SELECT event_type,
+               CAST(count(xq) AS DOUBLE) AS n,
+               CAST(sum(xq) AS DOUBLE) AS sx,
+               CAST(sum(yq) AS DOUBLE) AS sy,
+               CAST(sum(xq * yq) AS DOUBLE) AS sxy,
+               CAST(sum(xq * xq) AS DOUBLE) AS sxx,
+               CAST(sum(yq * yq) AS DOUBLE) AS syy,
+               count(xq) AS n_used
+        FROM q GROUP BY event_type
+    )
     SELECT event_type,
-           round(regr_slope(log10(value), log10(1.0 + user_id)), 6) AS index,
-           round(regr_intercept(log10(value), log10(1.0 + user_id)), 6) AS log_amp,
-           round(regr_r2(log10(value), log10(1.0 + user_id)), 6) AS r2,
-           CAST(regr_count(log10(value), log10(1.0 + user_id)) AS BIGINT) AS n_used
-    FROM events
-    WHERE (1.0 + user_id) > 0 AND value > 0
-    GROUP BY event_type
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS index,
+           round((sy / n) / 1e6
+                 - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * ((sx / n) / 1e6), 6) AS log_amp,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           CAST(n_used AS BIGINT) AS n_used
+    FROM agg
     """,
     "§2.8 log-log spectral-index / scattering-tail fit via regression aggregates (lofar_fluxcal.py:1040-1048; get_rough_tscat.py:80-93)",
 )
@@ -2525,7 +2546,9 @@ def q_spectral_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) + F.col("user_id")).alias("x"),
         F.col("value").alias("y"),
     )
-    out = fit_powerlaw(ev, "x", "y", group_cols=["event_type"])
+    out = fit_powerlaw(
+        ev, "x", "y", group_cols=["event_type"], exact_scale=1e6
+    )
     return out.select(
         "event_type",
         F.round("index", 6).alias("index"),
