@@ -1,0 +1,125 @@
+"""Aggregation-order determinism for the exact-mode operators.
+
+A 1000-executor cluster differs from local[32] (and from DuckDB) in
+the ORDER partial aggregates combine — float sums are not associative,
+so order can flip the last ulp and, after rounding, a compared digit.
+The integer-quantized exact modes exist to kill that class of bug:
+these tests assert byte-identical (repr-level) results when the same
+input is partitioned completely differently, which is exactly the
+degree of freedom a cluster resize exercises.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.operators.fits import fit_powerlaw
+from lofar_bf_pulsar_scripts_spark.operators.qqnorm import qq_stats_sql
+from lofar_bf_pulsar_scripts_spark.operators.robust import (
+    sigma_clip,
+    trimmed_block_stats,
+)
+from lofar_bf_pulsar_scripts_spark.operators.session import session_stats
+
+
+def _events(spark, n=4000):
+    # hash-spread doubles with many near-boundary values
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.pmod(F.col("id"), 7)).alias("grp"),
+        (
+            F.sin(F.col("id").cast("double")) * 250.0
+            + 250.0
+            + F.col("id").cast("double") / 997.0
+        ).alias("value"),
+        (F.col("id") * 31_415_926_535 % 86_400_000_000).alias("ts_us"),
+    )
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+def _assert_partition_invariant(build):
+    """build(df) -> result DataFrame; input repartitioned 3 ways."""
+    outs = []
+    for parts in (1, 7, 64):
+        outs.append(_canon(build(parts)))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_trimmed_stats_exact_partition_invariant(spark):
+    ev = _events(spark)
+
+    def build(parts):
+        df = ev.repartition(parts)
+        return trimmed_block_stats(
+            df, ["grp"], value_col="value", exact_scale=1e3
+        )
+
+    _assert_partition_invariant(build)
+
+
+def test_sigma_clip_exact_partition_invariant(spark):
+    ev = _events(spark)
+
+    def build(parts):
+        df = ev.repartition(parts)
+        out = sigma_clip(
+            df, ["grp"], value_col="value", threshold=1.5, rfilimit=None,
+            exact_scale=1e3,
+        )
+        return out.select("event_id", F.round("level", 6).alias("level"))
+
+    _assert_partition_invariant(build)
+
+
+def test_qq_exact_partition_invariant(spark):
+    ev = _events(spark)
+
+    def build(parts):
+        df = ev.repartition(parts)
+        out = qq_stats_sql(
+            df, ["grp"], value_col="value", exact_scales=(1e3, 1e6)
+        )
+        return out.select(
+            "grp",
+            F.round("qq_mean", 6).alias("qq_mean"),
+            F.round("qq_rms", 6).alias("qq_rms"),
+        )
+
+    _assert_partition_invariant(build)
+
+
+def test_powerlaw_exact_partition_invariant(spark):
+    ev = _events(spark).select(
+        "grp",
+        (F.lit(1.0) + F.pmod(F.col("event_id"), 171)).alias("x"),
+        (F.col("value") + 1.0).alias("y"),
+    )
+
+    def build(parts):
+        df = ev.repartition(parts)
+        out = fit_powerlaw(df, "x", "y", group_cols=["grp"], exact_scale=1e6)
+        return out.select(
+            "grp",
+            F.round("index", 6).alias("index"),
+            F.round("log_amp", 6).alias("log_amp"),
+            F.round("r2", 6).alias("r2"),
+            "n_used",
+        )
+
+    _assert_partition_invariant(build)
+
+
+def test_session_stats_integer_partition_invariant(spark):
+    ev = _events(spark)
+
+    def build(parts):
+        df = ev.repartition(parts)
+        return session_stats(
+            df, ["grp"], order_col="ts_us", gap=3_600_000_000,
+            tiebreak_col="event_id",
+        )
+
+    _assert_partition_invariant(build)
