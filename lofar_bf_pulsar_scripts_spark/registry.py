@@ -582,7 +582,7 @@ def q_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY 1
     )
     SELECT e.event_id,
-           round((e.value - st.m) / st.s, 6) AS level,
+           round((e.value - st.m) / st.s, 6) + 0.0 AS level,
            CAST(CASE WHEN abs((e.value - st.m) / st.s) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS clipped,
            round(CASE WHEN abs((e.value - st.m) / st.s) > 2.0 THEN 0.0 ELSE e.value END, 6) AS value
     FROM events e JOIN st USING (event_type)
@@ -1342,7 +1342,7 @@ _COS_NORM = (
         FROM q CROSS JOIN embeddings e
         WHERE e.vec_id != q.qid
     )
-    SELECT qid, vec_id, round(cos, 6) AS cos
+    SELECT qid, vec_id, round(cos, 6) + 0.0 AS cos
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY qid ORDER BY cos DESC, vec_id ASC
@@ -1398,7 +1398,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probe p JOIN assigned a USING (cid)
         WHERE a.vec_id != p.qid
     )
-    SELECT qid, vec_id, round(cos, 6) AS cos
+    SELECT qid, vec_id, round(cos, 6) + 0.0 AS cos
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY qid ORDER BY cos DESC, vec_id ASC
@@ -1452,9 +1452,9 @@ def q_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            round((value / 2.41e-4) * (1.0/((120.0 + user_id)*(120.0 + user_id))
-                                      - 1.0/(168.0*168.0)), 6) AS delay_ms,
+                                      - 1.0/(168.0*168.0)), 6) + 0.0 AS delay_ms,
            round(2.0 / 2.41e-4 * value * 0.195 /
-                 ((120.0 + user_id)*(120.0 + user_id)*(120.0 + user_id)), 6)
+                 ((120.0 + user_id)*(120.0 + user_id)*(120.0 + user_id)), 6) + 0.0
                AS smear_ms
     FROM events
     """,
@@ -1484,6 +1484,7 @@ def q_dispersion_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(log10(4.0 * pi() * pi() * 1e45 * (1e-15 * (1.0 + user_id))
                  / pow(value/100.0, 3.0)), 6) AS log_edot
     FROM events
+    WHERE value > 0
     """,
     "§2.8 pulsar derived quantities tau/B_s/Edot (ppdot:27-96, ffdot:26-99)",
 )
@@ -1494,7 +1495,9 @@ def q_pulsar_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         surface_b_field_g,
     )
 
-    ev = load_table(spark, "events", sf_dir)
+    # value > 0 guards the log/pow domain (P = 0 would divide by zero
+    # under ANSI mode; the reference's period is physically positive)
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
     p = F.col("value") / 100.0
     pdot = F.lit(1e-15) * (F.lit(1.0) + F.col("user_id"))
     return ev.select(
@@ -1569,7 +1572,7 @@ def q_tsky_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sig s CROSS JOIN med m CROSS JOIN mad d
     )
     SELECT c.event_id,
-           round((c.value - p.base) / f.sigma, 6) AS value
+           round((c.value - p.base) / f.sigma, 6) + 0.0 AS value
     FROM chunked c
       JOIN per_chunk p USING (chunk)
       JOIN sig_fixed f USING (chunk)
@@ -1880,7 +1883,7 @@ def _acf_oracle() -> str:
     )
     SELECT lag,
            CAST(sum(prod) AS BIGINT) AS acf_m2,
-           round(sum(prod) / sum(sq), 6) AS acf_norm,
+           round(sum(prod) / sum(sq), 6) + 0.0 AS acf_norm,
            count(prod) AS npairs
     FROM long GROUP BY lag
     """
@@ -1926,7 +1929,7 @@ def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.dt, l.df_,
            CAST(sum(a.value * b.value) AS BIGINT) AS acf_m2,
            count(*) AS npairs,
-           round(sum(a.value * b.value) / any_value(energy.e), 6) AS acf_norm
+           round(sum(a.value * b.value) / any_value(energy.e), 6) + 0.0 AS acf_norm
     FROM raster a
       CROSS JOIN lags l
       JOIN raster b ON a.time_bin + l.dt = b.time_bin
@@ -2396,7 +2399,7 @@ def q_scrunch_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + cos(radians(CAST(user_id AS DOUBLE))) * cos(radians(52.915))
                      * cos(radians(mod(value, 360.0) - mod(value * 2.0, 360.0))),
                -1.0), 1.0)
-           )), 6) AS alt_deg
+           )), 6) + 0.0 AS alt_deg
     FROM events
     """,
     "§2.8 az/el spherical trig (scheduling/azza.pl)",
@@ -2426,7 +2429,7 @@ def q_altaz_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE a.vec_id < 100 AND b.vec_id < 100
     )
-    SELECT id_a, id_b, round(cos, 6) AS cos
+    SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos
     FROM pairs WHERE cos > 0.3
     """,
     "embedding-cosine near-dup detection (north star dedup variant)",
@@ -2527,10 +2530,10 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY event_type
     )
     SELECT event_type,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS index,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS index,
            round((sy / n) / 1e6
                  - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                   * ((sx / n) / 1e6), 6) AS log_amp,
+                   * ((sx / n) / 1e6), 6) + 0.0 AS log_amp,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
            CAST(n_used AS BIGINT) AS n_used

@@ -501,6 +501,16 @@ def write_psrfits_cube(
     writes would shard per observation at scale."""
     import numpy as np
 
+    # size guard: one .ar is one observation; a cube that doesn't fit
+    # the driver indicates a mis-scoped call (e.g. an unfiltered fact
+    # table), not a bigger archive. 2^28 cells = 2 GiB of float64.
+    n_cells = cube.count()
+    if n_cells > (1 << 28):
+        raise ValueError(
+            f"write_psrfits_cube collects the cube to the driver; "
+            f"{n_cells} cells exceeds the 2^28 single-archive guard — "
+            f"filter to one observation (or shard per obs) first"
+        )
     pdf = cube.toPandas().sort_values(["subint", "pol", "chan", "bin"])
     nsub = int(pdf["subint"].max()) + 1
     npol = int(pdf["pol"].max()) + 1

@@ -70,17 +70,27 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+        except Exception as exc:  # keep scanning; report the crash
+            print(f"  {name:28s} FAIL Spark raised: {str(exc).splitlines()[0][:160]}")
+            failures.append(name)
+            continue
         scols = sdf.columns
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:28s} rows={len(srows):6d}  (no oracle, rows-only) {t_spark:.1f}s")
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"  {name:28s} FAIL DuckDB raised: {str(exc).splitlines()[0][:160]}")
+            failures.append(name)
+            continue
         t_duck = time.time() - t0
         status = []
         if sorted(scols) != sorted(dcols):
