@@ -3163,17 +3163,17 @@ _TAIL: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "simhash_docs",
     "payload_metadata",
-    "pulsar_derived",
     "rfi_zap_fraction",
     "orders_without_lineitems",
-    "fold_event_counts",
-    "altaz_positions",
-    "embedding_near_dups",
-    "spectral_index",
     "band_averaged_tsky",
     "tsky_map_lookup",
     "jones_beam_corr",
     "channel_sefd",
+    "catalog_union",
+    "dedup_documents",
+    "nearest_supplier",
+    "top_customer_per_nation",
+    "token_stats",
 )
 
 
