@@ -112,6 +112,39 @@ def test_powerlaw_exact_partition_invariant(spark):
     _assert_partition_invariant(build)
 
 
+def test_exact_modes_match_float_semantics(spark):
+    """The exact modes exist for determinism, not different math: at
+    milli/micro quantization their results must agree with the
+    engine-native float aggregates to well within the output rounding
+    quantum (1e-6)."""
+    ev = _events(spark)
+    f = trimmed_block_stats(ev, ["grp"], value_col="value")
+    e = trimmed_block_stats(ev, ["grp"], value_col="value", exact_scale=1e3)
+    ff = {r["grp"]: (r["trim_mean"], r["trim_std"]) for r in f.collect()}
+    ee = {r["grp"]: (r["trim_mean"], r["trim_std"]) for r in e.collect()}
+    assert ff.keys() == ee.keys()
+    for g in ff:
+        # quantization error: <=5e-4 per value at 1e3 scale
+        assert abs(ff[g][0] - ee[g][0]) < 1e-3
+        assert abs(ff[g][1] - ee[g][1]) < 1e-3
+
+    pf = fit_powerlaw(
+        ev.select("grp", (F.col("value") + 1.0).alias("x"),
+                  (F.col("value") * 2.0 + 3.0).alias("y")),
+        "x", "y", group_cols=["grp"],
+    ).collect()
+    pe = fit_powerlaw(
+        ev.select("grp", (F.col("value") + 1.0).alias("x"),
+                  (F.col("value") * 2.0 + 3.0).alias("y")),
+        "x", "y", group_cols=["grp"], exact_scale=1e6,
+    ).collect()
+    ff2 = {r["grp"]: (r["index"], r["log_amp"], r["r2"]) for r in pf}
+    ee2 = {r["grp"]: (r["index"], r["log_amp"], r["r2"]) for r in pe}
+    for g in ff2:
+        for a, b in zip(ff2[g], ee2[g]):
+            assert abs(a - b) < 1e-4
+
+
 def test_session_stats_integer_partition_invariant(spark):
     ev = _events(spark)
 
