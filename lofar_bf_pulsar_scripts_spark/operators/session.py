@@ -47,6 +47,33 @@ def sessionize_by_gap(
     ).drop("__new")
 
 
+def session_stats_native(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Per-key session summary via Spark's built-in
+    ``F.session_window`` — the same gap-session semantics expressed as
+    a native (streaming-capable) session window, so the identical code
+    runs under Structured Streaming with watermark-driven state
+    cleanup. ``ts_col`` must be a TIMESTAMP column.
+
+    Boundary note vs ``session_stats``: the native window is
+    half-open ([start, last+gap)), so an event exactly ``gap`` after
+    the previous one starts a NEW session, where the lag-based form's
+    strict ``>`` keeps it in the old one. Equal semantics whenever no
+    inter-event gap is exactly ``gap`` (generic timestamps)."""
+    per_session = df.groupBy(
+        *key_cols, F.session_window(F.col(ts_col), gap).alias("__w")
+    ).agg(F.count(F.lit(1)).alias("session_len"))
+    return per_session.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_len").alias("max_session_len"),
+        F.sum("session_len").alias("n_rows"),
+    )
+
+
 def session_stats(
     df: DataFrame,
     key_cols: list[str],

@@ -170,3 +170,30 @@ def test_streaming_dedup(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_native_session_window_parity(spark):
+    """F.session_window sessionization equals the lag-based form on
+    generic timestamps (no inter-event gap of exactly 1 hour)."""
+    from lofar_bf_pulsar_scripts_spark.operators.session import (
+        session_stats,
+        session_stats_native,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("timestamp_micros(ts div 1000)").alias("ts_t"),
+    )
+    lag_based = session_stats(
+        ev, ["user_id"], order_col="ts_us", gap=3_600_000_000,
+        tiebreak_col="event_id",
+    )
+    native = session_stats_native(ev, ["user_id"], ts_col="ts_t", gap="1 hour")
+    a = {r["user_id"]: (r["n_sessions"], r["max_session_len"], r["n_rows"])
+         for r in lag_based.collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["max_session_len"], r["n_rows"])
+         for r in native.collect()}
+    assert a == b
