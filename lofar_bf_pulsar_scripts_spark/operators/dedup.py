@@ -208,6 +208,40 @@ def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen: per corpus document, how many of
+    its DISTINCT k-gram shingles also occur anywhere in ``benchmark``
+    (the eval/held-out set a training corpus must not leak).
+
+    Scale shape: the benchmark's distinct shingle set is broadcast
+    (benchmarks are small by definition), so the corpus side is a
+    map-side left join + one per-doc aggregation — the 100 TB corpus
+    is shuffled only on ``id_col`` for the final count, and map-side
+    combine collapses it first. Returns (id, n_shingles, n_hit), all
+    exact integers.
+    """
+    corp = shingle_rows(corpus, id_col, text_col, k)
+    bench = (
+        shingle_rows(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corp.join(F.broadcast(bench), on="shingle", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count_distinct("shingle").alias("n_shingles"),
+        F.count_distinct(
+            F.when(F.col("__hit") == 1, F.col("shingle"))
+        ).alias("n_hit"),
+    )
+
+
 def ngram_jaccard(
     text_a: str = "text_a",
     text_b: str = "text_b",

@@ -1041,6 +1041,49 @@ def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "contamination_screen",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks WHERE len(w) >= 3
+    ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ), corp AS (
+        SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 != 0
+    )
+    SELECT c.doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE b.shingle IS NOT NULL) AS n_hit,
+           CAST(CASE WHEN 2 * count(*) FILTER (WHERE b.shingle IS NOT NULL)
+                          > count(*)
+                     THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+    FROM corp c LEFT JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+    "benchmark-contamination screen: k-gram overlap vs a held-out set "
+    "(north star; broadcast semi-join, corpus never reshuffled)",
+)
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import contamination_counts
+
+    d = load_table(spark, "documents", sf_dir)
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    out = contamination_counts(corpus, bench)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        # integer comparison -> deterministic flag
+        (2 * F.col("n_hit") > F.col("n_shingles")).cast("int").alias(
+            "contaminated"
+        ),
+    )
+
+
 def _dup_clusters_oracle() -> str:
     """LSH buckets -> candidate pairs -> connected components via a
     recursive transitive-closure CTE (min reachable doc_id = the
@@ -3174,6 +3217,7 @@ _TAIL: tuple[str, ...] = (
     "nearest_supplier",
     "top_customer_per_nation",
     "token_stats",
+    "lsh_bucket_sizes",
 )
 
 
