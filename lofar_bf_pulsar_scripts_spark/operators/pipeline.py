@@ -121,6 +121,34 @@ def hash_sample(
     return df.filter(h < thresh)
 
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``n_per_group`` rows
+    per group, chosen by md5 rank of the id — the data-mixing primitive
+    that caps any one source's contribution to a training corpus.
+
+    The rank order is a pure function of (id, seed): stable across
+    runs, partition layouts, cluster sizes, and engines (md5 hex
+    strings compare identically everywhere). One shuffle on the group
+    key; each group sorts only its own rows. Appends ``rk`` (1-based
+    rank within the group)."""
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(n_per_group)))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,

@@ -1084,6 +1084,66 @@ def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "repetition_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN {_SHINGLES_SQL}
+                    ELSE []::VARCHAR[] END AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles,
+           CAST(len(s) - len(list_distinct(s)) AS BIGINT) AS n_repeated
+    FROM sh
+    """,
+    "within-document repetition/boilerplate signal: duplicated k-gram "
+    "count per doc (north star; pure per-row array algebra)",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    sh = word_shingles("text", 3)
+    return d.select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("bigint").alias(
+            "n_distinct_shingles"
+        ),
+        (F.size(sh) - F.size(F.array_distinct(sh))).cast("bigint").alias(
+            "n_repeated"
+        ),
+    )
+
+
+@_register(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 50
+    """,
+    "deterministic per-source quota (data mixing cap; md5-rank is a "
+    "pure function of the id -> stable across engines and clusters)",
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import quota_sample
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return quota_sample(d, "source", 50, id_col="doc_id", seed="mix")
+
+
 def _dup_clusters_oracle() -> str:
     """LSH buckets -> candidate pairs -> connected components via a
     recursive transitive-closure CTE (min reachable doc_id = the
@@ -3218,6 +3278,8 @@ _TAIL: tuple[str, ...] = (
     "top_customer_per_nation",
     "token_stats",
     "lsh_bucket_sizes",
+    "dup_clusters",
+    "lta_superquery_manifest",
 )
 
 
