@@ -32,6 +32,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def int8_quantize(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization of a float-vector column: scale =
+    max|x|/127, q_i = floor(x_i/max|x| * 127 + 0.5) (all-zero vectors
+    quantize to zeros). Returns (max_abs, quantized BIGINT array).
+
+    Embedding stores ship int8 for 4x less IO; the quantization is a
+    per-row sequential array expression — codegen'd, no shuffle, and
+    bit-deterministic across engines (float->double widening is exact;
+    every op is one fixed IEEE expression per element)."""
+    xd = F.transform(vec, lambda x: x.cast("double"))
+    m = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.when(
+        m > 0,
+        F.transform(xd, lambda x: F.floor(x / m * 127 + F.lit(0.5))),
+    ).otherwise(F.transform(xd, lambda x: F.lit(0).cast("bigint")))
+    return m, q
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
