@@ -1570,6 +1570,38 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "frame_offsets",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, strlen(text) AS blen FROM documents
+    ), n AS (
+        SELECT media_id, blen,
+               least(CAST(floor(blen / 64) AS INTEGER) + 1, 8) AS nf
+        FROM m
+    )
+    SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 64 AS INTEGER) AS byte_offset,
+           CAST(least(64, blen - i * 64) AS INTEGER) AS frame_len
+    FROM n, unnest(generate_series(0, nf - 1)) AS t(i)
+    """,
+    "multimodal frame-sampling fan-out: per-frame byte offsets/lengths "
+    "(UDTF-like explode + JVM payload slicing; strlen = utf-8 bytes "
+    "matches Spark's binary octet_length)",
+)
+def q_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample, media_from_documents
+
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    frames = frame_sample(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+        F.octet_length("frame_bytes").alias("frame_len"),
+    )
+
+
+@_register(
     "payload_metadata",
     """
     SELECT doc_id AS media_id,
@@ -3327,6 +3359,7 @@ _TAIL: tuple[str, ...] = (
     # never-green queries; verified by the local replica at all SFs
     # now, rotates into the driver window in round 4.
     "embedding_quantize",
+    "frame_offsets",
 )
 
 
