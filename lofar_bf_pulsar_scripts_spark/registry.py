@@ -1778,7 +1778,8 @@ def q_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(user_id / 10) AS INTEGER) AS out_chan,
            CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
                 FILTER (WHERE event_type != 'error') AS BIGINT) AS flux_sum_micro,
-           sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS n_good,
+           CAST(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
            count(*) AS n_cells
     FROM events
     GROUP BY 1
@@ -3319,16 +3320,15 @@ def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (observed in round 1: CORRECTNESS_r01.json held exactly 50 of
 # 59 rows). Queries in _TAIL are demoted below every other entry.
 #
-# Round-3 window plan (VERDICT r2 task 3): the first 50 slots go to
-# (a) the two previously-red queries (user_sessions, flux_spectrum,
-# now fully integer), (b) every query rotated OUT of the r2 window
-# whose only green row is from r1 (acf2d_user_day ... running_revenue
-# — they need an r3 row so the r2∪r3 union covers everything), and
-# (c) every query whose Spark/oracle output changed in the r3
-# integer-quantization hardening sweep (old green rows don't vouch
-# for new outputs). Rotated to the tail: rows-only entries and
-# queries that are r2-DRIVER-GREEN and textually UNCHANGED this round
-# — their r2 row remains valid evidence, and all of them stay
+# Round-4 window plan (VERDICT r3 tasks 1-2): flux_spectrum stays in
+# the head (its oracle gained the CAST(... AS BIGINT) that fixes the
+# 3-round HUGEINT/decimal128-vs-int64 hash mismatch — changed text
+# must re-gate); embedding_quantize + frame_offsets (new in r3, never
+# driver-gated) enter the head, funded by demoting fold_profile +
+# fold_subints (r1+r2+r3-green, byte-identical). Every other head
+# entry is r3-green; any query whose Spark fn or oracle text changes
+# this round must be in the head-50 — `python tools/check_window.py
+# <r3-end-commit>` verifies this mechanically. Tail entries remain
 # verified by the strict local replica every round.
 _TAIL: tuple[str, ...] = (
     # rows-only by design (no DuckDB-expressible oracle)
@@ -3355,11 +3355,11 @@ _TAIL: tuple[str, ...] = (
     "lsh_bucket_sizes",
     "dup_clusters",
     "lta_superquery_manifest",
-    # NEW this round but the head-50 is fully allocated to changed /
-    # never-green queries; verified by the local replica at all SFs
-    # now, rotates into the driver window in round 4.
-    "embedding_quantize",
-    "frame_offsets",
+    # r3-green and textually unchanged in r4; demoted to free head-50
+    # slots for embedding_quantize + frame_offsets (new in r3, never
+    # driver-gated) per the rotation rule. Their r3 rows stand.
+    "fold_profile",
+    "fold_subints",
 )
 
 

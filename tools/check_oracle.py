@@ -23,6 +23,7 @@ import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
 
@@ -34,17 +35,29 @@ from __spark_entry__ import oracle_sql, queries
 
 
 def canon(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    Each cell carries a type-class tag so typed divergence the driver's
+    Arrow-level hash sees (e.g. DuckDB HUGEINT -> Decimal('3') vs Spark
+    int64 3, which ``str()`` collapses) fails here too.  bool is checked
+    before int (bool is an int subclass).
+    """
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v):
         if v is None:
             return "\0null"
+        if isinstance(v, bool):
+            return f"b:{v}"
+        if isinstance(v, int):
+            return f"i:{v}"
         if isinstance(v, float):
             if math.isnan(v):
-                return "nan"
-            return repr(v)  # full precision — strictest possible compare
-        return str(v)
+                return "f:nan"
+            return f"f:{v!r}"  # full precision — strictest possible compare
+        if isinstance(v, Decimal):
+            return f"dec:{v}"
+        return f"{type(v).__name__}:{v}"
 
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
