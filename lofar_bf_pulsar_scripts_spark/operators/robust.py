@@ -305,29 +305,27 @@ def detrend_normalize(
         trimmed.groupBy(*group_cols, "__chunk")
         .agg(sig_expr.alias("__sigma"))
     )
-    # outlier chunks -> median sigma (pulsestack.py:84-91); MAD needs
-    # two passes over the (tiny) per-chunk sigma table.
-    med = sig.groupBy(*group_cols).agg(
-        F.percentile(F.col("__sigma"), F.lit(0.5)).alias("__med_sigma")
-    )
-    sig_med = (
-        sig.join(F.broadcast(med), on=group_cols)
-        if group_cols
-        else sig.crossJoin(F.broadcast(med))
-    )
-    mad = sig_med.groupBy(*group_cols).agg(
-        F.percentile(
-            F.abs(F.col("__sigma") - F.col("__med_sigma")), F.lit(0.5)
-        ).alias("__mad_sigma")
-    )
-    med_mad = (
-        med.join(mad, on=group_cols) if group_cols else med.crossJoin(mad)
-    )
+    # outlier chunks -> median sigma (pulsestack.py:84-91). MAD needs
+    # the median first, so two window stages — but both run over the
+    # tiny per-chunk sigma frame under ONE partitioning with ZERO
+    # joins. (The previous agg+broadcast-join form launched a separate
+    # broadcast-build job per statistic, each re-deriving sig — and
+    # its fact-table upstream — from scratch; that was the r3 bench
+    # regression.) With no group_cols the window is a single partition,
+    # acceptable because the frame is chunk-cardinality (n/detrendlen).
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
     sig_fixed = (
-        (
-            sig.join(F.broadcast(med_mad), on=group_cols)
-            if group_cols
-            else sig.crossJoin(F.broadcast(med_mad))
+        sig.withColumn(
+            "__med_sigma",
+            F.percentile(F.col("__sigma"), F.lit(0.5)).over(wspec),
+        )
+        .withColumn(
+            "__mad_sigma",
+            F.percentile(
+                F.abs(F.col("__sigma") - F.col("__med_sigma")), F.lit(0.5)
+            ).over(wspec),
         )
         .withColumn(
             "__sigma",
