@@ -46,12 +46,21 @@ def fit_powerlaw(
     s = F.lit(float(exact_scale))
     xq = F.floor(lx * s + F.lit(0.5))
     yq = F.floor(ly * s + F.lit(0.5))
+    # Sum in DECIMAL(38,0): DuckDB's sum(BIGINT) widens to HUGEINT
+    # (int128) automatically, so a plain long sum on the Spark side
+    # would wrap (or throw under ANSI) first — at ~1e12 rows/group the
+    # squared-term sums exceed int64. decimal(38,0) gives equivalent
+    # headroom; the one cast to double at the end is correctly rounded
+    # on both engines. Products are widened BEFORE multiplying so the
+    # per-row term can't wrap either (oracle mirrors via HUGEINT).
+    xd = xq.cast("decimal(19,0)")
+    yd = yq.cast("decimal(19,0)")
     n = F.count(xq).cast("double")
-    sx = F.sum(xq).cast("double")
-    sy = F.sum(yq).cast("double")
-    sxy = F.sum(xq * yq).cast("double")
-    sxx = F.sum(xq * xq).cast("double")
-    syy = F.sum(yq * yq).cast("double")
+    sx = F.sum(xd).cast("double")
+    sy = F.sum(yd).cast("double")
+    sxy = F.sum((xd * yd).cast("decimal(38,0)")).cast("double")
+    sxx = F.sum((xd * xd).cast("decimal(38,0)")).cast("double")
+    syy = F.sum((yd * yd).cast("decimal(38,0)")).cast("double")
     cov = n * sxy - sx * sy
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy

@@ -134,11 +134,17 @@ def _regr_exact(y, x, yscale: float, xscale: float):
 
     yq = F.floor(y * F.lit(float(yscale)) + F.lit(0.5))
     xq = F.floor(x * F.lit(float(xscale)) + F.lit(0.5))
+    # DECIMAL(38,0) sums: DuckDB widens sum(BIGINT) to HUGEINT, so a
+    # long sum here would wrap/throw first on large groups; decimal
+    # gives int128-equivalent headroom and one correctly-rounded
+    # double conversion at the end (see fits.fit_powerlaw).
+    xd = xq.cast("decimal(19,0)")
+    yd = yq.cast("decimal(19,0)")
     n = F.count(xq).cast("double")
-    sx = F.sum(xq).cast("double")
-    sy = F.sum(yq).cast("double")
-    sxy = F.sum(xq * yq).cast("double")
-    sxx = F.sum(xq * xq).cast("double")
+    sx = F.sum(xd).cast("double")
+    sy = F.sum(yd).cast("double")
+    sxy = F.sum((xd * yd).cast("decimal(38,0)")).cast("double")
+    sxx = F.sum((xd * xd).cast("decimal(38,0)")).cast("double")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(
         float(xscale) / float(yscale)
     )

@@ -45,8 +45,15 @@ def _exact_moments(vq, n, scale: float, sample: bool):
     (Welford) are order-dependent in the last ulp, which is enough to
     flip a rounded digit across engines.
     """
-    s1 = F.sum(vq).cast("double")
-    s2 = F.sum(vq * vq).cast("double")
+    # Sum in DECIMAL(38,0): DuckDB's sum(BIGINT) auto-widens to
+    # HUGEINT (int128) so the mirroring oracles are already exact; a
+    # plain long sum on the Spark side would wrap (ANSI: throw) first
+    # — vq^2 ~ 1e10 at scale 1e3 crosses int64 near 1e9 rows/group.
+    # decimal(38,0) matches DuckDB's headroom; the single double
+    # conversion below is correctly rounded on both engines.
+    vd = vq.cast("decimal(19,0)")
+    s1 = F.sum(vd).cast("double")
+    s2 = F.sum((vd * vd).cast("decimal(38,0)")).cast("double")
     denom = (n - F.lit(1)) if sample else n
     mean = (s1 / n) / F.lit(float(scale))
     std = F.sqrt((s2 - s1 * s1 / n) / denom) / F.lit(float(scale))

@@ -2702,9 +2702,13 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(xq) AS DOUBLE) AS n,
                CAST(sum(xq) AS DOUBLE) AS sx,
                CAST(sum(yq) AS DOUBLE) AS sy,
-               CAST(sum(xq * yq) AS DOUBLE) AS sxy,
-               CAST(sum(xq * xq) AS DOUBLE) AS sxx,
-               CAST(sum(yq * yq) AS DOUBLE) AS syy,
+               -- products widened to HUGEINT before multiplying, and
+               -- sum(HUGEINT) stays HUGEINT: exact int128 on both
+               -- engines (Spark sums DECIMAL(38,0)); one correctly-
+               -- rounded double conversion at the end
+               CAST(sum(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy,
                count(xq) AS n_used
         FROM q GROUP BY event_type
     )
@@ -2896,13 +2900,16 @@ def _qq_oracle() -> str:
                CAST(count(xq) FILTER (WHERE inr) AS DOUBLE) AS n_i,
                CAST(sum(xq) FILTER (WHERE inr) AS DOUBLE) AS sx_i,
                CAST(sum(yq) FILTER (WHERE inr) AS DOUBLE) AS sy_i,
-               CAST(sum(xq * yq) FILTER (WHERE inr) AS DOUBLE) AS sxy_i,
-               CAST(sum(xq * xq) FILTER (WHERE inr) AS DOUBLE) AS sxx_i,
+               -- HUGEINT-widened products/sums: exact int128 on both
+               -- engines (Spark side sums DECIMAL(38,0), see
+               -- qqnorm._regr_exact), double conversion once
+               CAST(sum(CAST(xq AS HUGEINT) * yq) FILTER (WHERE inr) AS DOUBLE) AS sxy_i,
+               CAST(sum(CAST(xq AS HUGEINT) * xq) FILTER (WHERE inr) AS DOUBLE) AS sxx_i,
                CAST(count(xq) AS DOUBLE) AS n_a,
                CAST(sum(xq) AS DOUBLE) AS sx_a,
                CAST(sum(yq) AS DOUBLE) AS sy_a,
-               CAST(sum(xq * yq) AS DOUBLE) AS sxy_a,
-               CAST(sum(xq * xq) AS DOUBLE) AS sxx_a
+               CAST(sum(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy_a,
+               CAST(sum(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx_a
         FROM quant GROUP BY event_type
     ), fit AS (
         -- mirror qq_stats_sql's tiny-group fallback: fit all points
