@@ -73,22 +73,65 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_luma
 
 
+def _pillow_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Real image decode via Pillow (optional dependency): dimensions,
+    band count, and mean luma of the 8-bit grayscale conversion.
+    Import happens inside the executor-side call so the operator is
+    importable without Pillow; undecodable payloads map to the same
+    (0, 0, 0, 0.0) sentinel the fake path uses for NULLs."""
+    from io import BytesIO
+
+    from PIL import Image, ImageStat, UnidentifiedImageError
+
+    try:
+        with Image.open(BytesIO(payload)) as im:
+            channels = len(im.getbands())
+            mean_luma = ImageStat.Stat(im.convert("L")).mean[0] / 255.0
+            return im.width, im.height, channels, mean_luma
+    except (UnidentifiedImageError, OSError, ValueError):
+        return 0, 0, 0, 0.0
+
+
+def pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_DECODERS = {"fake": _fake_decode, "pillow": _pillow_decode}
+
+
 def decode_image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """mapInPandas decode: Arrow-batched, one Python roundtrip per
-    batch, output schema fixed. Swap ``decoder`` for a real library
-    when available."""
-    if decoder != "fake":
+    batch, output schema fixed.
+
+    ``decoder="fake"`` (default) is the deterministic digest-based
+    stand-in used by gates/tests; ``decoder="pillow"`` performs a real
+    decode when Pillow is importable (optional dependency — raises
+    NotImplementedError up front when it is not, rather than failing
+    executor-side)."""
+    if decoder not in _DECODERS:
         raise NotImplementedError(
-            f"decoder={decoder!r}: image libraries not available in this "
-            "container — only the deterministic 'fake' decoder is wired up"
+            f"decoder={decoder!r}: supported decoders are "
+            f"{sorted(_DECODERS)}"
         )
+    if decoder == "pillow" and not pillow_available():
+        raise NotImplementedError(
+            "decoder='pillow': Pillow is not installed in this "
+            "environment — install pillow or use the deterministic "
+            "'fake' decoder"
+        )
+    decode = _DECODERS[decoder]
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
             feats = [
-                _fake_decode(bytes(p)) if p is not None else (0, 0, 0, 0.0)
+                decode(bytes(p)) if p is not None else (0, 0, 0, 0.0)
                 for p in pdf["payload"]
             ]
             out = pd.DataFrame(

@@ -157,12 +157,62 @@ def test_multimodal_pipeline(spark, docs):
     assert joined[: len(joined)] == BASE.encode()[: len(joined)]
 
 
-def test_decode_unstubbed_decoder_raises(spark, docs):
+def test_decode_unknown_decoder_raises(spark, docs):
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        pillow_available,
+    )
+
     media = media_from_documents(
         docs.withColumn("source", F.lit("s"))
     )
     with pytest.raises(NotImplementedError):
-        decode_image_features(media, decoder="pillow")
+        decode_image_features(media, decoder="no-such-decoder")
+    if not pillow_available():
+        with pytest.raises(NotImplementedError):
+            decode_image_features(media, decoder="pillow")
+
+
+def _tiny_bmp(width: int = 4, height: int = 2) -> bytes:
+    """Hand-crafted 24-bit BMP (no image lib needed to CREATE it):
+    bottom row black, top row white -> mean luma exactly 0.5."""
+    import struct
+
+    rows = []
+    for y in range(height):  # stored bottom-up
+        val = 0 if y < height // 2 else 255
+        row = bytes([val] * 3 * width)
+        row += b"\0" * ((4 - len(row) % 4) % 4)
+        rows.append(row)
+    pixels = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + dib + pixels
+
+
+def test_decode_real_pillow(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        pillow_available,
+    )
+
+    if not pillow_available():
+        pytest.skip("Pillow not installed — real-decoder path untestable")
+    bmp = _tiny_bmp(width=4, height=2)
+    media = spark.createDataFrame(
+        [(0, bmp), (1, b"not an image")],
+        "media_id int, payload binary",
+    )
+    feats = {
+        r["media_id"]: r
+        for r in decode_image_features(media, decoder="pillow").collect()
+    }
+    assert (feats[0]["width"], feats[0]["height"]) == (4, 2)
+    assert feats[0]["channels"] == 3
+    assert feats[0]["mean_luma"] == pytest.approx(0.5, abs=1e-6)
+    # undecodable payload maps to the sentinel row, not an executor crash
+    assert (feats[1]["width"], feats[1]["height"]) == (0, 0)
 
 
 def test_cosine_expression_matches_numpy(spark, vectors):
