@@ -2835,6 +2835,68 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sketch_exact_check",
+    """
+    -- exact duals of the approx_sketches columns: count(DISTINCT) and
+    -- a DISCRETE p95 (smallest value whose cumulative count reaches
+    -- ceil(0.95*n)) — no interpolation arithmetic, so the output is a
+    -- raw parquet double both engines agree on bit-for-bit
+    WITH tot AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    ), cum AS (
+        SELECT event_type, value,
+               sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+        FROM (
+            SELECT event_type, value, count(*) AS c
+            FROM events GROUP BY event_type, value
+        )
+    )
+    SELECT t.event_type, t.exact_users,
+           min(c.value) AS p95_value,
+           CAST(t.n AS BIGINT) AS n
+    FROM tot t JOIN cum c
+      ON c.event_type = t.event_type
+     AND c.cum >= CAST(ceil(0.95 * t.n) AS BIGINT)
+    GROUP BY t.event_type, t.exact_users, t.n
+    """,
+    "exact companion gate for the sketch columns: count_distinct + "
+    "discrete p95 via cumulative counts over DISTINCT values (the "
+    "window input is value-cardinality, not row-cardinality — the "
+    "groupBy underneath combines map-side, so the per-group sort "
+    "never sees the raw fact rows)",
+)
+def q_sketch_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    tot = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    counts = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    target = F.ceil(F.lit(0.95) * F.col("n"))
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cum") >= target)
+        .groupBy("event_type", "exact_users", "n")
+        .agg(F.min("value").alias("p95_value"))
+        .select(
+            "event_type",
+            "exact_users",
+            "p95_value",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Q-Q normalization (W2) — pandas-UDF operator; no SQL oracle
 # (inverse normal CDF not expressible) -> driver rows-only check
@@ -3367,6 +3429,7 @@ _TAIL: tuple[str, ...] = (
     # driver-gated) per the rotation rule. Their r3 rows stand.
     "fold_profile",
     "fold_subints",
+    "rebin_events",
 )
 
 
