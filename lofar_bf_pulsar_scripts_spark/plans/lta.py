@@ -125,9 +125,8 @@ def superquery_for_project(spark: SparkSession, project_name: str) -> DataFrame:
     lta-query.py:112), with the empty-result fallback to the public
     catalog (lta-query.py:183-186)."""
     scoped = spark.sql(
-        f"""
-        SELECT id FROM lta_awe_projects WHERE name = '{project_name}'
-        """
+        "SELECT id FROM lta_awe_projects WHERE name = :name",
+        args={"name": project_name},
     ).collect()
     if scoped:
         df = superquery(spark, project_id=scoped[0]["id"])

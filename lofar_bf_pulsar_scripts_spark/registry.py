@@ -2635,7 +2635,6 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from .streaming.fold_stream import streaming_fold_subints
 
@@ -2645,7 +2644,16 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.abspath(stage)
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", dst)
+    src = f"{sf_dir}/events.parquet"
+    # skip the staging copy when the staged file is already this
+    # exact source (size + mtime) — bench/gate runs replay repeatedly
+    st_src = os.stat(src)
+    if not (
+        os.path.exists(dst)
+        and os.stat(dst).st_size == st_src.st_size
+        and os.stat(dst).st_mtime == st_src.st_mtime
+    ):
+        shutil.copy2(src, dst)
     from .tables import stream_events
 
     stream = stream_events(spark, stage)

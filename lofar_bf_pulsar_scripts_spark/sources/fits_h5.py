@@ -504,14 +504,18 @@ def write_psrfits_cube(
     # size guard: one .ar is one observation; a cube that doesn't fit
     # the driver indicates a mis-scoped call (e.g. an unfiltered fact
     # table), not a bigger archive. 2^28 cells = 2 GiB of float64.
-    n_cells = cube.count()
+    # Checked on the Arrow-collected frame so the plan executes once
+    # (a count() beforehand would run the whole upstream twice), and
+    # BEFORE the float64 reshape, which is where the memory blows up.
+    pdf = cube.toPandas()
+    n_cells = len(pdf)
     if n_cells > (1 << 28):
         raise ValueError(
             f"write_psrfits_cube collects the cube to the driver; "
             f"{n_cells} cells exceeds the 2^28 single-archive guard — "
             f"filter to one observation (or shard per obs) first"
         )
-    pdf = cube.toPandas().sort_values(["subint", "pol", "chan", "bin"])
+    pdf = pdf.sort_values(["subint", "pol", "chan", "bin"])
     nsub = int(pdf["subint"].max()) + 1
     npol = int(pdf["pol"].max()) + 1
     nchan = int(pdf["chan"].max()) + 1

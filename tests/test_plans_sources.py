@@ -87,6 +87,10 @@ def test_superquery_project_scope_and_fallback(spark, catalog):
     # unknown project name falls back to the public query
     fb = lta.superquery_for_project(spark, "NOPE_999")
     assert fb.count() == allrows.count()
+    # quote-bearing names are bound as parameters, not interpolated:
+    # no parse error, falls back like any other unknown project
+    quoted = lta.superquery_for_project(spark, "O'Brien's proj; --")
+    assert quoted.count() == allrows.count()
 
 
 def test_retrieval_filters(spark, catalog):
