@@ -2632,11 +2632,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # Structured Streaming op -> rows-only check by design
     "§2.9 streaming tumbling fold on bounded replay (pulsestack.py:553-620 dual)",
 )
-def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stage_events_dir(sf_dir: str) -> str:
+    """Stage the events parquet into the streaming source directory,
+    skipping the copy when the staged file is already this exact
+    source (size + mtime via copy2) — bench/gate runs replay
+    repeatedly."""
     import os
     import shutil
-
-    from .streaming.fold_stream import streaming_fold_subints
 
     stage = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir, ".stream_stage"
@@ -2645,8 +2647,6 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")
     src = f"{sf_dir}/events.parquet"
-    # skip the staging copy when the staged file is already this
-    # exact source (size + mtime) — bench/gate runs replay repeatedly
     st_src = os.stat(src)
     if not (
         os.path.exists(dst)
@@ -2654,18 +2654,14 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         and os.stat(dst).st_mtime == st_src.st_mtime
     ):
         shutil.copy2(src, dst)
-    from .tables import stream_events
+    return stage
 
-    stream = stream_events(spark, stage)
-    agg = streaming_fold_subints(
-        stream, FOLD_PERIOD, FOLD_NBINS, dump_seconds="1 day", watermark="1 minute"
-    )
-    name = "q_stream_fold_replay"
-    # Replay micro-optimizations: the stateful aggregation allocates
-    # one state store per shuffle partition, so drop the partition
-    # count for the (tiny-keyspace) replay, and use the availableNow
-    # trigger so the bounded source drains in as few micro-batches as
-    # possible instead of one batch per poll.
+
+def _run_bounded_to_memory(spark: SparkSession, agg: DataFrame, name: str):
+    """Drive a streaming aggregate over the bounded staged source to
+    completion (availableNow, complete mode, memory sink) with the
+    shuffle-partition count dropped for the tiny-keyspace replay (one
+    state store per partition)."""
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -2682,14 +2678,77 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.table(name)
-        .select(
-            F.col("win_start").cast("double").alias("win_start_epoch"),
-            "bin",
-            F.round("profile", 6).alias("profile"),
-            "npts",
+    return spark.table(name)
+
+
+def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.fold_stream import streaming_fold_subints
+
+    stage = _stage_events_dir(sf_dir)
+    from .tables import stream_events
+
+    stream = stream_events(spark, stage)
+    agg = streaming_fold_subints(
+        stream, FOLD_PERIOD, FOLD_NBINS, dump_seconds="1 day", watermark="1 minute"
+    )
+    out = _run_bounded_to_memory(spark, agg, "q_stream_fold_replay")
+    return out.select(
+        F.col("win_start").cast("double").alias("win_start_epoch"),
+        "bin",
+        F.round("profile", 6).alias("profile"),
+        "npts",
+    )
+
+
+@_register(
+    "streaming_fold_exact",
+    f"""
+    -- batch dual of the streaming tumbling-day fold, in fully integer
+    -- form: per (UTC day window, phase bin) the quantized-value sum
+    -- and count. Integer sums are associative, so the incremental
+    -- state-store aggregation order of the STREAMING side cannot
+    -- differ from DuckDB's batch order — this makes batch/stream
+    -- parity a driver-hash-checked fact rather than a rows-only count.
+    SELECT CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                         date_trunc('day', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS win_day_epoch,
+           {{bin_sql}} AS bin,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                AS BIGINT) AS flux_sum_micro,
+           count(*) AS npts
+    FROM events GROUP BY 1, 2
+    """.format(bin_sql=_FOLD_BIN_SQL),
+    "§2.9 streaming fold, hash-gated (pulsestack.py:553-620 dual): "
+    "Structured Streaming windowed aggregation whose integer-quantized "
+    "output hash-matches the DuckDB batch oracle",
+)
+def q_streaming_fold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import bin_column
+    from .tables import stream_events
+
+    stage = _stage_events_dir(sf_dir)
+    stream = stream_events(spark, stage)
+    # quantize BEFORE the stateful aggregation: the per-micro-batch
+    # partial sums then combine exactly whatever the batch boundaries
+    t = F.col("ts").cast("double")
+    vq = F.floor(F.col("value") * 1e6 + F.lit(0.5))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(
+            F.window(F.col("ts"), "1 day").alias("win"),
+            bin_column(t, FOLD_PERIOD, FOLD_NBINS).alias("bin"),
         )
+        .agg(
+            F.sum(vq).alias("flux_sum_micro"),
+            F.count(F.lit(1)).alias("npts"),
+        )
+    )
+    out = _run_bounded_to_memory(spark, agg, "q_stream_fold_exact")
+    return out.select(
+        F.col("win.start").cast("long").alias("win_day_epoch"),
+        "bin",
+        F.col("flux_sum_micro").cast("long").alias("flux_sum_micro"),
+        "npts",
     )
 
 
@@ -3438,6 +3497,7 @@ _TAIL: tuple[str, ...] = (
     "fold_profile",
     "fold_subints",
     "rebin_events",
+    "profile_stats",
 )
 
 
