@@ -33,6 +33,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
+def shuffle_key(id_col, seed: str | int) -> F.Column:
+    """Deterministic pseudo-random sort key: md5 of "<id>:<seed>".
+    Engine-portable (md5 hex is identical everywhere) and stable
+    across partitionings — the standard way to give a training corpus
+    a reproducible global shuffle order."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+
+
+def hex_prefix_bucket(key_col, num_buckets: int) -> F.Column:
+    """Deterministic, ORDER-PRESERVING bucketing of a lowercase-hex
+    sort key (e.g. an md5): bucket = floor(int(first 4 hex digits) *
+    n / 65536). Monotone non-decreasing in the key's lexicographic
+    order, balanced when the key is a uniform hash — exactly the
+    shuffle-key case."""
+    val = F.conv(F.substring(key_col, 1, 4), 16, 10).cast("long")
+    # val*n <= 65535*n: exact in double, so floor-div is exact
+    return F.floor((val * int(num_buckets)) / F.lit(65536)).cast("long")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket: F.Column,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact 1-based global rank by ``order_cols`` WITHOUT a
+    single-partition window: bucket rows with ``bucket`` (a
+    DETERMINISTIC, order-preserving coarsening of the sort key — see
+    hex_prefix_bucket), rank within each bucket, then add per-bucket
+    offsets. The offset table is one row per bucket (collected to the
+    driver — bounded by the bucket count, never the data), so the
+    whole operation is one shuffle + one map, the same shape as
+    Spark's sort-based zipWithIndex.
+
+    Keys must be unique (give a tiebreaker column) and the bucket
+    deterministic: sampled range partitioning (repartitionByRange)
+    will NOT do — its boundaries can differ between the offsets pass
+    and the final pass, corrupting ranks. A deterministic bucket
+    expression makes both passes agree by construction, which also
+    keeps the result partition-count- and AQE-invariant.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    local = df.withColumn("__b", bucket).withColumn(
+        "__lr",
+        F.row_number().over(Window.partitionBy("__b").orderBy(*cols)),
+    )
+    counts = sorted(
+        local.groupBy("__b").agg(F.count(F.lit(1)).alias("__n")).collect(),
+        key=lambda r: r["__b"],
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__b"]] = acc
+        acc += r["__n"]
+    omap = F.create_map(
+        *[F.lit(x) for b_off in offsets.items() for x in b_off]
+    )
+    return (
+        local.withColumn(
+            rank_col, (F.col("__lr") + omap[F.col("__b")]).cast("bigint")
+        )
+        .drop("__b", "__lr")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -108,6 +108,91 @@ def brute_force_topk(
     return final
 
 
+def dot_quantized(a: Column, b: Column, scale: float = 1e12) -> Column:
+    """Integer-quantized dot product: every per-dim product is floored
+    to an integer (one fixed IEEE expression per element — identical
+    on any engine), and integer sums are associative, so nearest-
+    centroid comparisons over this score can never flip with
+    aggregation order. With unit-ish embeddings and 64 dims the score
+    is bounded by ~64 * scale/4, far inside int64 at scale 1e12."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(float(scale))
+            + F.lit(0.5)
+        ),
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    score_scale: float = 1e12,
+) -> DataFrame:
+    """Lloyd assignment step with a deterministic argmax: nearest
+    centroid by integer-quantized dot product, ties broken toward the
+    smallest centroid id. Centroids broadcast; scoring is map-side —
+    identical shuffle shape to ivf_assign (one hash agg on id)."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+        )
+    )
+    scored = corpus.crossJoin(c).select(
+        *corpus.columns,
+        F.col("__cid"),
+        dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale).alias(
+            "__dq"
+        ),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__dq"),
+                    (-F.col("__cid")).alias("n"),
+                    F.col("__cid").alias("cid"),
+                )
+            ).alias("__b")
+        )
+        .select(F.col(id_col), F.col("__b.cid").alias(centroid_id_col))
+    )
+    return corpus.join(best, on=id_col)
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    centroid_id_col: str = "cid",
+    vec_col: str = "embedding",
+    quant_scale: float = 1e6,
+) -> DataFrame:
+    """Lloyd update step in exact integer form: per (centroid, dim)
+    the quantized coordinate sum and member count — the new centroid
+    is sum_q / n / quant_scale, derived by the caller. posexplode is a
+    map-side fan-out (x dims); the aggregation is one hash agg with
+    map-side combine on a (n_centroids x dims) keyspace. Sums go
+    through decimal(38,0) so a 1e12-member cluster cannot wrap int64
+    (mirrors DuckDB's automatic HUGEINT widening)."""
+    exploded = assigned.select(
+        F.col(centroid_id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    )
+    vq = F.floor(F.col("__v").cast("double") * F.lit(float(quant_scale)) + F.lit(0.5))
+    return exploded.groupBy(centroid_id_col, "dim").agg(
+        F.sum(vq.cast("decimal(19,0)")).cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -1570,6 +1570,139 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "domain_blocklist_stats",
+    """
+    -- per-domain corpus inventory after blocklist filtering: the
+    -- blocklist is an anti-join (broadcast on the Spark side), stats
+    -- are one hash aggregation
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               lower(regexp_extract(
+                   'https://' || source || '.example.com/docs/' || doc_id,
+                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS domain
+        FROM documents
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM u
+    WHERE domain NOT IN
+          ('src1.example.com', 'src7.example.com', 'src13.example.com')
+    GROUP BY domain
+    """,
+    "web-pipeline domain ops (north star): URL -> domain extraction "
+    "(JVM regexp), broadcast blocklist anti-join, per-domain stats",
+)
+def q_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.web import blocklist_filter, domain_stats, with_domain
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    filtered = blocklist_filter(
+        with_domain(docs),
+        ["src1.example.com", "src7.example.com", "src13.example.com"],
+    )
+    return domain_stats(filtered)
+
+
+@_register(
+    "shuffle_rank_sample",
+    """
+    -- reproducible global shuffle order: rank by md5(doc_id || seed).
+    -- The Spark side computes the SAME total order with a distributed
+    -- two-phase rank (range repartition + per-partition row_number +
+    -- broadcast offsets), never a single-partition window.
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(doc_id || ':42'), doc_id)
+                AS BIGINT) AS pos
+    FROM documents
+    """,
+    "deterministic training-corpus shuffle (north star): engine-"
+    "portable md5 sort key + exact distributed global rank",
+)
+def q_shuffle_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import (
+        global_rank,
+        hex_prefix_bucket,
+        shuffle_key,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    keyed = docs.withColumn("__k", shuffle_key(F.col("doc_id"), 42))
+    ranked = global_rank(
+        keyed,
+        ["__k", "doc_id"],
+        bucket=hex_prefix_bucket(F.col("__k"), 64),
+        rank_col="pos",
+    )
+    return ranked.select("doc_id", "pos")
+
+
+@_register(
+    "kmeans_update_step",
+    """
+    -- one Lloyd iteration over the embedding table, in exact integer
+    -- form: assignment by integer-quantized dot product (ties -> min
+    -- cid), update as per-(centroid, dim) quantized sums + counts.
+    -- dv is the lateral dim expansion (DuckDB lacks WITH ORDINALITY).
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+    ), dv AS (
+        SELECT vec_id, i AS dim, embedding[i + 1] AS v
+        FROM embeddings,
+             unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ), dc AS (
+        SELECT cid, i AS dim, embedding[i + 1] AS v
+        FROM cents,
+             unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ), dots AS (
+        SELECT dv.vec_id, dc.cid,
+               sum(CAST(floor(CAST(dv.v AS DOUBLE) * CAST(dc.v AS DOUBLE)
+                              * 1e12 + 0.5) AS BIGINT)) AS dq
+        FROM dv JOIN dc ON dv.dim = dc.dim
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dq DESC, cid ASC) AS rn
+            FROM dots
+        ) WHERE rn = 1
+    )
+    SELECT b.cid, CAST(d.dim AS INTEGER) AS dim,
+           CAST(sum(CAST(floor(CAST(d.v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_q,
+           count(*) AS n
+    FROM best b JOIN dv d ON d.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+    "k-means Lloyd step over embeddings (north star): deterministic "
+    "integer-dot assignment + exact integer centroid update",
+)
+def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_assign, kmeans_update
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned = kmeans_assign(emb, cents)
+    return kmeans_update(assigned).select(
+        "cid", F.col("dim").cast("int").alias("dim"), "sum_q", "n"
+    )
+
+
+@_register(
     "frame_offsets",
     """
     WITH m AS (
@@ -3498,6 +3631,9 @@ _TAIL: tuple[str, ...] = (
     "fold_subints",
     "rebin_events",
     "profile_stats",
+    "above_avg_orders",
+    "value_histogram",
+    "rotated_profile",
 )
 
 

@@ -428,3 +428,94 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             assert set(got) == set(expected), (trial, thresh)
             for v in expected:
                 assert got[v] == comp_min[expected[v]], (trial, thresh, v)
+
+
+def test_domain_ops(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.web import (
+        blocklist_filter,
+        domain_stats,
+        with_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.example.com/x", 10),
+            (1, "https://B.example.com:8080/y?q=1", 20),
+            (2, "ftp://c.example.com/z", 30),
+            (3, "https://a.example.com/w", 40),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    d = with_domain(df)
+    doms = {r["doc_id"]: r["domain"] for r in d.collect()}
+    assert doms == {
+        0: "a.example.com",
+        1: "b.example.com",  # port stripped, lower-cased
+        2: "c.example.com",
+        3: "a.example.com",
+    }
+    kept = blocklist_filter(d, ["a.example.com"])
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    # empty blocklist is the identity
+    assert blocklist_filter(d, []).count() == 4
+    stats = {r["domain"]: (r["n_docs"], r["total_chars"])
+             for r in domain_stats(d).collect()}
+    assert stats["a.example.com"] == (2, 50)
+
+
+def test_global_rank_matches_single_sort(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        global_rank,
+        hex_prefix_bucket,
+        shuffle_key,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    keyed = df.withColumn("__k", shuffle_key(F.col("doc_id"), 7))
+    ranked = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(
+            keyed,
+            ["__k", "doc_id"],
+            bucket=hex_prefix_bucket(F.col("__k"), 16),
+        ).collect()
+    }
+    expected = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(keyed.orderBy("__k", "doc_id").collect())
+    }
+    assert ranked == expected
+    # ranks are a permutation of 1..n
+    assert sorted(ranked.values()) == list(range(1, 5001))
+
+
+def test_kmeans_step(spark, vectors):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        dot_quantized,
+        kmeans_assign,
+        kmeans_update,
+    )
+    import numpy as np
+
+    rows = vectors.collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+    cents = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned = kmeans_assign(vectors, cents)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    for vid, vec in emb.items():
+        dots = {c: int(np.floor(vec * emb[c] * 1e12 + 0.5).sum()) for c in range(4)}
+        best = max(sorted(dots), key=lambda c: (dots[c], -c))
+        assert got[vid] == best, (vid, got[vid], best)
+    upd = kmeans_update(assigned)
+    r0 = {(r["cid"], r["dim"]): (r["sum_q"], r["n"]) for r in upd.collect()}
+    # every (cid, dim) cell present; counts consistent per cid
+    ncids = len({c for c, _ in r0})
+    dims = len(emb[0])
+    assert len(r0) == ncids * dims
+    # spot-check one cell against numpy
+    cid0 = got[0]
+    members = [v for v, c in got.items() if c == cid0]
+    expect_sum = sum(int(np.floor(emb[m][0] * 1e6 + 0.5)) for m in members)
+    assert r0[(cid0, 0)] == (expect_sum, len(members))
