@@ -145,3 +145,53 @@ def pii_counts(col: Column | str) -> Column:
             )
         ]
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    score_scale: float = 1e6,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (score = tf * ln((N+1)/(df+1))), the classic corpus keyword /
+    stopword screen.
+
+    Scale shape: term-frequency and document-frequency are two hash
+    aggregations (map-side partials); the tf<->df join shuffles on
+    term (skewed head terms -> AQE skew-join); the per-doc top-k
+    window partitions on doc_id with per-doc term cardinality, never
+    corpus cardinality, and Spark plans the rank<=k filter as
+    WindowGroupLimit. The score is quantized to integer micro-units
+    AFTER the one fixed double expression, so ranking ties resolve
+    identically on any engine (tie-break: term ascending).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_q",
+            F.floor(
+                F.col("tf").cast("double") * idf * F.lit(float(score_scale))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_q"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "score_q", F.col("rk").cast("int").alias("rk"))
+    )

@@ -1570,6 +1570,43 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tfidf_top_terms",
+    f"""
+    -- per-doc top-3 terms by smoothed TF-IDF; score quantized to
+    -- integer micro-units after ONE fixed double expression so the
+    -- ranking (ties -> term asc) is engine-identical
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(floor(CAST(tf.tf AS DOUBLE)
+                          * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                          * 1000000.0 + 0.5) AS BIGINT) AS score_q
+        FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+    )
+    SELECT doc_id, term, score_q, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_q DESC, term ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    "corpus keyword screen (north star): smoothed TF-IDF top-k terms "
+    "per document, WindowGroupLimit-planned top-k",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return tfidf_top_terms(docs, top_k=3)
+
+
+@_register(
     "domain_blocklist_stats",
     """
     -- per-domain corpus inventory after blocklist filtering: the
@@ -3634,6 +3671,7 @@ _TAIL: tuple[str, ...] = (
     "above_avg_orders",
     "value_histogram",
     "rotated_profile",
+    "pivot_event_values",
 )
 
 
