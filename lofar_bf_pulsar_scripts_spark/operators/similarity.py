@@ -292,3 +292,126 @@ def ivf_topk(
         .select(query_id_col, F.explode("__top").alias("__t"))
         .select(query_id_col, F.col("__t.id").alias(id_col), F.col("__t.cos").alias("cos"))
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: float = 1e6,
+    score_scale: float = 1e12,
+    tol_q: int = 0,
+):
+    """Full Lloyd iteration to (near-)convergence. Returns
+    (centroids_df, assigned_df, n_iters).
+
+    Distance is exact-integer L2 argmin via the identity
+    argmin|x-c|^2 = argmax(2*x.c - |c|^2), both terms integer-
+    quantized — assignment is bit-deterministic in every iteration.
+
+    Scale shape: each iteration is ONE distributed pass (broadcast
+    centroids, map-side scoring, hash agg on a (k x dims) keyspace);
+    the per-iteration collect is k x dims rows — bounded by the model
+    size, never the data. Centroids re-enter each iteration as a fresh
+    literal DataFrame, so the corpus lineage never grows (the
+    iterative-plan trap handled the same way as connected_components'
+    truncation). Init is deterministic farthest-first traversal (the
+    2-approximation k-center seeding): first seed = min md5(id), each
+    next seed maximizes distance to its nearest chosen seed — k-1
+    bounded-output passes, no data-dependent sampling, and unlike
+    naive hash-order seeding it cannot drop all k seeds into one true
+    cluster (which strands Lloyd in a split/merged local optimum).
+    Empty clusters keep their previous centroid."""
+    spark = corpus.sparkSession
+
+    def _lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def _l2_sq(a: Column, vals) -> Column:
+        d = F.zip_with(
+            a, _lit_vec(vals), lambda x, y: (x.cast("double") - y) ** 2
+        )
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+    first = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(1)
+        .collect()
+    )
+    seed_vecs = [[float(x) for x in first[0][vec_col]]] if first else []
+    for _ in range(1, k):
+        dists = [_l2_sq(F.col(vec_col), v) for v in seed_vecs]
+        nearest = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__d", nearest)
+            .orderBy(F.desc("__d"), id_col)
+            .limit(1)
+            .collect()
+        )
+        seed_vecs.append([float(x) for x in far[0][vec_col]])
+    cents = list(enumerate(seed_vecs))
+    dims = len(cents[0][1]) if cents else 0
+    n_iters = 0
+    assigned = None
+    for n_iters in range(1, max_iter + 1):
+        cdf = spark.createDataFrame(
+            cents, f"cid int, {vec_col} array<double>"
+        )
+        c = F.broadcast(
+            cdf.select(F.col("cid").alias("__cid"), F.col(vec_col).alias("__cvec"))
+        )
+        # score = 2*x.c - |c|^2, all integer-quantized
+        scored = corpus.crossJoin(c).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cid"),
+            (
+                F.lit(2) * dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale)
+                - dot_quantized(F.col("__cvec"), F.col("__cvec"), score_scale)
+            ).alias("__dq"),
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__dq"),
+                        (-F.col("__cid")).alias("n"),
+                        F.col("__cid").alias("cid"),
+                    )
+                ).alias("__b")
+            )
+            .select(F.col(id_col), F.col("__b.cid").alias("cid"))
+            .join(corpus, on=id_col)
+        )
+        upd = {
+            (r["cid"], r["dim"]): (r["sum_q"], r["n"])
+            for r in kmeans_update(assigned, "cid", vec_col, quant_scale).collect()
+        }
+        new_cents, shift_q = [], 0
+        for cid, vec in cents:
+            if (cid, 0) not in upd:  # empty cluster keeps its centroid
+                new_cents.append((cid, vec))
+                continue
+            nv = [
+                upd[(cid, d)][0] / upd[(cid, d)][1] / quant_scale
+                for d in range(dims)
+            ]
+            shift_q = max(
+                shift_q,
+                max(
+                    abs(int(round(a * quant_scale)) - int(round(b * quant_scale)))
+                    for a, b in zip(nv, vec)
+                ),
+            )
+            new_cents.append((cid, nv))
+        cents = new_cents
+        if shift_q <= tol_q:
+            break
+    cdf = spark.createDataFrame(cents, f"cid int, {vec_col} array<double>")
+    return cdf, assigned, n_iters

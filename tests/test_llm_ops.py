@@ -519,3 +519,34 @@ def test_kmeans_step(spark, vectors):
     members = [v for v, c in got.items() if c == cid0]
     expect_sum = sum(int(np.floor(emb[m][0] * 1e6 + 0.5)) for m in members)
     assert r0[(cid0, 0)] == (expect_sum, len(members))
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import kmeans_fit
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = np.array(
+        [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    )
+    rows = []
+    truth = {}
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + 0.3 * rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v]))
+        truth[i] = c
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned, n_iters = kmeans_fit(df, k=3, max_iter=8)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    # cluster labels are arbitrary — check the PARTITION matches
+    by_truth = {}
+    for vid, t in truth.items():
+        by_truth.setdefault(t, set()).add(got[vid])
+    # each true cluster maps to exactly one predicted cid, all distinct
+    assert all(len(s) == 1 for s in by_truth.values())
+    assert len({next(iter(s)) for s in by_truth.values()}) == 3
+    assert 1 <= n_iters <= 8
+    # determinism: a second run returns the identical assignment
+    _, assigned2, _ = kmeans_fit(df, k=3, max_iter=8)
+    assert got == {r["vec_id"]: r["cid"] for r in assigned2.collect()}
