@@ -1570,6 +1570,46 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "curation_funnel",
+    rf"""
+    -- end-to-end corpus-curation funnel in ONE conditional-aggregation
+    -- scan: total -> language keep -> quality keep -> exact-dedup
+    -- survivors (count of distinct fingerprints among quality keeps;
+    -- count(DISTINCT CASE ...) ignores the NULLs of filtered rows)
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 200
+                          AND len({_TOKENS_SQL}) >= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(count(DISTINCT CASE WHEN lang = 'en' AND n_chars >= 200
+                                     AND len({_TOKENS_SQL}) >= 30
+                THEN md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                END) AS BIGINT) AS n_dedup
+    FROM documents
+    """,
+    "corpus-curation funnel (north star): per-stage survivor counts "
+    "(language -> quality -> exact dedup) in one scan, no joins",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint, token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    keep_lang = F.col("lang") == "en"
+    keep_q = keep_lang & (F.col("n_chars") >= 200) & (
+        token_count("text") >= 30
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep_lang.cast("int")).cast("bigint").alias("n_lang"),
+        F.sum(keep_q.cast("int")).cast("bigint").alias("n_quality"),
+        F.count_distinct(F.when(keep_q, fingerprint("text")))
+        .cast("bigint")
+        .alias("n_dedup"),
+    )
+
+
+@_register(
     "tfidf_top_terms",
     f"""
     -- per-doc top-3 terms by smoothed TF-IDF; score quantized to
@@ -3672,6 +3712,7 @@ _TAIL: tuple[str, ...] = (
     "value_histogram",
     "rotated_profile",
     "pivot_event_values",
+    "event_pairs_within_minute",
 )
 
 
