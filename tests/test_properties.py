@@ -80,3 +80,53 @@ def test_fold_total_mass_conserved(spark, periods):
     assert total["n"] == n
     expected = sum(1 + (i % 5) for i in range(n))
     assert total["s"] == pytest.approx(expected, rel=1e-12)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=10),
+    buckets=st.sampled_from([1, 4, 16, 64]),
+)
+@_settings
+def test_global_rank_is_permutation_and_bucket_invariant(
+    spark, n, seed, buckets
+):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        global_rank,
+        hex_prefix_bucket,
+        shuffle_key,
+    )
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    keyed = df.withColumn("__k", shuffle_key(F.col("doc_id"), seed))
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(
+            keyed, ["__k", "doc_id"],
+            bucket=hex_prefix_bucket(F.col("__k"), buckets),
+        ).collect()
+    }
+    # exact permutation of 1..n
+    assert sorted(got.values()) == list(range(1, n + 1))
+    # rank order equals the key order (bucket count must not matter)
+    by_key = [
+        r["doc_id"] for r in keyed.orderBy("__k", "doc_id").collect()
+    ]
+    assert [got[d] for d in by_key] == list(range(1, n + 1))
+
+
+@given(nb=st.sampled_from([2, 8, 32, 256]))
+@_settings
+def test_hex_prefix_bucket_is_monotone(spark, nb):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        hex_prefix_bucket,
+        shuffle_key,
+    )
+
+    df = spark.range(500).select(
+        shuffle_key(F.col("id"), 1).alias("k")
+    ).withColumn("b", hex_prefix_bucket(F.col("k"), nb))
+    rows = df.orderBy("k").collect()
+    bs = [r["b"] for r in rows]
+    assert bs == sorted(bs)          # monotone in key order
+    assert all(0 <= b < nb for b in bs)
