@@ -1570,6 +1570,52 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_dedup_counts",
+    r"""
+    -- snapshot/incremental dedup: a new batch (doc_id % 5 = 4)
+    -- checked against the historical fingerprint store (everything
+    -- else). LEFT JOIN against the DISTINCT history: one shuffle on
+    -- fingerprint; novel = no history match.
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), hist AS (
+        SELECT DISTINCT fp FROM d WHERE doc_id % 5 != 4
+    ), newb AS (
+        SELECT * FROM d WHERE doc_id % 5 = 4
+    )
+    SELECT newb.source,
+           count(*) AS n_new,
+           CAST(sum(CASE WHEN hist.fp IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM newb LEFT JOIN hist ON newb.fp = hist.fp
+    GROUP BY newb.source
+    """,
+    "incremental corpus dedup (north star): new-batch fingerprints "
+    "anti-checked against the historical store",
+)
+def q_incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    is_new = F.col("doc_id") % 5 == 4
+    hist = (
+        d.filter(~is_new).select("fp").distinct().withColumn("__seen", F.lit(1))
+    )
+    new = d.filter(is_new)
+    joined = new.join(hist, "fp", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("__seen").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
+
+
+@_register(
     "curation_funnel",
     rf"""
     -- end-to-end corpus-curation funnel in ONE conditional-aggregation
@@ -3713,6 +3759,7 @@ _TAIL: tuple[str, ...] = (
     "rotated_profile",
     "pivot_event_values",
     "event_pairs_within_minute",
+    "bilinear_gain",
 )
 
 
