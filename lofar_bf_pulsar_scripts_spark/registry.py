@@ -2883,11 +2883,6 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "streaming_fold_replay",
-    None,  # Structured Streaming op -> rows-only check by design
-    "§2.9 streaming tumbling fold on bounded replay (pulsestack.py:553-620 dual)",
-)
 def _stage_events_dir(sf_dir: str) -> str:
     """Stage the events parquet into the streaming source directory,
     skipping the copy when the staged file is already this exact
@@ -2937,6 +2932,11 @@ def _run_bounded_to_memory(spark: SparkSession, agg: DataFrame, name: str):
     return spark.table(name)
 
 
+@_register(
+    "streaming_fold_replay",
+    None,  # Structured Streaming op -> rows-only check by design
+    "§2.9 streaming tumbling fold on bounded replay (pulsestack.py:553-620 dual)",
+)
 def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.fold_stream import streaming_fold_subints
 
