@@ -58,3 +58,26 @@ def explain_string(df: DataFrame) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def write_embeddings_by_centroid(
+    assigned: DataFrame,
+    path: str,
+    centroid_col: str = "cid",
+) -> None:
+    """IVF-ready on-disk layout: embeddings Hive-partitioned by their
+    assigned centroid, so an nprobe-pruned query touches only the
+    probed centroids' directories (PartitionFilters, zero IO for the
+    rest) — the disk half of similarity.ivf_topk's scale story."""
+    assigned.write.mode("overwrite").partitionBy(centroid_col).parquet(path)
+
+
+def read_probed_centroids(
+    spark: SparkSession,
+    path: str,
+    cids: list[int],
+    centroid_col: str = "cid",
+) -> DataFrame:
+    """Partition-pruned scan of the probed centroid buckets."""
+    df = spark.read.parquet(path)
+    return df.filter(df[centroid_col].isin([int(c) for c in cids]))

@@ -88,3 +88,34 @@ def test_bucketed_cube_groupby_has_no_exchange(spark):
         assert agg.count() == 7 * 16
     finally:
         spark.sql("DROP TABLE IF EXISTS cube_bucketed_test")
+
+
+def test_ivf_store_partition_pruning(spark, tmp_path):
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        explain_string,
+        read_probed_centroids,
+        write_embeddings_by_centroid,
+    )
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        kmeans_assign,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned = kmeans_assign(emb, cents)
+    path = str(tmp_path / "ivf_store")
+    write_embeddings_by_centroid(assigned, path)
+    probed = read_probed_centroids(spark, path, [1, 3])
+    plan = explain_string(probed)
+    # the cid filter must be a partition filter on the scan, not a row
+    # filter after reading everything
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+    got = {r["cid"] for r in probed.select("cid").distinct().collect()}
+    assert got <= {1, 3} and got
