@@ -2908,16 +2908,19 @@ def _stage_events_dir(sf_dir: str) -> str:
     return stage
 
 
-def _run_bounded_to_memory(spark: SparkSession, agg: DataFrame, name: str):
-    """Drive a streaming aggregate over the bounded staged source to
-    completion (availableNow, complete mode, memory sink) with the
-    shuffle-partition count dropped for the tiny-keyspace replay (one
-    state store per partition)."""
+def _run_bounded_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, mode: str = "complete"
+):
+    """Drive a streaming frame over the bounded staged source to
+    completion (availableNow, memory sink) with the shuffle-partition
+    count dropped for the tiny-keyspace replay (one state store per
+    partition). mode='complete' for aggregations; 'append' for
+    non-aggregating stateful ops (dropDuplicates)."""
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
-            agg.writeStream.outputMode("complete")
+            agg.writeStream.outputMode(mode)
             .trigger(availableNow=True)
             .format("memory")
             .queryName(name)
@@ -3005,6 +3008,38 @@ def q_streaming_fold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.col("flux_sum_micro").cast("long").alias("flux_sum_micro"),
         "npts",
+    )
+
+
+@_register(
+    "streaming_dedup_exact",
+    """
+    -- batch dual of stateful streaming dropDuplicates on the
+    -- composite (user_id, event_type) key: the streaming side keeps
+    -- the FIRST arrival per key (state-store dedup), so the per-user
+    -- distinct-type counts match the batch DISTINCT exactly
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    "§2.9 stateful streaming dedup, hash-gated: dropDuplicates over a "
+    "bounded replay reduced to per-user distinct-key counts "
+    "(lta-retrieve.py ready-vs-downloaded set, streaming form)",
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.fold_stream import streaming_dedup_new_urls
+    from .tables import stream_events
+
+    stage = _stage_events_dir(sf_dir)
+    stream = stream_events(spark, stage)
+    dd = streaming_dedup_new_urls(
+        stream, key_col=["user_id", "event_type"], watermark="1 minute"
+    ).select("user_id", "event_type")
+    out = _run_bounded_to_memory(
+        spark, dd, "q_stream_dedup_exact", mode="append"
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
     )
 
 
@@ -3760,6 +3795,7 @@ _TAIL: tuple[str, ...] = (
     "pivot_event_values",
     "event_pairs_within_minute",
     "bilinear_gain",
+    "acf_hourly",
 )
 
 

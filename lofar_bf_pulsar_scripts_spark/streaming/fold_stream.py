@@ -77,14 +77,16 @@ def streaming_event_counts(
 
 def streaming_dedup_new_urls(
     stream: DataFrame,
-    key_col: str = "filename",
+    key_col: str | list[str] = "filename",
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Incremental 'newly ready' set: stateful dropDuplicates with a
     watermark bounds state, the streaming form of
-    ready_urls - downloaded_urls."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+    ready_urls - downloaded_urls. ``key_col`` may be one column or a
+    composite key list."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
 def run_bounded(query_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
