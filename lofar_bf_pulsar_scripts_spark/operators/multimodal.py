@@ -88,7 +88,12 @@ def _pillow_decode(payload: bytes) -> tuple[int, int, int, float]:
             channels = len(im.getbands())
             mean_luma = ImageStat.Stat(im.convert("L")).mean[0] / 255.0
             return im.width, im.height, channels, mean_luma
-    except (UnidentifiedImageError, OSError, ValueError):
+    except (
+        UnidentifiedImageError,
+        Image.DecompressionBombError,  # not an OSError — crafted/huge
+        OSError,
+        ValueError,
+    ):
         return 0, 0, 0, 0.0
 
 

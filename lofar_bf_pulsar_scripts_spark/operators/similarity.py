@@ -137,8 +137,13 @@ def kmeans_assign(
     score_scale: float = 1e12,
 ) -> DataFrame:
     """Lloyd assignment step with a deterministic argmax: nearest
-    centroid by integer-quantized dot product, ties broken toward the
-    smallest centroid id. Centroids broadcast; scoring is map-side —
+    centroid in L2 via the identity argmin|x-c|^2 = argmax(2*x.c -
+    |c|^2), both terms integer-quantized; ties break toward the
+    smallest centroid id. A raw dot product would be wrong here: the
+    mean centroids kmeans_update produces are NOT unit-norm, and dot
+    biases assignment toward large-norm centroids (dot is only a
+    nearest-neighbor order for normalized vectors, as in ivf_assign's
+    cosine setting). Centroids broadcast; scoring is map-side —
     identical shuffle shape to ivf_assign (one hash agg on id)."""
     c = F.broadcast(
         centroids.select(
@@ -149,9 +154,11 @@ def kmeans_assign(
     scored = corpus.crossJoin(c).select(
         *corpus.columns,
         F.col("__cid"),
-        dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale).alias(
-            "__dq"
-        ),
+        (
+            F.lit(2)
+            * dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale)
+            - dot_quantized(F.col("__cvec"), F.col("__cvec"), score_scale)
+        ).alias("__dq"),
     )
     best = (
         scored.groupBy(id_col)
@@ -179,9 +186,12 @@ def kmeans_update(
     the quantized coordinate sum and member count — the new centroid
     is sum_q / n / quant_scale, derived by the caller. posexplode is a
     map-side fan-out (x dims); the aggregation is one hash agg with
-    map-side combine on a (n_centroids x dims) keyspace. Sums go
-    through decimal(38,0) so a 1e12-member cluster cannot wrap int64
-    (mirrors DuckDB's automatic HUGEINT widening)."""
+    map-side combine on a (n_centroids x dims) keyspace. The SUM runs
+    in decimal(38,0) so partial aggregation cannot wrap int64
+    silently; the bigint output cast then fails LOUDLY on a genuinely
+    over-int64 total (Spark ANSI decimal->bigint overflow throws, and
+    the DuckDB oracle's CAST(HUGEINT AS BIGINT) errors the same way)
+    instead of propagating a wrapped value into the centroid."""
     exploded = assigned.select(
         F.col(centroid_id_col),
         F.posexplode(F.col(vec_col)).alias("dim", "__v"),
@@ -342,7 +352,9 @@ def kmeans_fit(
         .limit(1)
         .collect()
     )
-    seed_vecs = [[float(x) for x in first[0][vec_col]]] if first else []
+    if not first:
+        raise ValueError("kmeans_fit: corpus is empty — nothing to cluster")
+    seed_vecs = [[float(x) for x in first[0][vec_col]]]
     for _ in range(1, k):
         dists = [_l2_sq(F.col(vec_col), v) for v in seed_vecs]
         nearest = dists[0] if len(dists) == 1 else F.least(*dists)
@@ -362,32 +374,10 @@ def kmeans_fit(
         cdf = spark.createDataFrame(
             cents, f"cid int, {vec_col} array<double>"
         )
-        c = F.broadcast(
-            cdf.select(F.col("cid").alias("__cid"), F.col(vec_col).alias("__cvec"))
-        )
-        # score = 2*x.c - |c|^2, all integer-quantized
-        scored = corpus.crossJoin(c).select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("__cid"),
-            (
-                F.lit(2) * dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale)
-                - dot_quantized(F.col("__cvec"), F.col("__cvec"), score_scale)
-            ).alias("__dq"),
-        )
-        assigned = (
-            scored.groupBy(id_col)
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("__dq"),
-                        (-F.col("__cid")).alias("n"),
-                        F.col("__cid").alias("cid"),
-                    )
-                ).alias("__b")
-            )
-            .select(F.col(id_col), F.col("__b.cid").alias("cid"))
-            .join(corpus, on=id_col)
+        # kmeans_assign scores argmax(2*x.c - |c|^2) — exact-integer L2
+        assigned = kmeans_assign(
+            corpus.select(id_col, vec_col), cdf,
+            id_col=id_col, vec_col=vec_col, score_scale=score_scale,
         )
         upd = {
             (r["cid"], r["dim"]): (r["sum_q"], r["n"])

@@ -13,9 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# scheme://host[:port]/... -> host. Mirrored verbatim in the DuckDB
-# oracles (same RE2-compatible pattern class).
-_DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+# scheme://host[:port]/... -> host. Scheme matched case-insensitively
+# (crawled URLs carry HTTPS:// etc.; a case-sensitive class would
+# silently extract '' and bypass the blocklist). Mirrored verbatim in
+# the DuckDB oracles (same RE2-compatible pattern class).
+_DOMAIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
 
 def extract_domain(url_col) -> F.Column:

@@ -1702,7 +1702,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                lower(regexp_extract(
                    'https://' || source || '.example.com/docs/' || doc_id,
-                   '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS domain
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS domain
         FROM documents
     )
     SELECT domain,
@@ -1773,9 +1773,12 @@ def q_shuffle_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kmeans_update_step",
     """
     -- one Lloyd iteration over the embedding table, in exact integer
-    -- form: assignment by integer-quantized dot product (ties -> min
-    -- cid), update as per-(centroid, dim) quantized sums + counts.
-    -- dv is the lateral dim expansion (DuckDB lacks WITH ORDINALITY).
+    -- form: L2 assignment via argmax(2*x.c - |c|^2) with both terms
+    -- integer-quantized (a raw dot would bias toward large-norm
+    -- centroids — the mean centroids the update produces are not
+    -- unit-norm), ties -> min cid; update as per-(centroid, dim)
+    -- quantized sums + counts. dv is the lateral dim expansion
+    -- (DuckDB lacks WITH ORDINALITY).
     WITH cents AS (
         SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
     ), dv AS (
@@ -1786,6 +1789,11 @@ def q_shuffle_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cid, i AS dim, embedding[i + 1] AS v
         FROM cents,
              unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ), cnorm AS (
+        SELECT cid,
+               sum(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                              * 1e12 + 0.5) AS BIGINT)) AS cc
+        FROM dc GROUP BY 1
     ), dots AS (
         SELECT dv.vec_id, dc.cid,
                sum(CAST(floor(CAST(dv.v AS DOUBLE) * CAST(dc.v AS DOUBLE)
@@ -1794,10 +1802,11 @@ def q_shuffle_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ), best AS (
         SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dq DESC, cid ASC) AS rn
-            FROM dots
+            SELECT d.vec_id, d.cid,
+                   row_number() OVER (PARTITION BY d.vec_id
+                                      ORDER BY 2 * d.dq - cn.cc DESC,
+                                               d.cid ASC) AS rn
+            FROM dots d JOIN cnorm cn ON d.cid = cn.cid
         ) WHERE rn = 1
     )
     SELECT b.cid, CAST(d.dim AS INTEGER) AS dim,
@@ -2911,28 +2920,15 @@ def _stage_events_dir(sf_dir: str) -> str:
 def _run_bounded_to_memory(
     spark: SparkSession, agg: DataFrame, name: str, mode: str = "complete"
 ):
-    """Drive a streaming frame over the bounded staged source to
-    completion (availableNow, memory sink) with the shuffle-partition
-    count dropped for the tiny-keyspace replay (one state store per
-    partition). mode='complete' for aggregations; 'append' for
-    non-aggregating stateful ops (dropDuplicates)."""
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode(mode)
-            .trigger(availableNow=True)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    """Bounded-replay drive for the gated streaming queries: delegates
+    to the single fold_stream.run_bounded driver with the replay
+    settings (availableNow drain, 8 shuffle partitions for the
+    tiny-keyspace state stores)."""
+    from .streaming.fold_stream import run_bounded
+
+    return run_bounded(
+        agg, name, mode=mode, available_now=True, shuffle_partitions=8
+    )
 
 
 @_register(

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 H5_META_SCHEMA = T.StructType(
     [
@@ -504,18 +504,19 @@ def write_psrfits_cube(
     # size guard: one .ar is one observation; a cube that doesn't fit
     # the driver indicates a mis-scoped call (e.g. an unfiltered fact
     # table), not a bigger archive. 2^28 cells = 2 GiB of float64.
-    # Checked on the Arrow-collected frame so the plan executes once
-    # (a count() beforehand would run the whole upstream twice), and
-    # BEFORE the float64 reshape, which is where the memory blows up.
-    pdf = cube.toPandas()
-    n_cells = len(pdf)
-    if n_cells > (1 << 28):
+    # Probed with a LIMIT guard+1 count: CollectLimit stops scanning
+    # once the limit is hit, so the probe's work is bounded by the
+    # guard itself (a full count() would execute the entire upstream
+    # twice; checking len() after toPandas() would OOM the driver on
+    # the very input the guard exists to reject).
+    guard = 1 << 28
+    if cube.select(F.lit(1)).limit(guard + 1).count() > guard:
         raise ValueError(
             f"write_psrfits_cube collects the cube to the driver; "
-            f"{n_cells} cells exceeds the 2^28 single-archive guard — "
+            f"more than 2^28 cells exceeds the single-archive guard — "
             f"filter to one observation (or shard per obs) first"
         )
-    pdf = pdf.sort_values(["subint", "pol", "chan", "bin"])
+    pdf = cube.toPandas().sort_values(["subint", "pol", "chan", "bin"])
     nsub = int(pdf["subint"].max()) + 1
     npol = int(pdf["pol"].max()) + 1
     nchan = int(pdf["chan"].max()) + 1

@@ -89,23 +89,50 @@ def streaming_dedup_new_urls(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
-def run_bounded(query_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def run_bounded(
+    query_df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    available_now: bool = False,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming frame over a bounded source to completion via
-    a memory sink; returns the static result table.
+    a memory sink; returns the static result table. The ONE driver for
+    every bounded replay in the repo (gates and tests alike).
 
     Default output mode is 'complete': with append mode a watermarked
     aggregation only emits windows the watermark has CLOSED, and on a
     bounded replay the watermark never passes the final windows — the
     result would be missing every trailing window. Use mode='append'
-    only for non-aggregating streams (e.g. dropDuplicates)."""
-    q = (
-        query_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    only for non-aggregating streams (e.g. dropDuplicates).
+
+    ``available_now=True`` drains the bounded source in as few
+    micro-batches as possible (replay latency). ``shuffle_partitions``
+    temporarily lowers the stateful-shuffle partition count — one
+    state store is allocated per partition, so a tiny-keyspace replay
+    should not pay for the session default."""
+    spark = query_df.sparkSession
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        writer = (
+            query_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        try:
+            if available_now:
+                q.awaitTermination()
+            else:
+                q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return query_df.sparkSession.table(name)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

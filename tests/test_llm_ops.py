@@ -443,6 +443,7 @@ def test_domain_ops(spark):
             (1, "https://B.example.com:8080/y?q=1", 20),
             (2, "ftp://c.example.com/z", 30),
             (3, "https://a.example.com/w", 40),
+            (4, "HTTPS://a.example.com/caps", 50),  # uppercase scheme
         ],
         "doc_id long, url string, n_chars long",
     )
@@ -453,14 +454,15 @@ def test_domain_ops(spark):
         1: "b.example.com",  # port stripped, lower-cased
         2: "c.example.com",
         3: "a.example.com",
+        4: "a.example.com",  # scheme case must not defeat the blocklist
     }
     kept = blocklist_filter(d, ["a.example.com"])
     assert {r["doc_id"] for r in kept.collect()} == {1, 2}
     # empty blocklist is the identity
-    assert blocklist_filter(d, []).count() == 4
+    assert blocklist_filter(d, []).count() == 5
     stats = {r["domain"]: (r["n_docs"], r["total_chars"])
              for r in domain_stats(d).collect()}
-    assert stats["a.example.com"] == (2, 50)
+    assert stats["a.example.com"] == (3, 100)
 
 
 def test_global_rank_matches_single_sort(spark):
@@ -505,8 +507,13 @@ def test_kmeans_step(spark, vectors):
     assigned = kmeans_assign(vectors, cents)
     got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
     for vid, vec in emb.items():
-        dots = {c: int(np.floor(vec * emb[c] * 1e12 + 0.5).sum()) for c in range(4)}
-        best = max(sorted(dots), key=lambda c: (dots[c], -c))
+        # L2 argmin via the integer-quantized 2*x.c - |c|^2 score
+        score = {
+            c: 2 * int(np.floor(vec * emb[c] * 1e12 + 0.5).sum())
+            - int(np.floor(emb[c] * emb[c] * 1e12 + 0.5).sum())
+            for c in range(4)
+        }
+        best = max(sorted(score), key=lambda c: (score[c], -c))
         assert got[vid] == best, (vid, got[vid], best)
     upd = kmeans_update(assigned)
     r0 = {(r["cid"], r["dim"]): (r["sum_q"], r["n"]) for r in upd.collect()}
