@@ -156,3 +156,67 @@ def test_session_stats_integer_partition_invariant(spark):
         )
 
     _assert_partition_invariant(build)
+
+
+def test_kmeans_assign_update_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(0, 1, 12)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+
+    def build(parts):
+        df = emb.repartition(parts)
+        return kmeans_update(kmeans_assign(df, cents))
+
+    _assert_partition_invariant(build)
+
+
+def test_tfidf_partition_invariant(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.text import tfidf_top_terms
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon word"),
+            F.pmod(F.col("id"), 17).cast("string"),
+            F.lit(" zeta word"),
+            F.pmod(F.col("id"), 5).cast("string"),
+        ).alias("text"),
+    )
+
+    def build(parts):
+        return tfidf_top_terms(docs.repartition(parts), top_k=3)
+
+    _assert_partition_invariant(build)
+
+
+def test_global_rank_partition_invariant(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        global_rank,
+        hex_prefix_bucket,
+        shuffle_key,
+    )
+
+    base = spark.range(3000).select(F.col("id").alias("doc_id"))
+
+    def build(parts):
+        keyed = base.repartition(parts).withColumn(
+            "__k", shuffle_key(F.col("doc_id"), 9)
+        )
+        return global_rank(
+            keyed, ["__k", "doc_id"],
+            bucket=hex_prefix_bucket(F.col("__k"), 32),
+        ).select("doc_id", "rank")
+
+    _assert_partition_invariant(build)
