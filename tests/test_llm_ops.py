@@ -557,3 +557,36 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     # determinism: a second run returns the identical assignment
     _, assigned2, _ = kmeans_fit(df, k=3, max_iter=8)
     assert got == {r["vec_id"]: r["cid"] for r in assigned2.collect()}
+
+
+def _tiny_wav(rate=16000, channels=2, bits=16, n_samples=8000) -> bytes:
+    import struct
+
+    data = b"\0" * (n_samples * channels * bits // 8)
+    byte_rate = rate * channels * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                byte_rate, channels * bits // 8, bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_metadata_jvm_parse(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        wav_metadata,
+    )
+
+    media = spark.createDataFrame(
+        [(0, _tiny_wav()), (1, b"not audio at all" * 4)],
+        "media_id int, payload binary",
+    )
+    rows = {r["media_id"]: r for r in wav_metadata(media).collect()}
+    w = rows[0]
+    assert w["is_wav"] and w["audio_format"] == 1
+    assert w["channels"] == 2 and w["sample_rate_hz"] == 16000
+    assert w["bits_per_sample"] == 16
+    assert w["data_bytes"] == 8000 * 2 * 2
+    assert w["duration_s"] == pytest.approx(0.5, abs=1e-6)
+    n = rows[1]
+    assert not n["is_wav"] and n["sample_rate_hz"] is None
