@@ -50,6 +50,51 @@ def int8_quantize(vec: Column) -> tuple[Column, Column]:
     return m, q
 
 
+def two_stage_topk(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    score_col: str = "cos",
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Distributed top-k reduction over (query, id, score) rows.
+
+    Stage 1 groups by (query, id-hash bucket) keeping the k best per
+    bucket (map-side combinable HashAggregate); stage 2 merges the
+    per-bucket lists — any single reducer sees at most k×buckets
+    candidates, never the corpus. Ties break to the smaller id
+    (deterministic). Shared by the exact, IVF, and LSH top-k paths.
+    """
+    # rank struct: higher score first, then smaller id — encoded so
+    # that array_sort ascending yields the best first.
+    rank = F.struct(
+        (-F.col(score_col)).alias("neg"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("s"),
+    )
+    partial = scored.groupBy(
+        query_id_col,
+        F.pmod(F.crc32(F.col(id_col).cast("string")), partial_buckets).alias(
+            "__bkt"
+        ),
+    ).agg(F.slice(F.array_sort(F.collect_list(rank)), 1, k).alias("__top"))
+    return (
+        partial.groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(F.col("__top")))), 1, k
+            ).alias("__top")
+        )
+        .select(query_id_col, F.explode("__top").alias("__t"))
+        .select(
+            query_id_col,
+            F.col("__t.id").alias(id_col),
+            F.col("__t.s").alias(score_col),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,11 +105,7 @@ def brute_force_topk(
     partial_buckets: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast queries, score all
-    corpus rows, two-stage top-k.
-
-    Stage 1 groups by (query, corpus-id bucket) keeping k best per
-    bucket (map-side combinable); stage 2 merges buckets. Ties break
-    to the smaller corpus id (deterministic).
+    corpus rows, two-stage top-k (see ``two_stage_topk``).
     Returns (qid, vec_id, cos) with exactly k rows per query.
     """
     q = F.broadcast(
@@ -81,31 +122,10 @@ def brute_force_topk(
             cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
         )
     )
-    # rank struct: higher cos first, then smaller id — encoded so that
-    # array_sort ascending yields the best first.
-    rank = F.struct((-F.col("cos")).alias("neg"), F.col(id_col).alias("id"),
-                    F.col("cos").alias("cos"))
-    partial = (
-        scored.groupBy(
-            query_id_col, F.pmod(F.crc32(F.col(id_col).cast("string")), partial_buckets).alias("__bkt")
-        )
-        .agg(F.slice(F.array_sort(F.collect_list(rank)), 1, k).alias("__top"))
+    return two_stage_topk(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        partial_buckets=partial_buckets,
     )
-    final = (
-        partial.groupBy(query_id_col)
-        .agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list(F.col("__top")))), 1, k
-            ).alias("__top")
-        )
-        .select(query_id_col, F.explode("__top").alias("__t"))
-        .select(
-            query_id_col,
-            F.col("__t.id").alias(id_col),
-            F.col("__t.cos").alias("cos"),
-        )
-    )
-    return final
 
 
 def dot_quantized(a: Column, b: Column, scale: float = 1e12) -> Column:
@@ -281,26 +301,9 @@ def ivf_topk(
         F.col(id_col),
         cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
     )
-    rank = F.struct((-F.col("cos")).alias("neg"), F.col(id_col).alias("id"),
-                    F.col("cos").alias("cos"))
-    partial = (
-        scored.groupBy(
-            query_id_col,
-            F.pmod(
-                F.crc32(F.col(id_col).cast("string")), partial_buckets
-            ).alias("__bkt"),
-        )
-        .agg(F.slice(F.array_sort(F.collect_list(rank)), 1, k).alias("__top"))
-    )
-    return (
-        partial.groupBy(query_id_col)
-        .agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list(F.col("__top")))), 1, k
-            ).alias("__top")
-        )
-        .select(query_id_col, F.explode("__top").alias("__t"))
-        .select(query_id_col, F.col("__t.id").alias(id_col), F.col("__t.cos").alias("cos"))
+    return two_stage_topk(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        partial_buckets=partial_buckets,
     )
 
 
@@ -405,3 +408,143 @@ def kmeans_fit(
             break
     cdf = spark.createDataFrame(cents, f"cid int, {vec_col} array<double>")
     return cdf, assigned, n_iters
+
+
+# --------------------------------------------------------------------
+# Random-hyperplane (sign) LSH — the bucketed ANN alternative to IVF
+# --------------------------------------------------------------------
+
+_LSH_KNUTH = 2654435761  # Knuth multiplicative-hash constant
+_LSH_MOD = 4294967296  # 2^32
+
+
+def _plane_component(plane_idx: int, i: Column, dims: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
+
+    ``h_p[i] = ((1 + p*dims + i) * 2654435761 mod 2^32) / 2^32 - 0.5``
+    for 1-based dim index ``i``. Every value is exactly representable
+    in a double (an integer < 2^32 divided by a power of two, minus
+    0.5), so any engine evaluating the same closed form produces
+    bit-identical planes — no literal plane tables to ship or store.
+    """
+    n = (F.lit(1 + plane_idx * dims) + i.cast("bigint")) * F.lit(_LSH_KNUTH)
+    return (
+        (n % F.lit(_LSH_MOD)).cast("double") / F.lit(float(_LSH_MOD))
+        - F.lit(0.5)
+    )
+
+
+def _plane_bit(vec: Column, plane_idx: int, dims: int, scale: float) -> Column:
+    """Sign bit of vec·h_plane as a boolean, via the integer-quantized
+    dot product (each per-dim product floored to an integer before the
+    sum — associative, so the sign can never flip with evaluation
+    order or engine)."""
+    idx = F.sequence(F.lit(1), F.lit(dims))
+    prods = F.transform(
+        idx,
+        lambda i: F.floor(
+            F.element_at(vec, i).cast("double")
+            * _plane_component(plane_idx, i, dims)
+            * F.lit(float(scale))
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    s = F.aggregate(prods, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return s > 0
+
+
+def hyperplane_buckets(
+    vec: Column,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dims: int = 64,
+    scale: float = 1e6,
+) -> Column:
+    """One LSH bucket id per table: ``bucket_t = Σ_b bit(t*n_bits+b)<<b``.
+
+    Returns ``array<bigint>`` of length ``n_tables``. A pure per-row
+    projection (no shuffle, no state): 2^n_bits buckets per table,
+    collision probability rising with cosine similarity (Charikar
+    sign-LSH). Multiple tables trade compute for recall.
+    """
+    buckets = []
+    for t in range(n_tables):
+        acc = F.lit(0).cast("bigint")
+        for b in range(n_bits):
+            bit = _plane_bit(vec, t * n_bits + b, dims, scale)
+            acc = acc + F.when(bit, F.lit(1 << b)).otherwise(F.lit(0)).cast(
+                "bigint"
+            )
+        buckets.append(acc)
+    return F.array(*buckets)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    scale: float = 1e6,
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets —
+    the LSH-bucketed ANN variant complementing ``ivf_topk``.
+
+    Scale shape: bucket ids are a per-row projection; candidates come
+    from a BROADCAST hash join of the corpus's exploded
+    (table, bucket) pairs against the exploded query signatures — the
+    corpus is never shuffled and no all-pairs product ever forms
+    (candidate count per query is bounded by Σ_t |bucket_t|, the same
+    guarantee as the MinHash-LSH dedup path in dedup.py). Multi-table
+    duplicate hits collapse through one hash agg on (query, id) —
+    candidate-sized, not corpus-sized — and the final reduction is the
+    shared ``two_stage_topk``. At rest the corpus can persist
+    signatures as ordinary columns and partition by (table 0 bucket),
+    making the hot path a partition-pruned scan, exactly like the IVF
+    layout in plans/lake.py.
+
+    A query with an empty bucket in every table returns < k rows
+    (honest ANN recall semantics, mirrored by the oracle).
+    """
+    sig = hyperplane_buckets(F.col(vec_col), n_tables, n_bits, dims, scale)
+    c_ex = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(sig).alias("__tbl", "__bkt"),
+    )
+    q_ex = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+        ).select(
+            "__qid",
+            "__qvec",
+            F.posexplode(
+                hyperplane_buckets(
+                    F.col("__qvec"), n_tables, n_bits, dims, scale
+                )
+            ).alias("__tbl", "__bkt"),
+        )
+    )
+    cand = (
+        c_ex.join(q_ex, on=["__tbl", "__bkt"])
+        .filter(F.col(id_col) != F.col("__qid"))
+        .groupBy("__qid", id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.first("__qvec").alias("__qvec"),
+        )
+    )
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+    )
+    return two_stage_topk(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        partial_buckets=partial_buckets,
+    )

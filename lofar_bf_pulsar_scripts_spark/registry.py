@@ -1527,6 +1527,68 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lsh_ann_topk",
+    f"""
+    WITH tb AS (SELECT unnest(generate_series(0, 3)) AS t),
+    bb AS (SELECT unnest(generate_series(0, 5)) AS b),
+    bits AS (
+        -- sign bit of embedding . h_p for pseudo-random hyperplane
+        -- p = t*6+b: h_p[i] = ((1+p*64+i)*2654435761 mod 2^32)/2^32
+        -- - 0.5 (every value a dyadic rational — bit-identical on any
+        -- engine); the dot product is integer-quantized so the sign
+        -- is associative-exact.
+        SELECT e.vec_id, tb.t, bb.b,
+               CASE WHEN list_aggregate(list_transform(
+                      generate_series(1, 64),
+                      i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+                           * (CAST(((1 + (tb.t * 6 + bb.b) * 64 + i)
+                                    * 2654435761) % 4294967296 AS DOUBLE)
+                              / 4294967296.0 - 0.5)
+                           * 1000000.0 + 0.5) AS BIGINT)), 'sum') > 0
+                    THEN CAST(1 AS BIGINT) << bb.b ELSE CAST(0 AS BIGINT)
+               END AS bitval
+        FROM embeddings e CROSS JOIN tb CROSS JOIN bb
+    ), sig AS (
+        SELECT vec_id, t, CAST(sum(bitval) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, t
+    ), qsig AS (
+        SELECT vec_id AS qid, t, bucket FROM sig WHERE vec_id < 5
+    ), cand AS (
+        SELECT DISTINCT q.qid, s.vec_id
+        FROM qsig q JOIN sig s ON s.t = q.t AND s.bucket = q.bucket
+        WHERE s.vec_id != q.qid
+    ), scored AS (
+        SELECT c.qid, c.vec_id,
+               {_COS_DOT.format(a='qe.embedding', b='e.embedding')}
+               / ({_COS_NORM.format(a='qe.embedding')}
+                  * {_COS_NORM.format(a='e.embedding')}) AS cos
+        FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vec_id
+    )
+    SELECT qid, vec_id, round(cos, 6) + 0.0 AS cos
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    "random-hyperplane LSH approximate nearest-neighbour (north star: "
+    "the LSH-bucketed ANN variant; 4 tables x 6 sign bits, broadcast "
+    "bucket join — corpus never shuffled)",
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_ann_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = lsh_ann_topk(e, queries_df, k=5, n_tables=4, n_bits=6, dims=64)
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+
+
+@_register(
     "embedding_quantize",
     """
     WITH q AS (
@@ -3780,7 +3842,9 @@ _TAIL: tuple[str, ...] = (
     "lta_superquery_manifest",
     # r3-green and textually unchanged in r4; demoted to free head-50
     # slots for embedding_quantize + frame_offsets (new in r3, never
-    # driver-gated) per the rotation rule. Their r3 rows stand.
+    # driver-gated) and the new r4 gates per the rotation rule. Their
+    # r3 rows stand.
+    "trimmed_stats",
     "fold_profile",
     "fold_subints",
     "rebin_events",

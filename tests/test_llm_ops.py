@@ -590,3 +590,60 @@ def test_wav_metadata_jvm_parse(spark):
     assert w["duration_s"] == pytest.approx(0.5, abs=1e-6)
     n = rows[1]
     assert not n["is_wav"] and n["sample_rate_hz"] is None
+
+
+def test_lsh_ann_topk_planted_neighbor_and_determinism(spark, vectors):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        hyperplane_buckets,
+        lsh_ann_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top = lsh_ann_topk(
+        vectors, q, k=3, n_tables=4, n_bits=4, dims=16
+    ).collect()
+    # vec 1 is a tiny perturbation of vec 0 (cos > 0.99): sign-LSH
+    # collides near-identical vectors in every table w.h.p.
+    assert top and top[0]["vec_id"] == 1 and top[0]["cos"] > 0.99
+    # every candidate shares >= 1 bucket with the query (by construction)
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in vectors.select(
+            "vec_id",
+            hyperplane_buckets(
+                F.col("embedding"), n_tables=4, n_bits=4, dims=16
+            ).alias("sig"),
+        ).collect()
+    }
+    for r in top:
+        assert any(a == b for a, b in zip(sigs[0], sigs[r["vec_id"]]))
+    # partition-invariant: same rows at 1-way and 7-way partitioning
+    base = sorted(
+        (r["qid"], r["vec_id"], round(r["cos"], 9)) for r in top
+    )
+    for n in (1, 7):
+        again = sorted(
+            (r["qid"], r["vec_id"], round(r["cos"], 9))
+            for r in lsh_ann_topk(
+                vectors.repartition(n), q, k=3, n_tables=4, n_bits=4, dims=16
+            ).collect()
+        )
+        assert again == base
+
+
+def test_lsh_ann_candidates_subset_of_brute_force_order(spark, vectors):
+    """LSH top-k scores must equal the exact cosine for the ids it
+    returns (the approximation only drops candidates, never rescores)."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import lsh_ann_topk
+
+    q = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r["qid"], r["vec_id"]): r["cos"]
+        for r in brute_force_topk(vectors, q, k=40).collect()
+    }
+    for r in lsh_ann_topk(vectors, q, k=5, n_tables=4, n_bits=4, dims=16).collect():
+        assert abs(exact[(r["qid"], r["vec_id"])] - r["cos"]) < 1e-12
