@@ -39,6 +39,59 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    training-data chunking primitive (context-window packing input).
+
+    Chunk c starts at token ``c*stride`` (0-based) and spans
+    ``min(chunk_tokens, n - start)`` tokens; with ``stride <
+    chunk_tokens`` consecutive chunks overlap by ``chunk_tokens -
+    stride`` tokens. Every document yields >= 1 chunk (an empty text
+    is one empty chunk), and every token is covered.
+
+    Returns (id, chunk_idx, chunk_start, chunk_len, chunk_md5,
+    chunk_text). Scale shape: pure projection + generator explode
+    (fan-out factor n/stride) — zero shuffle, whole-stage codegen;
+    the md5 fingerprint feeds straight into the exact-dedup /
+    contamination operators on chunk granularity.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(text_col)
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    ch = d.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk_len = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("chunk_start"))
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.col("__toks"), F.col("chunk_start") + 1, chunk_len)
+    )
+    return ch.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        chunk_len.alias("chunk_len"),
+        F.md5(chunk_text).alias("chunk_md5"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles; [] when the document has < k tokens.
     (Spark's sequence(1, n) is DESCENDING for n<1, hence the guard.)"""

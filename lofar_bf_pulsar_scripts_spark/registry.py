@@ -829,6 +829,45 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_chunks",
+    r"""
+    -- overlapping token-window chunking (window 32, stride 24):
+    -- chunk c covers tokens [c*24, c*24 + min(32, n - c*24)).
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM d
+    ), ch AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, greatest(n - 1, 0), 24))
+                   AS chunk_start
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_start // 24 AS INTEGER) AS chunk_idx,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(least(32, n - chunk_start) AS INTEGER) AS chunk_len,
+           md5(array_to_string(list_slice(toks, chunk_start + 1,
+               chunk_start + least(32, n - chunk_start)), ' ')) AS chunk_md5
+    FROM ch
+    """,
+    "document chunking into overlapping token windows (north star: "
+    "context-window prep; pure projection + generator explode, zero "
+    "shuffle)",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    d = load_table(spark, "documents", sf_dir)
+    out = chunk_documents(d, chunk_tokens=32, stride=24)
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_md5"
+    )
+
+
+@_register(
     "bpe_token_counts",
     r"""
     SELECT doc_id,
@@ -3845,6 +3884,7 @@ _TAIL: tuple[str, ...] = (
     # driver-gated) and the new r4 gates per the rotation rule. Their
     # r3 rows stand.
     "trimmed_stats",
+    "sigma_clip_events",
     "fold_profile",
     "fold_subints",
     "rebin_events",

@@ -647,3 +647,39 @@ def test_lsh_ann_candidates_subset_of_brute_force_order(spark, vectors):
     }
     for r in lsh_ann_topk(vectors, q, k=5, n_tables=4, n_bits=4, dims=16).collect():
         assert abs(exact[(r["qid"], r["vec_id"])] - r["cos"]) < 1e-12
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),  # shorter than one window
+            (3, ""),  # empty text -> one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 -> lens 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_start"], r["chunk_len"]) for r in c1] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)
+    ]
+    # overlap: chunk c and c+1 share chunk_tokens - stride = 1 token
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    # coverage: union of [start, start+len) == [0, n)
+    covered = set()
+    for r in c1:
+        covered |= set(range(r["chunk_start"], r["chunk_start"] + r["chunk_len"]))
+    assert covered == set(range(10))
+    # short and empty docs still produce exactly one chunk
+    assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[2]] == [(0, 3)]
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+    # bad params raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
