@@ -227,3 +227,61 @@ def wav_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         null_if(data_bytes).alias("data_bytes"),
         F.round(null_if(dur), 6).alias("duration_s"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, peak int, zero_crossings long, "
+    "sum_sq long, rms double"
+)
+
+
+def wav_pcm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode: 16-bit PCM WAV samples via numpy
+    ``frombuffer`` in Arrow-batched ``mapInPandas`` — dependency-free
+    (canonical 44-byte header, same layout contract as
+    ``wav_metadata``), one vectorized decode per file, never
+    per-sample Python.
+
+    Features are exact-integer where the math allows (peak, zero
+    crossings, Σs² in int64 — a 16-bit sample squares to < 2^30, so
+    int64 holds > 8e9 samples ≈ 50 h of 44.1 kHz stereo) with rms
+    derived by one double division + sqrt at the end. Non-WAV /
+    truncated payloads yield n_samples = 0 rows with NULL features.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if (
+                    payload is None
+                    or len(payload) < 44
+                    or bytes(payload[0:4]) != b"RIFF"
+                    or bytes(payload[8:12]) != b"WAVE"
+                ):
+                    out.append((mid, 0, None, None, None, None))
+                    continue
+                data = bytes(payload[44:])
+                data = data[: len(data) - (len(data) % 2)]
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if s.size == 0:
+                    out.append((mid, 0, None, None, None, None))
+                    continue
+                sum_sq = int(np.dot(s, s))
+                peak = int(np.max(np.abs(s)))
+                zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                rms = float(np.sqrt(sum_sq / s.size))
+                out.append((mid, int(s.size), peak, zc, sum_sq, rms))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "peak", "zero_crossings",
+                    "sum_sq", "rms",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -683,3 +683,37 @@ def test_chunk_documents_cover_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
+
+
+def test_wav_pcm_features_real_decode(spark):
+    import struct
+    import numpy as np
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        wav_pcm_features,
+    )
+
+    rng = np.random.RandomState(3)
+    samples = (rng.randint(-30000, 30000, 4096)).astype("<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(0, wav), (1, b"junk"), (2, wav[:50])],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in wav_pcm_features(media).collect()}
+    s = samples.astype(np.int64)
+    w = rows[0]
+    assert w["n_samples"] == 4096
+    assert w["peak"] == int(np.max(np.abs(s)))
+    assert w["sum_sq"] == int(np.dot(s, s))
+    assert w["zero_crossings"] == int(
+        np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))
+    )
+    assert w["rms"] == pytest.approx(float(np.sqrt(np.dot(s, s) / 4096)))
+    assert rows[1]["n_samples"] == 0 and rows[1]["rms"] is None
+    # truncated-but-valid-header WAV decodes the bytes that exist
+    assert rows[2]["n_samples"] == 3  # (50 - 44) // 2
