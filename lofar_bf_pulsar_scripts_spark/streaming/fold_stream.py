@@ -136,3 +136,36 @@ def run_bounded(
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """W6 streaming dual: gap-sessionization via the native
+    ``F.session_window`` stateful aggregation — per (key, session) row
+    with start/end/length. The watermark bounds session state: a
+    session closes (and its state is dropped) once the watermark
+    passes its end + gap.
+
+    One stateful aggregation only — the per-key session SUMMARY
+    (n_sessions / max_len) that ``session_stats_native`` adds on top
+    is a second aggregation, which Structured Streaming forbids in one
+    query; run it as a downstream batch over the sink (exactly what
+    the parity test does), or chain via foreachBatch at scale."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            *key_cols, F.session_window(F.col(ts_col), gap).alias("__w")
+        )
+        .agg(F.count(F.lit(1)).alias("session_len"))
+        .select(
+            *key_cols,
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "session_len",
+        )
+    )

@@ -197,3 +197,68 @@ def test_native_session_window_parity(spark):
     b = {r["user_id"]: (r["n_sessions"], r["max_session_len"], r["n_rows"])
          for r in native.collect()}
     assert a == b
+
+
+def test_streaming_sessions_equal_batch(spark):
+    """Native session_window sessionization over a bounded stream
+    replay equals the same aggregation run in batch (W6 streaming
+    dual), including the per-key summary computed downstream."""
+    from lofar_bf_pulsar_scripts_spark.operators.session import (
+        session_stats_native,
+    )
+    from lofar_bf_pulsar_scripts_spark.streaming.fold_stream import (
+        run_bounded,
+        streaming_sessions,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import stream_events
+
+    import os
+    import shutil
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_stream_tmp", "events"
+    )
+    os.makedirs(tmp, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(tmp, "events.parquet"))
+    ev_stream = stream_events(spark, tmp).select("user_id", "ts")
+    stream_sessions = run_bounded(
+        streaming_sessions(ev_stream, ["user_id"], ts_col="ts", gap="1 hour"),
+        "sessions_replay",
+        shuffle_partitions=4,
+    )
+    ev_batch = load_table(spark, "events", SF_DIR).select(
+        "user_id", F.expr("timestamp_micros(ts div 1000)").alias("ts")
+    )
+    batch_sessions = (
+        ev_batch.groupBy(
+            "user_id", F.session_window(F.col("ts"), "1 hour").alias("__w")
+        )
+        .agg(F.count(F.lit(1)).alias("session_len"))
+        .select(
+            "user_id",
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "session_len",
+        )
+    )
+    key = lambda r: (
+        r["user_id"], r["session_start"], r["session_end"], r["session_len"]
+    )
+    a = sorted(map(key, stream_sessions.collect()))
+    b = sorted(map(key, batch_sessions.collect()))
+    assert a and a == b
+    # downstream per-key summary over the sink equals the batch helper
+    summary = (
+        stream_sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("session_len").alias("max_session_len"),
+            F.sum("session_len").alias("n_rows"),
+        )
+    )
+    want = session_stats_native(ev_batch, ["user_id"], ts_col="ts", gap="1 hour")
+    sa = {r["user_id"]: (r["n_sessions"], r["max_session_len"], r["n_rows"])
+          for r in summary.collect()}
+    sb = {r["user_id"]: (r["n_sessions"], r["max_session_len"], r["n_rows"])
+          for r in want.collect()}
+    assert sa == sb
