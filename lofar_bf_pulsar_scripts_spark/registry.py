@@ -868,6 +868,66 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "chunk_dedup_stats",
+    r"""
+    -- cross-document chunk dedup (CCNet-style paragraph/boilerplate
+    -- detection): non-overlapping 16-token chunks, per-doc count of
+    -- chunks that also occur in ANOTHER document.
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM d
+    ), ch AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, greatest(n - 1, 0), 16))
+                   AS chunk_start
+        FROM s
+    ), chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, chunk_start + 1,
+                   chunk_start + least(16, n - chunk_start)), ' '))
+                   AS chunk_md5
+        FROM ch
+    ), freq AS (
+        SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks
+    FROM chunks c JOIN freq f USING (chunk_md5)
+    GROUP BY c.doc_id
+    """,
+    "cross-document chunk dedup / boilerplate share (north star: "
+    "paragraph-granularity dedup a la CCNet; chunk fingerprints from "
+    "doc_chunks, one shuffle on chunk_md5)",
+)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    d = load_table(spark, "documents", sf_dir)
+    ch = chunk_documents(d, chunk_tokens=16, stride=16).select(
+        "doc_id", "chunk_md5"
+    )
+    freq = ch.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("__n_docs")
+    )
+    return (
+        ch.join(freq, on="chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__n_docs") > 1).cast("bigint")).alias(
+                "n_shared_chunks"
+            ),
+        )
+    )
+
+
+@_register(
     "bpe_token_counts",
     r"""
     SELECT doc_id,
@@ -3885,6 +3945,7 @@ _TAIL: tuple[str, ...] = (
     # r3 rows stand.
     "trimmed_stats",
     "sigma_clip_events",
+    "scrunch_user_hour",
     "fold_profile",
     "fold_subints",
     "rebin_events",
