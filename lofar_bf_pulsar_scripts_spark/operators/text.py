@@ -106,6 +106,59 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def corpus_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide unigram counts: (tok, cnt). One explode + one hash
+    agg with map-side combine — the 'training' half of the
+    vocabulary-coverage quality signal."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_below: int = 5,
+    common_at_least: int = 100,
+) -> DataFrame:
+    """Per-document vocabulary-coverage quality score: how much of a
+    document is rare (corpus count < ``rare_below``) vs common
+    (>= ``common_at_least``) tokens. An integer-exact stand-in for a
+    unigram-LM log-prob filter (log/exp are not correctly-rounded and
+    diverge across engines; counts never do): high rare-fraction ≈
+    high perplexity ≈ gibberish/OCR noise, high common-fraction ≈
+    boilerplate.
+
+    Scale shape: per-(doc, tok) pre-aggregation shrinks the exploded
+    fact BEFORE the vocab join (Zipf heads collapse map-side), then
+    one shuffle join on tok (AQE skew-split handles 'the'), one final
+    agg on doc.
+    """
+    v = vocab if vocab is not None else corpus_vocab(df, text_col)
+    dt = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    return (
+        dt.join(v, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__k").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cnt") < rare_below, F.col("__k")).otherwise(0)
+            ).alias("n_rare"),
+            F.sum(
+                F.when(F.col("cnt") >= common_at_least, F.col("__k")).otherwise(0)
+            ).alias("n_common"),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals
     (cheap heuristics standard in pretraining-data filtering)."""

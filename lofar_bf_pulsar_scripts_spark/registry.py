@@ -868,6 +868,39 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "vocab_coverage",
+    r"""
+    -- per-doc rare/common token coverage vs the corpus unigram
+    -- vocabulary (integer-exact unigram-LM quality proxy).
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), v AS (
+        SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+    ), dt AS (
+        SELECT doc_id, tok, count(*) AS k FROM t GROUP BY 1, 2
+    )
+    SELECT dt.doc_id,
+           CAST(sum(dt.k) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.cnt < 5 THEN dt.k ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           CAST(sum(CASE WHEN v.cnt >= 100 THEN dt.k ELSE 0 END) AS BIGINT)
+               AS n_common
+    FROM dt JOIN v USING (tok)
+    GROUP BY dt.doc_id
+    """,
+    "corpus-vocabulary coverage quality score (north star: integer-"
+    "exact unigram-LM filter stand-in; pre-agg before the Zipf join)",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import vocab_coverage
+
+    d = load_table(spark, "documents", sf_dir)
+    return vocab_coverage(d, rare_below=5, common_at_least=100)
+
+
+@_register(
     "chunk_dedup_stats",
     r"""
     -- cross-document chunk dedup (CCNet-style paragraph/boilerplate
@@ -3946,6 +3979,7 @@ _TAIL: tuple[str, ...] = (
     "trimmed_stats",
     "sigma_clip_events",
     "scrunch_user_hour",
+    "altaz_positions",
     "fold_profile",
     "fold_subints",
     "rebin_events",

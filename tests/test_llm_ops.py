@@ -717,3 +717,26 @@ def test_wav_pcm_features_real_decode(spark):
     assert rows[1]["n_samples"] == 0 and rows[1]["rms"] is None
     # truncated-but-valid-header WAV decodes the bytes that exist
     assert rows[2]["n_samples"] == 3  # (50 - 44) // 2
+
+
+def test_vocab_coverage_counts(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),   # 'the' x3 here + 2 below = 5 -> common@5
+            (2, "the the zyx"),       # zyx appears once -> rare@2
+            (3, "cat zyx"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare"], r["n_common"])
+        for r in vocab_coverage(
+            docs, rare_below=2, common_at_least=5
+        ).collect()
+    }
+    # corpus counts: the=5, cat=2, zyx=2 -> no token rare (<2); 'the' common
+    assert rows[1] == (4, 0, 3)
+    assert rows[2] == (3, 0, 2)
+    assert rows[3] == (2, 0, 0)
