@@ -60,3 +60,63 @@ def domain_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(chars_col)).cast("bigint").alias("total_chars"),
     )
+
+
+# tracking query parameters dropped by canonicalize_url; anchored so
+# regexp_replace/first-match semantics agree across engines.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)="
+
+
+def canonicalize_url(url) -> F.Column:
+    """Canonical URL for crawl-level dedup — the normalization every
+    web pipeline applies before URL-exact dedup:
+
+    * scheme and host lower-cased (path/query case is significant and
+      preserved);
+    * ``www.`` prefix and scheme-default port (``:443``/``:80``)
+      dropped;
+    * fragment dropped;
+    * tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``) removed, remaining params kept in original order;
+    * trailing slashes trimmed from non-root paths; empty path
+      becomes ``/``.
+
+    Pure JVM expression chain (regexp + array filter) — codegen'd
+    projection, no shuffle, no Python. Every regex is anchored, so
+    Spark's replace-all and an oracle's replace-first agree by
+    construction.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    # rest = path + query, fragment excluded by the [^#]* match
+    rest = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        path != "/", F.regexp_replace(path, r"/+$", "")
+    ).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    qjoined = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoined == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qjoined)
+        ),
+    )

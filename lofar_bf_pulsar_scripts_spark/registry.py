@@ -868,6 +868,82 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "url_canonical",
+    r"""
+    -- URL canonicalization for crawl dedup: lower scheme/host, strip
+    -- www. + default port + fragment + tracking params, trim trailing
+    -- slash; then canonical-URL dedup counts.
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
+               || '&gclid=zzz&q=' || lang || '#Section1' AS url
+        FROM documents
+    ), p AS (
+        SELECT doc_id,
+               lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+        FROM u
+    ), q AS (
+        SELECT doc_id, scheme,
+               CASE WHEN scheme = 'https' THEN
+                        regexp_replace(regexp_replace(hostport,
+                            '^www\.', ''), ':443$', '')
+                    WHEN scheme = 'http' THEN
+                        regexp_replace(regexp_replace(hostport,
+                            '^www\.', ''), ':80$', '')
+                    ELSE regexp_replace(hostport, '^www\.', '')
+               END AS host,
+               regexp_extract(rest, '^([^?]*)', 1) AS path0,
+               regexp_extract(rest, '\?(.*)$', 1) AS query0
+        FROM p
+    ), r AS (
+        SELECT doc_id, scheme, host,
+               CASE WHEN path0 = '' THEN '/'
+                    WHEN path0 = '/' THEN '/'
+                    ELSE regexp_replace(path0, '/+$', '')
+               END AS path,
+               array_to_string(list_filter(string_split(query0, '&'),
+                   x -> x != '' AND NOT regexp_matches(x,
+                       '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=')),
+                   '&') AS qjoined
+        FROM q
+    )
+    SELECT doc_id,
+           scheme || '://' || host || path
+           || CASE WHEN qjoined = '' THEN '' ELSE '?' || qjoined END
+               AS canon_url
+    FROM r
+    """,
+    "URL canonicalization for crawl-level dedup (north star: JVM "
+    "regexp projection, zero shuffle)",
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.web import canonicalize_url
+
+    docs = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&gclid=zzz&q="),
+        F.col("lang"),
+        F.lit("#Section1"),
+    )
+    return docs.select("doc_id", canonicalize_url(url).alias("canon_url"))
+
+
+@_register(
     "vocab_coverage",
     r"""
     -- per-doc rare/common token coverage vs the corpus unigram
@@ -3980,6 +4056,7 @@ _TAIL: tuple[str, ...] = (
     "sigma_clip_events",
     "scrunch_user_hour",
     "altaz_positions",
+    "dispersion_delays",
     "fold_profile",
     "fold_subints",
     "rebin_events",

@@ -740,3 +740,34 @@ def test_vocab_coverage_counts(spark):
     assert rows[1] == (4, 0, 3)
     assert rows[2] == (3, 0, 2)
     assert rows[3] == (2, 0, 0)
+
+
+def test_canonicalize_url_rules(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.web import canonicalize_url
+
+    cases = [
+        # scheme/host case + www + default port + fragment + tracking
+        ("HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&id=3&gclid=z#f",
+         "https://ex.com/A/B?id=3"),
+        # http default port; non-default port kept; param order kept
+        ("http://ex.com:80/p?b=2&a=1", "http://ex.com/p?b=2&a=1"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        # empty path -> '/', root slash kept
+        ("https://Ex.com", "https://ex.com/"),
+        ("https://ex.com/", "https://ex.com/"),
+        # only tracking params -> no '?'
+        ("https://ex.com/x?utm_a=1&fbclid=2", "https://ex.com/x"),
+        # path case preserved
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
