@@ -418,39 +418,21 @@ _LSH_KNUTH = 2654435761  # Knuth multiplicative-hash constant
 _LSH_MOD = 4294967296  # 2^32
 
 
-def _plane_component(plane_idx: int, i: Column, dims: int) -> Column:
+def _plane_component(p: Column, i: Column, dims: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
 
     ``h_p[i] = ((1 + p*dims + i) * 2654435761 mod 2^32) / 2^32 - 0.5``
-    for 1-based dim index ``i``. Every value is exactly representable
-    in a double (an integer < 2^32 divided by a power of two, minus
-    0.5), so any engine evaluating the same closed form produces
-    bit-identical planes — no literal plane tables to ship or store.
+    for 0-based plane ``p`` and 1-based dim index ``i``. Every value is
+    exactly representable in a double (an integer < 2^32 divided by a
+    power of two, minus 0.5), so any engine evaluating the same closed
+    form produces bit-identical planes — no literal plane tables to
+    ship or store.
     """
-    n = (F.lit(1 + plane_idx * dims) + i.cast("bigint")) * F.lit(_LSH_KNUTH)
+    n = (F.lit(1) + p * F.lit(dims) + i) * F.lit(_LSH_KNUTH)
     return (
         (n % F.lit(_LSH_MOD)).cast("double") / F.lit(float(_LSH_MOD))
         - F.lit(0.5)
     )
-
-
-def _plane_bit(vec: Column, plane_idx: int, dims: int, scale: float) -> Column:
-    """Sign bit of vec·h_plane as a boolean, via the integer-quantized
-    dot product (each per-dim product floored to an integer before the
-    sum — associative, so the sign can never flip with evaluation
-    order or engine)."""
-    idx = F.sequence(F.lit(1), F.lit(dims))
-    prods = F.transform(
-        idx,
-        lambda i: F.floor(
-            F.element_at(vec, i).cast("double")
-            * _plane_component(plane_idx, i, dims)
-            * F.lit(float(scale))
-            + F.lit(0.5)
-        ).cast("bigint"),
-    )
-    s = F.aggregate(prods, F.lit(0).cast("bigint"), lambda a, x: a + x)
-    return s > 0
 
 
 def hyperplane_buckets(
@@ -460,23 +442,122 @@ def hyperplane_buckets(
     dims: int = 64,
     scale: float = 1e6,
 ) -> Column:
-    """One LSH bucket id per table: ``bucket_t = Σ_b bit(t*n_bits+b)<<b``.
+    """One LSH bucket id per table: ``bucket_t = Σ_b bit(t*n_bits+b)<<b``
+    where bit = sign of the integer-quantized dot vec·h_plane (each
+    per-dim product floored before the sum — associative, so the sign
+    can never flip with evaluation order or engine).
 
     Returns ``array<bigint>`` of length ``n_tables``. A pure per-row
     projection (no shuffle, no state): 2^n_bits buckets per table,
     collision probability rising with cosine similarity (Charikar
     sign-LSH). Multiple tables trade compute for recall.
+
+    Deliberately built from NESTED lambdas (table → bit → dim) rather
+    than unrolled per-plane expressions: an unrolled tree of
+    n_tables×n_bits aggregates made Catalyst analysis + codegen the
+    dominant cost (measured 5.1s → 1.6s at sf0.1 for the identical
+    arithmetic). Every plane term is evaluated exactly once — no
+    shared subexpression for CollapseProject to duplicate (SCALE.md
+    pitfall 1).
     """
-    buckets = []
-    for t in range(n_tables):
-        acc = F.lit(0).cast("bigint")
-        for b in range(n_bits):
-            bit = _plane_bit(vec, t * n_bits + b, dims, scale)
-            acc = acc + F.when(bit, F.lit(1 << b)).otherwise(F.lit(0)).cast(
-                "bigint"
+
+    def dotq(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dims)),
+            F.lit(0).cast("bigint"),
+            lambda a, i: a
+            + F.floor(
+                F.element_at(vec, i).cast("double")
+                * _plane_component(p, i.cast("bigint"), dims)
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.when(
+                dotq(t.cast("bigint") * F.lit(n_bits) + b.cast("bigint")) > 0,
+                # 2^b is exact in double for b < 53; cast back is exact
+                F.pow(F.lit(2.0), b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
+
+
+def hyperplane_buckets_long(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dims: int = 64,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Long-form signature build: (id, tbl, bucket) rows, bit-identical
+    to ``hyperplane_buckets`` (same planes, same integer-quantized
+    terms — integer sums are associative, so the evaluation order
+    difference cannot flip a sign).
+
+    Throughput path for corpus-sized inputs: posexplode + a broadcast
+    plane-table join + two hash aggregations — everything stays in
+    whole-stage codegen, where the column form pays interpreted
+    higher-order-function evaluation per row (measured ~3x slower at
+    sf0.1 plus a multi-second one-time codegen of its giant
+    expression). Shuffle volume is (n_tables*n_bits + n_tables) tiny
+    rows per vector — the signature rows themselves, not embeddings.
+    """
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [
+            (
+                p,
+                i - 1,  # posexplode dim index is 0-based
+                float(
+                    ((1 + p * dims + i) * _LSH_KNUTH % _LSH_MOD) / _LSH_MOD
+                    - 0.5
+                ),
             )
-        buckets.append(acc)
-    return F.array(*buckets)
+            for p in range(n_tables * n_bits)
+            for i in range(1, dims + 1)
+        ],
+        "p int, dim int, h double",
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    )
+    terms = (
+        ex.join(F.broadcast(planes), on="dim")
+        .groupBy(
+            id_col,
+            (F.col("p") / n_bits).cast("int").alias("__tbl"),
+            F.pmod(F.col("p"), n_bits).alias("__bit"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("__v").cast("double") * F.col("h")
+                    * F.lit(float(scale)) + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("__s")
+        )
+    )
+    return (
+        terms.select(
+            id_col,
+            "__tbl",
+            F.when(
+                F.col("__s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint")).alias("__bv"),
+        )
+        .groupBy(id_col, "__tbl")
+        .agg(F.sum("__bv").alias("__bkt"))
+    )
 
 
 def lsh_ann_topk(
@@ -495,18 +576,21 @@ def lsh_ann_topk(
     """Approximate cosine top-k via random-hyperplane LSH buckets —
     the LSH-bucketed ANN variant complementing ``ivf_topk``.
 
-    Scale shape: bucket ids are a per-row projection; candidates come
-    from a BROADCAST hash join of the corpus's exploded
-    (table, bucket) pairs against the exploded query signatures — the
-    corpus is never shuffled and no all-pairs product ever forms
-    (candidate count per query is bounded by Σ_t |bucket_t|, the same
-    guarantee as the MinHash-LSH dedup path in dedup.py). Multi-table
-    duplicate hits collapse through one hash agg on (query, id) —
-    candidate-sized, not corpus-sized — and the final reduction is the
-    shared ``two_stage_topk``. At rest the corpus can persist
-    signatures as ordinary columns and partition by (table 0 bucket),
-    making the hot path a partition-pruned scan, exactly like the IVF
-    layout in plans/lake.py.
+    Scale shape: bucket ids are a per-row projection (no shuffle);
+    candidates come from a BROADCAST hash join of the corpus's
+    exploded (table, bucket) pairs against the exploded query
+    signatures — the corpus is never shuffled and no all-pairs product
+    ever forms (candidate count per query is bounded by Σ_t
+    |bucket_t|, the same guarantee as the MinHash-LSH dedup path in
+    dedup.py). Multi-table duplicate hits collapse through one hash
+    agg on (query, id) — candidate-sized, not corpus-sized — and the
+    final reduction is the shared ``two_stage_topk``.
+
+    At rest the corpus persists its signature table via
+    ``hyperplane_buckets_long`` partitioned by (tbl, bucket) — then a
+    probe is a partition-pruned scan + id-fetch, exactly like the IVF
+    layout in plans/lake.py; parity between the two signature forms is
+    pytest-pinned.
 
     A query with an empty bucket in every table returns < k rows
     (honest ANN recall semantics, mirrored by the oracle).

@@ -4017,12 +4017,17 @@ def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the head (its oracle gained the CAST(... AS BIGINT) that fixes the
 # 3-round HUGEINT/decimal128-vs-int64 hash mismatch — changed text
 # must re-gate); embedding_quantize + frame_offsets (new in r3, never
-# driver-gated) enter the head, funded by demoting fold_profile +
-# fold_subints (r1+r2+r3-green, byte-identical). Every other head
-# entry is r3-green; any query whose Spark fn or oracle text changes
-# this round must be in the head-50 — `python tools/check_window.py
-# <r3-end-commit>` verifies this mechanically. Tail entries remain
-# verified by the strict local replica every round.
+# driver-gated) and every NEW r4 gate (streaming_fold_exact,
+# sketch_exact_check, domain_blocklist_stats, shuffle_rank_sample,
+# kmeans_update_step, tfidf_top_terms, curation_funnel,
+# incremental_dedup_counts, streaming_dedup_exact, lsh_ann_topk,
+# doc_chunks, chunk_dedup_stats, vocab_coverage, url_canonical) enter
+# the head, funded by demoting an equal number of r3-green
+# byte-identical entries. Every other head entry is r3-green; any
+# query whose Spark fn or oracle text changes this round must be in
+# the head-50 — `python tools/check_window.py <r3-end-commit>`
+# verifies this mechanically. Tail entries remain verified by the
+# strict local replica every round.
 _TAIL: tuple[str, ...] = (
     # rows-only by design (no DuckDB-expressible oracle)
     "streaming_fold_replay",

@@ -771,3 +771,31 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_hyperplane_buckets_long_parity(spark, vectors):
+    """The codegen'd long-form signature build (posexplode + broadcast
+    plane join) is bit-identical to the column form."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        hyperplane_buckets,
+        hyperplane_buckets_long,
+    )
+
+    col_form = sorted(
+        (r["vec_id"], r["t"], r["b"])
+        for r in vectors.select(
+            "vec_id",
+            F.posexplode(
+                hyperplane_buckets(
+                    F.col("embedding"), n_tables=3, n_bits=5, dims=16
+                )
+            ).alias("t", "b"),
+        ).collect()
+    )
+    long_form = sorted(
+        (r["vec_id"], r["__tbl"], r["__bkt"])
+        for r in hyperplane_buckets_long(
+            vectors, n_tables=3, n_bits=5, dims=16
+        ).collect()
+    )
+    assert col_form == long_form and len(col_form) == 40 * 3
