@@ -18,7 +18,7 @@ processes one subband file at a time (/root/reference/subdyn.py:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_observation_partitioned(
@@ -81,3 +81,37 @@ def read_probed_centroids(
     """Partition-pruned scan of the probed centroid buckets."""
     df = spark.read.parquet(path)
     return df.filter(df[centroid_col].isin([int(c) for c in cids]))
+
+
+def write_lsh_signatures(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dims: int = 64,
+) -> None:
+    """At-rest LSH signature store: (id, tbl, bkt) rows built with the
+    codegen'd ``hyperplane_buckets_long`` path, Hive-partitioned by
+    (tbl, bkt) — a probe of one (table, bucket) pair is a
+    partition-pruned scan (PartitionFilters, zero IO elsewhere), the
+    sign-LSH mirror of the IVF layout above."""
+    from ..operators.similarity import hyperplane_buckets_long
+
+    sig = hyperplane_buckets_long(
+        df, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, n_bits=n_bits, dims=dims,
+    ).select(id_col, F.col("__tbl").alias("tbl"), F.col("__bkt").alias("bkt"))
+    sig.write.mode("overwrite").partitionBy("tbl", "bkt").parquet(path)
+
+
+def read_lsh_bucket(
+    spark: SparkSession,
+    path: str,
+    tbl: int,
+    bkt: int,
+) -> DataFrame:
+    """Partition-pruned scan of one LSH (table, bucket) directory."""
+    df = spark.read.parquet(path)
+    return df.filter((df["tbl"] == int(tbl)) & (df["bkt"] == int(bkt)))

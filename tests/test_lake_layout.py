@@ -119,3 +119,46 @@ def test_ivf_store_partition_pruning(spark, tmp_path):
     )[1].splitlines()[0]
     got = {r["cid"] for r in probed.select("cid").distinct().collect()}
     assert got <= {1, 3} and got
+
+
+def test_lsh_signature_store_partition_pruning(spark, tmp_path):
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        explain_string,
+        read_lsh_bucket,
+        write_lsh_signatures,
+    )
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "lsh_store")
+    write_lsh_signatures(emb, path, n_tables=2, n_bits=4, dims=64)
+    # pick a (tbl, bkt) known to exist from the column-form signature
+    row = emb.select(
+        "vec_id",
+        F.element_at(
+            hyperplane_buckets(F.col("embedding"), n_tables=2, n_bits=4), 1
+        ).alias("b0"),
+    ).first()
+    probed = read_lsh_bucket(spark, path, 0, int(row["b0"]))
+    plan = explain_string(probed)
+    head = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "PartitionFilters" in plan and "tbl" in head and "bkt" in head
+    ids = {r["vec_id"] for r in probed.collect()}
+    assert int(row["vec_id"]) in ids
+    # every row in the probed bucket really carries that signature
+    want = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            F.element_at(
+                hyperplane_buckets(F.col("embedding"), n_tables=2, n_bits=4), 1
+            ).alias("b0"),
+        ).collect()
+        if int(r["b0"]) == int(row["b0"])
+    }
+    assert ids == want
