@@ -115,3 +115,31 @@ def read_lsh_bucket(
     """Partition-pruned scan of one LSH (table, bucket) directory."""
     df = spark.read.parquet(path)
     return df.filter((df["tbl"] == int(tbl)) & (df["bkt"] == int(bkt)))
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the standing operational task of any
+    100 TB lake (streaming sinks and fine-grained partitioning leave
+    thousands of KB-sized files; every one costs a task + a footer
+    read per query). Sizes the output by the INPUT'S actual bytes:
+    binaryFile listing with only the ``length`` column selected (the
+    source is columnar about it — content is never read), then one
+    repartition to ceil(total/target) files. Returns the file count
+    written."""
+    sizes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src)
+        .select(F.sum("length").alias("b"))
+        .first()
+    )
+    total = int(sizes["b"] or 0)
+    n_files = max(1, -(-total // int(target_file_bytes)))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

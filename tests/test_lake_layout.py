@@ -162,3 +162,61 @@ def test_lsh_signature_store_partition_pruning(spark, tmp_path):
         if int(r["b0"]) == int(row["b0"])
     }
     assert ids == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.skew import salted_join
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "value"
+    )
+    # skew: fold all users onto 3 hot keys
+    fact = ev.withColumn("k", F.pmod(F.col("user_id"), F.lit(3)))
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "never")], "k long, tag string"
+    )
+    plain = fact.join(dim, on="k").select("event_id", "k", "tag")
+    salted = salted_join(
+        fact, dim, on="k", salt_by="event_id", n_salts=7
+    ).select("event_id", "k", "tag")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and a
+    # left-join semantics preserved (unmatched fact rows survive once)
+    lp = sorted(
+        map(tuple, fact.join(dim.filter("k = 0"), on="k", how="left")
+            .select("event_id", "tag").collect())
+    )
+    ls = sorted(
+        map(tuple, salted_join(fact, dim.filter("k = 0"), on="k",
+                               salt_by="event_id", n_salts=7, how="left")
+            .select("event_id", "tag").collect())
+    )
+    assert lp == ls
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from lofar_bf_pulsar_scripts_spark.plans.lake import compact_parquet_dir
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "compact")
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "value"
+    )
+    ev.repartition(40).write.parquet(src)
+    import glob
+
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    assert n_small >= 40
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=total // 3 + 1)
+    n_out = len(glob.glob(f"{dst}/*.parquet"))
+    assert n == 3 and n_out == 3
+    # content preserved
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
