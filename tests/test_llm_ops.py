@@ -799,3 +799,31 @@ def test_hyperplane_buckets_long_parity(spark, vectors):
         ).collect()
     )
     assert col_form == long_form and len(col_form) == 40 * 3
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a grid of
+    messy-URL combinations — the property that makes re-processing an
+    already-normalized crawl a no-op."""
+    from itertools import product
+
+    from lofar_bf_pulsar_scripts_spark.operators.web import canonicalize_url
+
+    urls = []
+    for scheme, www, port, path, query, frag in product(
+        ["http", "HTTPS", "ftp"],
+        ["", "www.", "WWW."],
+        ["", ":443", ":80", ":8080"],
+        ["", "/", "/A/b", "/A/b/", "/x//"],
+        ["", "?utm_x=1", "?a=1&utm_y=2&b=3", "?utm_a=1&gclid=2"],
+        ["", "#Frag"],
+    ):
+        urls.append(f"{scheme}://{www}Host.EX{port}{path}{query}{frag}")
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = df.select("i", canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select("i", canonicalize_url(F.col("c")).alias("c2"))
+    joined = once.join(twice, on="i")
+    bad = joined.filter(F.col("c") != F.col("c2")).collect()
+    assert not bad, bad[:5]
