@@ -138,6 +138,12 @@ def minhash_signature(
       SortAggregate); integer mins stay in codegen'd HashAggregate
       (~10x faster) and map-side combine to num_hashes values per doc.
     """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_A)} fixed "
+            "universal-hash parameter pairs (extend MINHASH_A/MINHASH_B "
+            "with odd constants < MINHASH_P to go wider)"
+        )
     exploded = shingle_rows(df, id_col, text_col, shingle_k).withColumn(
         "__x", _md5_int28(F.col("shingle"))
     )
