@@ -1,0 +1,69 @@
+"""Plan-shape regression guards for the round-4 gate queries: the
+r2 manifest incident showed a plan regression reads as a 'slow bench'
+— pin the shapes so a regression is caught as a test failure with a
+named cause instead."""
+
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.registry import _SPECS
+
+SF = "/root/testdata/sf0.001"
+_FNS = {s.name: s.spark_fn for s in _SPECS}
+
+
+def _plan(spark, name):
+    return _FNS[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_ann_topk_plan(spark):
+    """Corpus side joins the broadcast query signatures — never a
+    shuffled join of the corpus — and no global window/sort appears
+    (top-k is the two-stage aggregation)."""
+    plan = _plan(spark, "lsh_ann_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_plan(spark):
+    """Exact top-k: broadcast nested-loop over the broadcast query set
+    is fine (queries are tiny); the corpus must not shuffle and no
+    global window/sort ranks the candidates."""
+    plan = _plan(spark, "cosine_topk")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 3  # partial/final top-k only
+
+
+def test_vocab_coverage_plan(spark):
+    """One scan feeds both the vocab agg and the doc-term agg via a
+    join; the Zipf join must not broadcast the fact side and the
+    aggregations must have partial (map-side) phases."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_stats_plan(spark):
+    """Chunk fingerprint frequency join: hash aggregations with
+    map-side partials; no cartesian, no window."""
+    plan = _plan(spark, "chunk_dedup_stats")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_url_canonical_plan(spark):
+    """Pure projection: no exchange, no join, no window — one scan."""
+    plan = _plan(spark, "url_canonical")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_doc_chunks_plan(spark):
+    """Generator explode over one scan; zero shuffle."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Generate" in plan  # posexplode
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
