@@ -262,3 +262,65 @@ def test_streaming_sessions_equal_batch(spark):
     sb = {r["user_id"]: (r["n_sessions"], r["max_session_len"], r["n_rows"])
           for r in want.collect()}
     assert sa == sb
+
+
+def test_streaming_fold_drops_late_events_beyond_watermark(spark, tmp_path):
+    """Watermark semantics, driven over TWO micro-batches: after batch
+    1 advances the watermark to (max_ts - 1 minute), batch 2's events
+    older than that must be dropped from the append-mode result —
+    the streaming mirror of the reference's out-of-range counts
+    (pulsestack.py:636-640)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    from datetime import datetime, timezone
+
+    t = lambda s: datetime(2026, 1, 1, 12, 0, s)
+    # batch 1: events at 12:00:00..12:00:30 -> watermark ~ 11:59:30
+    write_batch("b1", [(1, t(0), 1.0), (1, t(30), 2.0)])
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 seconds").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event (12:01:40, advances watermark) and
+        # one very late event (11:50:00, far beyond the watermark)
+        late = datetime(2026, 1, 1, 11, 50, 0)
+        ontime = datetime(2026, 1, 1, 12, 1, 40)
+        write_batch("b2", [(1, late, 9.0), (1, ontime, 3.0)])
+        q.processAllAvailable()
+        # batch 3: push the watermark far past everything so all
+        # non-dropped windows close and emit
+        write_batch("b3", [(1, datetime(2026, 1, 1, 12, 30, 0), 4.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["ws"].replace(tzinfo=None): r["n"]
+        for r in spark.table("late_drop").collect()
+    }
+    # on-time windows all present
+    assert got.get(datetime(2026, 1, 1, 12, 0, 0)) == 1
+    assert got.get(datetime(2026, 1, 1, 12, 0, 30)) == 1
+    assert got.get(datetime(2026, 1, 1, 12, 1, 40)) == 1
+    # the 11:50:00 late event's window must have been DROPPED
+    assert datetime(2026, 1, 1, 11, 50, 0) not in got
