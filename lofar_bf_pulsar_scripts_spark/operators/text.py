@@ -63,7 +63,10 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = tokens(text_col)
+    # NULL text behaves as empty text (one empty chunk): without the
+    # coalesce, size(NULL)=-1 flows through greatest/least (which skip
+    # NULLs) into an inconsistent (chunk_len=chunk_tokens, text='') row.
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     d = df.select(
         F.col(id_col),
         toks.alias("__toks"),

@@ -679,6 +679,12 @@ def test_chunk_documents_cover_and_overlap(spark):
     # short and empty docs still produce exactly one chunk
     assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[2]] == [(0, 3)]
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+    # NULL text behaves exactly like empty text (coalesce guard)
+    nulls = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    nr = chunk_documents(nulls, chunk_tokens=4, stride=3).collect()
+    assert [(r["chunk_idx"], r["chunk_len"], r["chunk_text"]) for r in nr] == [
+        (0, 1, "")
+    ]
     # bad params raise
     import pytest as _pytest
     with _pytest.raises(ValueError):
