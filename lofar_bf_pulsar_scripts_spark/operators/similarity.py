@@ -595,6 +595,10 @@ def lsh_ann_topk(
     A query with an empty bucket in every table returns < k rows
     (honest ANN recall semantics, mirrored by the oracle).
     """
+    # NULL vectors hash to bucket 0 in EVERY table (null dot -> bit 0)
+    # — the same degenerate-bucket O(n²) trap lsh_buckets guards
+    # against for empty MinHash signatures. Exclude them up front.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     sig = hyperplane_buckets(F.col(vec_col), n_tables, n_bits, dims, scale)
     c_ex = corpus.select(
         F.col(id_col), F.col(vec_col),

@@ -833,3 +833,20 @@ def test_canonicalize_url_idempotent(spark):
     joined = once.join(twice, on="i")
     bad = joined.filter(F.col("c") != F.col("c2")).collect()
     assert not bad, bad[:5]
+
+
+def test_lsh_ann_topk_null_vectors_excluded(spark, vectors):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import lsh_ann_topk
+
+    with_nulls = vectors.union(
+        spark.createDataFrame(
+            [(100, None), (101, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top = lsh_ann_topk(
+        with_nulls, q, k=40, n_tables=4, n_bits=4, dims=16
+    ).collect()
+    assert top and all(r["vec_id"] < 100 for r in top)
