@@ -850,3 +850,44 @@ def test_lsh_ann_topk_null_vectors_excluded(spark, vectors):
         with_nulls, q, k=40, n_tables=4, n_bits=4, dims=16
     ).collect()
     assert top and all(r["vec_id"] < 100 for r in top)
+
+
+def test_chunk_documents_coverage_property_grid(spark):
+    """For every (chunk_tokens, stride) combo: chunks exactly cover
+    [0, n), consecutive chunks overlap by chunk_tokens - stride (when
+    both are full), and reassembling non-overlap regions reproduces
+    the token stream."""
+    from lofar_bf_pulsar_scripts_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (n, " ".join(f"t{i}" for i in range(n)))
+            for n in (1, 2, 5, 24, 31, 32, 33, 97)
+        ],
+        "doc_id long, text string",
+    )
+    for ct, st in [(8, 8), (8, 5), (32, 24), (5, 1), (3, 2)]:
+        rows = chunk_documents(docs, chunk_tokens=ct, stride=st).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            covered = set()
+            for j, r in enumerate(chunks):
+                assert r["chunk_start"] == j * st
+                assert r["chunk_len"] == min(ct, n - r["chunk_start"])
+                covered |= set(
+                    range(r["chunk_start"], r["chunk_start"] + r["chunk_len"])
+                )
+            assert covered == set(range(n)), (n, ct, st)
+            # stride-aligned reassembly: first `st` tokens of each full
+            # chunk, plus the tail chunk, rebuild the doc
+            rebuilt = []
+            for j, r in enumerate(chunks):
+                toks = r["chunk_text"].split() if r["chunk_text"] else []
+                if j < len(chunks) - 1:
+                    rebuilt.extend(toks[:st])
+                else:
+                    rebuilt.extend(toks)
+            assert rebuilt == [f"t{i}" for i in range(n)], (n, ct, st)
