@@ -285,3 +285,58 @@ def wav_pcm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("media_id", payload_col).mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+def _be_uint(payload, offset: int, nbytes: int) -> F.Column:
+    """Big-endian unsigned int from ``nbytes`` of a binary column —
+    hex + conv, no byte swap needed (hex is already big-endian)."""
+    return F.conv(F.hex(F.substring(payload, offset, nbytes)), 16, 10).cast(
+        "long"
+    )
+
+
+def image_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Image dimensions/format from PNG and BMP payloads — a REAL
+    header parse, entirely JVM-side (magic sniff + fixed-offset field
+    decode inside codegen; payloads never reach Python): the
+    metadata-scan half of an image curation pipeline, where decoding
+    pixels (decode_image_features) is deferred to the few rows that
+    survive filtering.
+
+    PNG: 8-byte signature, then the IHDR chunk is REQUIRED first by
+    the spec — width/height are big-endian uint32 at offsets 17/21
+    (1-based), bit depth + colour type follow. BMP ('BM'): BITMAPINFOHEADER
+    little-endian int32 width/height at offsets 19/23, bpp at 29.
+    Other payloads yield format 'unknown' with NULL fields.
+    """
+    p = F.col(payload_col)
+    is_png = F.substring(p, 1, 8) == F.lit(
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    )
+    is_bmp = (F.substring(p, 1, 2) == F.lit(b"BM")) & (
+        F.octet_length(p) >= 30
+    )
+    fmt = (
+        F.when(is_png & (F.octet_length(p) >= 26), F.lit("png"))
+        .when(is_bmp, F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = (
+        F.when(fmt == "png", _be_uint(p, 17, 4))
+        .when(fmt == "bmp", _le_uint(p, 19, 4))
+    )
+    height = (
+        F.when(fmt == "png", _be_uint(p, 21, 4))
+        .when(fmt == "bmp", _le_uint(p, 23, 4))
+    )
+    depth = (
+        F.when(fmt == "png", _be_uint(p, 25, 1))
+        .when(fmt == "bmp", _le_uint(p, 29, 2))
+    )
+    return df.select(
+        *[c for c in df.columns if c != payload_col],
+        fmt.alias("format"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        depth.cast("int").alias("bit_depth"),
+    )

@@ -891,3 +891,39 @@ def test_chunk_documents_coverage_property_grid(spark):
                 else:
                     rebuilt.extend(toks)
             assert rebuilt == [f"t{i}" for i in range(n)], (n, ct, st)
+
+
+def test_image_metadata_jvm_parse(spark):
+    import struct
+    import zlib
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    # minimal real PNG: signature + IHDR(13 bytes) with CRC
+    ihdr = struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    png = (
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    # minimal BMP: 14-byte file header + BITMAPINFOHEADER
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 320, 200, 1, 24, 0, 16, 0, 0, 0, 0)
+    )
+    media = spark.createDataFrame(
+        [(0, png), (1, bmp), (2, b"plain text")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_metadata(media).collect()}
+    assert rows[0]["format"] == "png"
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["bit_depth"]) == (
+        640, 480, 8
+    )
+    assert rows[1]["format"] == "bmp"
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["bit_depth"]) == (
+        320, 200, 24
+    )
+    assert rows[2]["format"] == "unknown" and rows[2]["width"] is None
