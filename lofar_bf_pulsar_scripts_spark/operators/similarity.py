@@ -636,3 +636,30 @@ def lsh_ann_topk(
         scored, k, id_col=id_col, query_id_col=query_id_col,
         partial_buckets=partial_buckets,
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    per query, |approx ∩ exact| / k. Evaluation harness for tuning
+    n_tables/n_bits (LSH) or nprobe (IVF) — run on a sampled query
+    set, never the full corpus. One semi-join on (query, id) + one
+    tiny agg; both inputs are k·|queries| rows by construction."""
+    hits = approx.join(
+        exact.select(query_id_col, id_col),
+        on=[query_id_col, id_col],
+        how="left_semi",
+    )
+    per_q = hits.groupBy(query_id_col).agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("recall")
+    )
+    # queries with zero hits drop out of the semi-join — restore at 0
+    all_q = exact.select(query_id_col).distinct()
+    return all_q.join(per_q, on=query_id_col, how="left").select(
+        query_id_col, F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )

@@ -927,3 +927,24 @@ def test_image_metadata_jvm_parse(spark):
         320, 200, 24
     )
     assert rows[2]["format"] == "unknown" and rows[2]["width"] is None
+
+
+def test_ann_recall_lsh_vs_exact(spark, vectors):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ann_recall,
+        lsh_ann_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = brute_force_topk(vectors, q, k=5)
+    approx = lsh_ann_topk(vectors, q, k=5, n_tables=4, n_bits=4, dims=16)
+    rec = {r["qid"]: r["recall"] for r in ann_recall(approx, exact, 5).collect()}
+    assert set(rec) == {0, 1, 2}
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+    # query 0 has a planted near-identical neighbor: sign-LSH keeps it
+    assert rec[0] >= 0.2
+    # recall of the exact result against itself is 1.0
+    self_rec = ann_recall(exact, exact, 5).collect()
+    assert all(r["recall"] == 1.0 for r in self_rec)
