@@ -3310,6 +3310,58 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_sessions_exact",
+    """
+    -- batch dual of the streaming session_window sessionization (W6
+    -- streaming): per (user, session) the start (integer epoch-us)
+    -- and length. Native session semantics are half-open
+    -- [start, last+gap): a gap of EXACTLY 1 hour starts a new
+    -- session, hence >= in the break predicate.
+    WITH e AS (
+        SELECT user_id,
+               CAST(datediff('microsecond',
+                             TIMESTAMP '1970-01-01 00:00:00',
+                             CAST(ts AS TIMESTAMP)) AS BIGINT) AS tus
+        FROM events
+    ), lagged AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w >= 3600000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sessions AS (
+        SELECT user_id, tus,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagged
+    )
+    SELECT user_id,
+           CAST(min(tus) AS BIGINT) AS session_start_us,
+           count(*) AS session_len
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    "§2.9 W6 streaming dual, hash-gated: native session_window over a "
+    "bounded replay hash-matches the DuckDB lag-based gap "
+    "sessionization (first/greedy session semantics)",
+)
+def q_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.fold_stream import streaming_sessions
+    from .tables import stream_events
+
+    stage = _stage_events_dir(sf_dir)
+    stream = stream_events(spark, stage).select("user_id", "ts")
+    ss = streaming_sessions(stream, ["user_id"], ts_col="ts", gap="1 hour")
+    out = _run_bounded_to_memory(spark, ss, "q_stream_sessions")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.col("session_len").cast("bigint").alias("session_len"),
+    )
+
+
+@_register(
     "spectral_index",
     """
     WITH q AS (
@@ -4062,6 +4114,7 @@ _TAIL: tuple[str, ...] = (
     "scrunch_user_hour",
     "altaz_positions",
     "dispersion_delays",
+    "pulsar_derived",
     "fold_profile",
     "fold_subints",
     "rebin_events",
