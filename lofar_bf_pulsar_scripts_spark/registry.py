@@ -1797,6 +1797,90 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lsh_recall_at_5",
+    f"""
+    -- recall@5 of the sign-LSH ANN against the exact cosine top-5:
+    -- the ann_recall evaluation harness as a cross-engine fact.
+    WITH tb AS (SELECT unnest(generate_series(0, 3)) AS t),
+    bb AS (SELECT unnest(generate_series(0, 5)) AS b),
+    bits AS (
+        SELECT e.vec_id, tb.t, bb.b,
+               CASE WHEN list_aggregate(list_transform(
+                      generate_series(1, 64),
+                      i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+                           * (CAST(((1 + (tb.t * 6 + bb.b) * 64 + i)
+                                    * 2654435761) % 4294967296 AS DOUBLE)
+                              / 4294967296.0 - 0.5)
+                           * 1000000.0 + 0.5) AS BIGINT)), 'sum') > 0
+                    THEN CAST(1 AS BIGINT) << bb.b ELSE CAST(0 AS BIGINT)
+               END AS bitval
+        FROM embeddings e CROSS JOIN tb CROSS JOIN bb
+    ), sig AS (
+        SELECT vec_id, t, CAST(sum(bitval) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, t
+    ), qsig AS (
+        SELECT vec_id AS qid, t, bucket FROM sig WHERE vec_id < 5
+    ), cand AS (
+        SELECT DISTINCT q.qid, s.vec_id
+        FROM qsig q JOIN sig s ON s.t = q.t AND s.bucket = q.bucket
+        WHERE s.vec_id != q.qid
+    ), lsh_scored AS (
+        SELECT c.qid, c.vec_id,
+               {_COS_DOT.format(a='qe.embedding', b='e.embedding')}
+               / ({_COS_NORM.format(a='qe.embedding')}
+                  * {_COS_NORM.format(a='e.embedding')}) AS cos
+        FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.qid
+          JOIN embeddings e ON e.vec_id = c.vec_id
+    ), lsh_top AS (
+        SELECT qid, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS rn FROM lsh_scored
+        ) WHERE rn <= 5
+    ), exact_scored AS (
+        SELECT q.vec_id AS qid, e.vec_id,
+               {_COS_DOT.format(a='q.embedding', b='e.embedding')}
+               / ({_COS_NORM.format(a='q.embedding')}
+                  * {_COS_NORM.format(a='e.embedding')}) AS cos
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+    ), exact_top AS (
+        SELECT qid, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS rn FROM exact_scored
+        ) WHERE rn <= 5
+    ), hits AS (
+        SELECT l.qid, count(*) AS h
+        FROM lsh_top l JOIN exact_top x USING (qid, vec_id)
+        GROUP BY l.qid
+    )
+    SELECT q.qid, round(coalesce(h, 0) / 5.0, 6) + 0.0 AS recall
+    FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) q
+    LEFT JOIN hits USING (qid)
+    """,
+    "ANN evaluation harness as a gate: recall@5 of lsh_ann_topk vs "
+    "the exact cosine baseline (north star)",
+)
+def q_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_ann_topk,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = lsh_ann_topk(e, queries_df, k=5, n_tables=4, n_bits=6, dims=64)
+    exact = brute_force_topk(e, queries_df, k=5)
+    out = ann_recall(approx, exact, k=5)
+    return out.select("qid", F.round("recall", 6).alias("recall"))
+
+
+@_register(
     "embedding_quantize",
     """
     WITH q AS (
@@ -4115,6 +4199,7 @@ _TAIL: tuple[str, ...] = (
     "altaz_positions",
     "dispersion_delays",
     "pulsar_derived",
+    "fold_event_counts",
     "fold_profile",
     "fold_subints",
     "rebin_events",
