@@ -3446,6 +3446,42 @@ def q_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_event_type_volume",
+    """
+    -- semantics oracle for the skew-salting helper: salting is a
+    -- PHYSICAL rewrite only, so the plain equi-join aggregate is the
+    -- ground truth the salted plan must hash-match.
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_sum_micro
+    FROM events
+    WHERE event_type IN ('click', 'view', 'error')
+    GROUP BY event_type
+    """,
+    "skew-salted equi-join (operators/skew.py): deterministic salt on "
+    "the fact, bounded dim replication; hash-gated against the plain "
+    "join's aggregate",
+)
+def q_salted_event_type_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).alias("vq"),
+    )
+    dim = spark.createDataFrame(
+        [("click",), ("view",), ("error",)], "event_type string"
+    )
+    joined = salted_join(ev, dim, on="event_type", salt_by="event_id",
+                         n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vq").cast("bigint").alias("value_sum_micro"),
+    )
+
+
+@_register(
     "spectral_index",
     """
     WITH q AS (
@@ -4200,6 +4236,7 @@ _TAIL: tuple[str, ...] = (
     "dispersion_delays",
     "pulsar_derived",
     "fold_event_counts",
+    "doc_fingerprint_groups",
     "fold_profile",
     "fold_subints",
     "rebin_events",
