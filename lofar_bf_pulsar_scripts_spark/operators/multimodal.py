@@ -245,8 +245,9 @@ def wav_pcm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Features are exact-integer where the math allows (peak, zero
     crossings, Σs² in int64 — a 16-bit sample squares to < 2^30, so
     int64 holds > 8e9 samples ≈ 50 h of 44.1 kHz stereo) with rms
-    derived by one double division + sqrt at the end. Non-WAV /
-    truncated payloads yield n_samples = 0 rows with NULL features.
+    derived by one double division + sqrt at the end. Non-WAV,
+    truncated, or non-16-bit-integer-PCM payloads (checked via the
+    fmt fields) yield n_samples = 0 rows with NULL features.
     """
     import numpy as np
     import pandas as pd
@@ -261,6 +262,16 @@ def wav_pcm_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     or bytes(payload[0:4]) != b"RIFF"
                     or bytes(payload[8:12]) != b"WAVE"
                 ):
+                    out.append((mid, 0, None, None, None, None))
+                    continue
+                # the fixed-offset fmt fields this layout contract
+                # already assumes: only integer PCM (format 1) at 16
+                # bits decodes as '<i2' — an 8/24-bit or float WAV
+                # reinterpreted as int16 would return confident
+                # garbage, so reject it like a non-WAV instead
+                audio_format = int.from_bytes(payload[20:22], "little")
+                bits = int.from_bytes(payload[34:36], "little")
+                if audio_format != 1 or bits != 16:
                     out.append((mid, 0, None, None, None, None))
                     continue
                 data = bytes(payload[44:])
@@ -313,21 +324,37 @@ def image_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     is_png = F.substring(p, 1, 8) == F.lit(
         bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
     )
-    is_bmp = (F.substring(p, 1, 2) == F.lit(b"BM")) & (
-        F.octet_length(p) >= 30
+    # the int32 width/height/bpp offsets below hold only for the
+    # BITMAPINFOHEADER family (DIB size 40, or the V4/V5 extensions
+    # 108/124 which share its leading fields); a BITMAPCOREHEADER
+    # (size 12, int16 fields) parsed at these offsets would return
+    # confident garbage — classify it unknown instead.
+    dib = _le_uint(p, 15, 4)
+    is_bmp = (
+        (F.substring(p, 1, 2) == F.lit(b"BM"))
+        & (F.octet_length(p) >= 30)
+        & dib.isin(40, 108, 124)
     )
     fmt = (
         F.when(is_png & (F.octet_length(p) >= 26), F.lit("png"))
         .when(is_bmp, F.lit("bmp"))
         .otherwise(F.lit("unknown"))
     )
+
+    def _le_int32(offset: int) -> F.Column:
+        # signed int32 from the unsigned decode, without relying on
+        # overflow-wrapping casts (which THROW under ANSI mode):
+        # top-down BMPs store height as a negative int32
+        u = _le_uint(p, offset, 4)
+        return F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u)
+
     width = (
         F.when(fmt == "png", _be_uint(p, 17, 4))
-        .when(fmt == "bmp", _le_uint(p, 19, 4))
+        .when(fmt == "bmp", _le_int32(19))
     )
     height = (
         F.when(fmt == "png", _be_uint(p, 21, 4))
-        .when(fmt == "bmp", _le_uint(p, 23, 4))
+        .when(fmt == "bmp", _le_int32(23))
     )
     depth = (
         F.when(fmt == "png", _be_uint(p, 25, 1))

@@ -527,7 +527,11 @@ def hyperplane_buckets_long(
         ],
         "p int, dim int, h double",
     )
-    ex = df.select(
+    # same malformed-vector exclusion as lsh_ann_topk: a short array
+    # would otherwise produce PARTIAL sums here (fewer join matches)
+    # while the column form yields NULL-poisoned bucket 0 — breaking
+    # the bit-parity contract between the two forms.
+    ex = df.filter(F.size(F.col(vec_col)) == dims).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
     )
     terms = (
@@ -595,10 +599,13 @@ def lsh_ann_topk(
     A query with an empty bucket in every table returns < k rows
     (honest ANN recall semantics, mirrored by the oracle).
     """
-    # NULL vectors hash to bucket 0 in EVERY table (null dot -> bit 0)
-    # — the same degenerate-bucket O(n²) trap lsh_buckets guards
-    # against for empty MinHash signatures. Exclude them up front.
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    # NULL, empty, or wrong-dimension vectors hash to bucket 0 in
+    # EVERY table (out-of-range element_at -> NULL poisons the dot
+    # aggregate -> every bit 0) — the same degenerate-bucket O(n²)
+    # trap lsh_buckets guards against for empty MinHash signatures.
+    # Exclude them up front (size(NULL) = -1, so one predicate covers
+    # all three cases).
+    corpus = corpus.filter(F.size(F.col(vec_col)) == dims)
     sig = hyperplane_buckets(F.col(vec_col), n_tables, n_bits, dims, scale)
     c_ex = corpus.select(
         F.col(id_col), F.col(vec_col),

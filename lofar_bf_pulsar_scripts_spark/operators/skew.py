@@ -38,6 +38,18 @@ def salted_join(
     ``how`` supports inner/left joins (dim-side semantics are
     preserved because every (key, salt) replica carries the full dim
     row)."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how.lower() not in allowed:
+        # right/full joins see each unmatched dim key n_salts times
+        # (one per replica) — silently NOT equal to the plain join
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(allowed)}; "
+            f"how={how!r} would duplicate unmatched dim rows per salt"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys + [salt_by]]),
                   F.lit(n_salts)).alias("__salt")

@@ -147,16 +147,23 @@ def vocab_coverage(
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("__k"))
     )
+    # LEFT join + corpus-count-0 for misses: with a user-supplied
+    # vocab, out-of-vocabulary tokens must count as maximally rare —
+    # an inner join would silently drop them (undercounting n_tokens
+    # and losing fully-OOV docs, i.e. exactly the docs the filter
+    # exists to catch). With the self-derived vocab every token
+    # matches and the left join degenerates to the inner one.
+    cnt = F.coalesce(F.col("cnt"), F.lit(0))
     return (
-        dt.join(v, on="tok")
+        dt.join(v, on="tok", how="left")
         .groupBy(id_col)
         .agg(
             F.sum("__k").alias("n_tokens"),
             F.sum(
-                F.when(F.col("cnt") < rare_below, F.col("__k")).otherwise(0)
+                F.when(cnt < rare_below, F.col("__k")).otherwise(0)
             ).alias("n_rare"),
             F.sum(
-                F.when(F.col("cnt") >= common_at_least, F.col("__k")).otherwise(0)
+                F.when(cnt >= common_at_least, F.col("__k")).otherwise(0)
             ).alias("n_common"),
         )
     )

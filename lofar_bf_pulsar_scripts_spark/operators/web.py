@@ -100,11 +100,11 @@ def canonicalize_url(url) -> F.Column:
         .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
         .otherwise(host)
     )
-    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    # trim trailing slashes FIRST, then map empty -> '/': the reverse
+    # order sent an all-slash path ('//') to '' (non-idempotent, and a
+    # different canonical form than '/')
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = F.when(
-        path != "/", F.regexp_replace(path, r"/+$", "")
-    ).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),

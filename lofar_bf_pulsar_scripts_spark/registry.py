@@ -905,8 +905,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p
     ), r AS (
         SELECT doc_id, scheme, host,
-               CASE WHEN path0 = '' THEN '/'
-                    WHEN path0 = '/' THEN '/'
+               CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
                     ELSE regexp_replace(path0, '/+$', '')
                END AS path,
                array_to_string(list_filter(string_split(query0, '&'),
@@ -959,11 +958,11 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dt.doc_id,
            CAST(sum(dt.k) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN v.cnt < 5 THEN dt.k ELSE 0 END) AS BIGINT)
-               AS n_rare,
-           CAST(sum(CASE WHEN v.cnt >= 100 THEN dt.k ELSE 0 END) AS BIGINT)
-               AS n_common
-    FROM dt JOIN v USING (tok)
+           CAST(sum(CASE WHEN coalesce(v.cnt, 0) < 5 THEN dt.k ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN coalesce(v.cnt, 0) >= 100 THEN dt.k ELSE 0 END)
+                AS BIGINT) AS n_common
+    FROM dt LEFT JOIN v USING (tok)
     GROUP BY dt.doc_id
     """,
     "corpus-vocabulary coverage quality score (north star: integer-"
@@ -1734,17 +1733,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
 
 
-@_register(
-    "lsh_ann_topk",
-    f"""
-    WITH tb AS (SELECT unnest(generate_series(0, 3)) AS t),
+# Shared CTE block for the sign-LSH oracles (lsh_ann_topk,
+# lsh_recall_at_5): hyperplane p = t*6+b has components h_p[i] =
+# ((1+p*64+i)*2654435761 mod 2^32)/2^32 - 0.5 (every value a dyadic
+# rational — bit-identical on any engine); the dot product is
+# integer-quantized so the sign is associative-exact. ONE definition:
+# a one-sided edit of the hash constants would make the two gates
+# assert different hash functions.
+_LSH_SIG_CTES = """tb AS (SELECT unnest(generate_series(0, 3)) AS t),
     bb AS (SELECT unnest(generate_series(0, 5)) AS b),
     bits AS (
-        -- sign bit of embedding . h_p for pseudo-random hyperplane
-        -- p = t*6+b: h_p[i] = ((1+p*64+i)*2654435761 mod 2^32)/2^32
-        -- - 0.5 (every value a dyadic rational — bit-identical on any
-        -- engine); the dot product is integer-quantized so the sign
-        -- is associative-exact.
         SELECT e.vec_id, tb.t, bb.b,
                CASE WHEN list_aggregate(list_transform(
                       generate_series(1, 64),
@@ -1765,7 +1763,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT q.qid, s.vec_id
         FROM qsig q JOIN sig s ON s.t = q.t AND s.bucket = q.bucket
         WHERE s.vec_id != q.qid
-    ), scored AS (
+    )"""
+
+
+@_register(
+    "lsh_ann_topk",
+    f"""
+    WITH {_LSH_SIG_CTES}, scored AS (
         SELECT c.qid, c.vec_id,
                {_COS_DOT.format(a='qe.embedding', b='e.embedding')}
                / ({_COS_NORM.format(a='qe.embedding')}
@@ -1801,30 +1805,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     -- recall@5 of the sign-LSH ANN against the exact cosine top-5:
     -- the ann_recall evaluation harness as a cross-engine fact.
-    WITH tb AS (SELECT unnest(generate_series(0, 3)) AS t),
-    bb AS (SELECT unnest(generate_series(0, 5)) AS b),
-    bits AS (
-        SELECT e.vec_id, tb.t, bb.b,
-               CASE WHEN list_aggregate(list_transform(
-                      generate_series(1, 64),
-                      i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE)
-                           * (CAST(((1 + (tb.t * 6 + bb.b) * 64 + i)
-                                    * 2654435761) % 4294967296 AS DOUBLE)
-                              / 4294967296.0 - 0.5)
-                           * 1000000.0 + 0.5) AS BIGINT)), 'sum') > 0
-                    THEN CAST(1 AS BIGINT) << bb.b ELSE CAST(0 AS BIGINT)
-               END AS bitval
-        FROM embeddings e CROSS JOIN tb CROSS JOIN bb
-    ), sig AS (
-        SELECT vec_id, t, CAST(sum(bitval) AS BIGINT) AS bucket
-        FROM bits GROUP BY vec_id, t
-    ), qsig AS (
-        SELECT vec_id AS qid, t, bucket FROM sig WHERE vec_id < 5
-    ), cand AS (
-        SELECT DISTINCT q.qid, s.vec_id
-        FROM qsig q JOIN sig s ON s.t = q.t AND s.bucket = q.bucket
-        WHERE s.vec_id != q.qid
-    ), lsh_scored AS (
+    WITH {_LSH_SIG_CTES}, lsh_scored AS (
         SELECT c.qid, c.vec_id,
                {_COS_DOT.format(a='qe.embedding', b='e.embedding')}
                / ({_COS_NORM.format(a='qe.embedding')}

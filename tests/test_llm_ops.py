@@ -758,9 +758,11 @@ def test_canonicalize_url_rules(spark):
         # http default port; non-default port kept; param order kept
         ("http://ex.com:80/p?b=2&a=1", "http://ex.com/p?b=2&a=1"),
         ("https://ex.com:8443/p", "https://ex.com:8443/p"),
-        # empty path -> '/', root slash kept
+        # empty path -> '/', root slash kept, all-slash path -> '/'
         ("https://Ex.com", "https://ex.com/"),
         ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com//", "https://ex.com/"),
+        ("https://ex.com///?utm_a=1", "https://ex.com/"),
         # only tracking params -> no '?'
         ("https://ex.com/x?utm_a=1&fbclid=2", "https://ex.com/x"),
         # path case preserved
@@ -948,3 +950,109 @@ def test_ann_recall_lsh_vs_exact(spark, vectors):
     # recall of the exact result against itself is 1.0
     self_rec = ann_recall(exact, exact, 5).collect()
     assert all(r["recall"] == 1.0 for r in self_rec)
+
+
+def test_vocab_coverage_user_vocab_oov(spark):
+    """With a user-supplied vocab, OOV tokens count as maximally rare
+    instead of being dropped (left-join semantics)."""
+    from lofar_bf_pulsar_scripts_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "known zzqx vvbn")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("known", 500)], "tok string, cnt long")
+    r = vocab_coverage(
+        docs, vocab=vocab, rare_below=2, common_at_least=100
+    ).collect()
+    assert [(x["doc_id"], x["n_tokens"], x["n_rare"], x["n_common"])
+            for x in r] == [(1, 3, 2, 1)]
+    # fully-OOV doc still appears
+    docs2 = spark.createDataFrame([(2, "zz qq")], "doc_id long, text string")
+    r2 = vocab_coverage(docs2, vocab=vocab, rare_below=2).collect()
+    assert [(x["doc_id"], x["n_tokens"], x["n_rare"]) for x in r2] == [(2, 2, 2)]
+
+
+def test_wav_pcm_features_rejects_non_16bit_pcm(spark):
+    import struct
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        wav_pcm_features,
+    )
+
+    def wav(fmt, bits, data):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, 16000,
+                                    16000 * bits // 8, bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    media = spark.createDataFrame(
+        [
+            (0, wav(1, 8, b"\x80" * 100)),    # 8-bit PCM
+            (1, wav(3, 32, b"\x00" * 128)),   # IEEE float
+            (2, wav(1, 16, struct.pack("<4h", 1, -2, 3, -4))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in wav_pcm_features(media).collect()}
+    assert rows[0]["n_samples"] == 0 and rows[0]["rms"] is None
+    assert rows[1]["n_samples"] == 0
+    assert rows[2]["n_samples"] == 4 and rows[2]["peak"] == 4
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k long, id long")
+    dim = spark.createDataFrame([(1, "a")], "k long, tag string")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, on="k", salt_by="id", how="full")
+
+
+def test_image_metadata_rejects_core_header_and_topdown(spark):
+    import struct
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    core = (  # OS/2 BITMAPCOREHEADER: DIB size 12, int16 fields
+        b"BM" + struct.pack("<IHHI", 40, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 100, 50, 1, 24) + b"\0" * 10
+    )
+    topdown = (  # negative height = top-down row order
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 320, -200, 1, 24, 0, 16, 0, 0, 0, 0)
+    )
+    media = spark.createDataFrame(
+        [(0, core), (1, topdown)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in image_metadata(media).collect()}
+    assert rows[0]["format"] == "unknown" and rows[0]["width"] is None
+    assert rows[1]["format"] == "bmp"
+    assert (rows[1]["width"], rows[1]["height"]) == (320, -200)
+
+
+def test_lsh_ann_topk_malformed_vectors_excluded(spark, vectors):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        hyperplane_buckets_long,
+        lsh_ann_topk,
+    )
+
+    bad = spark.createDataFrame(
+        [(200, []), (201, [0.5] * 3)], "vec_id long, embedding array<float>"
+    )
+    with_bad = vectors.union(bad)
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top = lsh_ann_topk(
+        with_bad, q, k=40, n_tables=4, n_bits=4, dims=16
+    ).collect()
+    assert top and all(r["vec_id"] < 200 for r in top)
+    # long form excludes them identically (parity contract)
+    ids = {
+        r["vec_id"]
+        for r in hyperplane_buckets_long(
+            with_bad, n_tables=4, n_bits=4, dims=16
+        ).collect()
+    }
+    assert 200 not in ids and 201 not in ids
