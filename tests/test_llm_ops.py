@@ -1056,3 +1056,35 @@ def test_lsh_ann_topk_malformed_vectors_excluded(spark, vectors):
         ).collect()
     }
     assert 200 not in ids and 201 not in ids
+
+
+def test_resize_raw_gray_nearest_neighbor(spark):
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        resize_raw_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (10, 8), dtype=np.uint8)  # h=10, w=8
+    media = spark.createDataFrame(
+        [
+            (0, img.tobytes(), 8, 10),
+            (1, b"short", 8, 10),       # malformed buffer
+            (2, None, 8, 10),
+        ],
+        "media_id long, payload binary, width int, height int",
+    )
+    rows = {r["media_id"]: r for r in resize_raw_gray(media, 4, 5).collect()}
+    got = np.frombuffer(rows[0]["pixels"], dtype=np.uint8).reshape(5, 4)
+    ys = np.minimum(((np.arange(5) + 0.5) * 10 / 5).astype(int), 9)
+    xs = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+    assert (got == img[np.ix_(ys, xs)]).all()
+    # upscale also works (nearest repeats pixels)
+    up = {r["media_id"]: r for r in resize_raw_gray(media, 16, 20).collect()}
+    big = np.frombuffer(up[0]["pixels"], dtype=np.uint8).reshape(20, 16)
+    assert big.shape == (20, 16) and set(big.ravel()) <= set(img.ravel())
+    assert rows[1]["pixels"] is None and rows[2]["pixels"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resize_raw_gray(media, 0, 5)
