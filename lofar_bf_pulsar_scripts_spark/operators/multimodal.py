@@ -3,11 +3,12 @@ audio / video treated as opaque BINARY payloads with typed metadata;
 decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` operators.
 
-The decode step itself is STUBBED (image/audio libraries are not in
-this container): ``decoder="fake"`` produces a deterministic payload-
-derived result so the Spark-side plumbing — schema, batch iteration,
-partition behavior — is real and testable; ``decoder="pillow"`` (etc.)
-raises NotImplementedError until the dependency exists.
+What is REAL vs stubbed: WAV metadata + 16-bit PCM sample decode,
+PNG/BMP header parse, and raw-plane resize are real and
+dependency-free; encoded-image pixel decode is real behind the
+optional Pillow dependency (``decoder="pillow"``, guarded import)
+with ``decoder="fake"`` as the deterministic digest-based stand-in
+used by gates/tests in containers without image libraries.
 
 Scale design: payloads never pass through Python row-at-a-time —
 mapInPandas streams Arrow batches; metadata-only transforms
