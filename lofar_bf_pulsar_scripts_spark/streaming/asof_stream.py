@@ -1,0 +1,111 @@
+"""Stateful streaming as-of join (SURVEY §2.9): the stream-table
+temporal join — each event picks up the latest state row with
+state.ts <= event.ts for its key — as a custom
+``applyInPandasWithState`` operator, making the batch
+``operators.asof.asof_join``'s "streaming-compatible" carry-forward
+an executed fact rather than a claim.
+
+Semantics and honest limits: within a micro-batch, rows are sorted by
+event time and the carried value is exact; ACROSS micro-batches the
+operator carries the per-key (last_ts, last_value) state forward, so
+results are exact whenever each key's rows arrive in event-time order
+across batches (e.g. a per-key-ordered log/Kafka partition — the
+reference's hw-state poll stream is exactly this). A state row that
+arrives after an event it should have served cannot retroactively
+re-emit that event — that reordering window is what the batch
+asof_join is for.
+
+State per key: (last_ts, last json-encoded value). Bounded: one row
+per key, independent of stream length.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def make_asof_fn(value_col: str):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, last_val = (
+            state.get if state.exists else (None, None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # mergesort = stable; secondary key __side puts the state row
+        # BEFORE an event at the same instant (inclusive <=), matching
+        # the batch asof_join's (ts, side) ordering
+        rows = rows.sort_values(["__ts", "__side"], kind="mergesort")
+        out = []
+        # pandas itertuples renames leading-underscore columns — walk
+        # the column arrays directly
+        for ts, side, val in zip(
+            rows["__ts"], rows["__side"], rows[value_col]
+        ):
+            if side == 0:  # state row
+                last_ts, last_val = int(ts), json.dumps(val)
+            else:  # event row
+                out.append(
+                    {
+                        "key": key[0],
+                        "event_ts": int(ts),
+                        "asof_ts": last_ts,
+                        "asof_value": (
+                            None if last_val is None else json.loads(last_val)
+                        ),
+                    }
+                )
+        state.update((last_ts, last_val))
+        yield pd.DataFrame(
+            out,
+            columns=["key", "event_ts", "asof_ts", "asof_value"],
+        )
+
+    return update
+
+
+def streaming_asof_join(
+    events: DataFrame,
+    states: DataFrame,
+    key_col: str,
+    event_ts_col: str,
+    state_ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Union the event stream (side 1) and the state stream (side 0)
+    on (key, ts, side, value) and run the stateful carry-forward.
+    Both inputs may be streaming frames (a union of two streams is one
+    stream). ts columns must be integer-comparable (epoch units).
+
+    Output: (key, event_ts, asof_ts, asof_value) — one row per event,
+    NULL asof_* before the first state row, exactly like the batch
+    asof_join's left rows."""
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        F.col(key_col).alias("key"),
+        F.col(event_ts_col).cast("long").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("string").alias(value_col),
+    )
+    st = states.select(
+        F.col(key_col).alias("key"),
+        F.col(state_ts_col).cast("long").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).cast("string").alias(value_col),
+    )
+    unioned = ev.unionByName(st)
+    return unioned.groupBy("key").applyInPandasWithState(
+        make_asof_fn(value_col),
+        outputStructType=(
+            "key long, event_ts long, asof_ts long, asof_value string"
+        ),
+        stateStructType="last_ts long, last_val string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

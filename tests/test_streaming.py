@@ -324,3 +324,77 @@ def test_streaming_fold_drops_late_events_beyond_watermark(spark, tmp_path):
     assert got.get(datetime(2026, 1, 1, 12, 1, 40)) == 1
     # the 11:50:00 late event's window must have been DROPPED
     assert datetime(2026, 1, 1, 11, 50, 0) not in got
+
+
+def test_streaming_asof_join_equals_batch(spark, tmp_path):
+    """Stateful streaming as-of join: bounded replay over a union of
+    an event stream and a state stream equals the batch asof_join,
+    including the carried-state path ACROSS micro-batches."""
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.operators.asof import asof_join
+    from lofar_bf_pulsar_scripts_spark.streaming.asof_stream import (
+        streaming_asof_join,
+    )
+
+    ev_schema = "k long, ts long, kind string, v string"
+    src = str(tmp_path / "asof_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: states at t=10 (k=1), t=20 (k=2); events at 15, 5
+    write([
+        (1, 10, "state", "a"), (2, 20, "state", "x"),
+        (1, 15, "event", None), (1, 5, "event", None),
+    ])
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    ev = stream.filter(F.col("kind") == "event")
+    st = stream.filter(F.col("kind") == "state")
+    out = streaming_asof_join(
+        ev, st, key_col="k", event_ts_col="ts", state_ts_col="ts",
+        value_col="v",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("asof_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event at t=30 for both keys — must see the state
+        # carried from batch 1; a newer state for k=1 then an event
+        write([
+            (1, 30, "event", None), (2, 30, "event", None),
+            (1, 40, "state", "b"), (1, 45, "event", None),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["key"], r["event_ts"]): (r["asof_ts"], r["asof_value"])
+        for r in spark.table("asof_stream").collect()
+    }
+    assert got == {
+        (1, 5): (None, None),   # before any state
+        (1, 15): (10, "a"),
+        (1, 30): (10, "a"),     # carried across the batch boundary
+        (2, 30): (20, "x"),
+        (1, 45): (40, "b"),     # updated within batch 2
+    }
+    # batch parity on the full bounded data
+    full = spark.read.parquet(src)
+    b = asof_join(
+        full.filter("kind = 'event'").select("k", "ts"),
+        full.filter("kind = 'state'").select(
+            "k", F.col("ts").alias("sts"), F.col("v").alias("sv")
+        ),
+        key_cols=["k"], left_ts="ts", right_ts="sts",
+        right_value_cols=["sv"],
+    )
+    batch = {
+        (r["k"], r["ts"]): r["asof_sv"] for r in b.collect()
+    }
+    assert batch == {kk: v for kk, (_, v) in got.items()}
