@@ -350,6 +350,7 @@ def test_streaming_asof_join_equals_batch(spark, tmp_path):
     write([
         (1, 10, "state", "a"), (2, 20, "state", "x"),
         (1, 15, "event", None), (1, 5, "event", None),
+        (3, 7, "event", None),  # key with NO state yet -> (None) state
     ])
     stream = spark.readStream.schema(ev_schema).parquet(src)
     ev = stream.filter(F.col("kind") == "event")
@@ -369,6 +370,7 @@ def test_streaming_asof_join_equals_batch(spark, tmp_path):
         write([
             (1, 30, "event", None), (2, 30, "event", None),
             (1, 40, "state", "b"), (1, 45, "event", None),
+            (3, 10, "state", "z"), (3, 12, "event", None),
         ])
         q.processAllAvailable()
     finally:
@@ -383,6 +385,8 @@ def test_streaming_asof_join_equals_batch(spark, tmp_path):
         (1, 30): (10, "a"),     # carried across the batch boundary
         (2, 30): (20, "x"),
         (1, 45): (40, "b"),     # updated within batch 2
+        (3, 7): (None, None),   # None state persisted across batches
+        (3, 12): (10, "z"),
     }
     # batch parity on the full bounded data
     full = spark.read.parquet(src)
