@@ -438,3 +438,80 @@ def resize_raw_gray(
     return df.select(
         "media_id", payload_col, width_col, height_col
     ).mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+JPEG_DIMS_SCHEMA = "media_id long, is_jpeg boolean, width int, height int, n_components int"
+
+
+def jpeg_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JPEG dimensions via a REAL marker-segment walk (SOI, then
+    length-prefixed segments until the first SOFn frame header) —
+    dependency-free, Arrow-batched ``mapInPandas``. Unlike PNG/BMP,
+    JPEG has no fixed-offset header, so this is Python-per-file by
+    necessity (§2.10 binary-decode policy: one bounded walk per FILE,
+    never per byte — segment count is small by construction).
+
+    Handles all SOFn variants (baseline/progressive/lossless,
+    excluding the DHT/DAC/RST non-frame markers), skips padding FF
+    fill bytes, and stops at SOS (no frame header before scan data =>
+    malformed). Non-JPEG / malformed payloads yield is_jpeg = false.
+    """
+    import pandas as pd
+
+    SOF_MARKERS = {
+        0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+    }
+
+    def parse_one(b: bytes):
+        if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+            return (False, None, None, None)
+        i = 2
+        n = len(b)
+        while i + 3 < n:
+            if b[i] != 0xFF:  # desync — not a marker where one is due
+                return (False, None, None, None)
+            # skip fill bytes (spec allows FF padding between segments)
+            while i < n and b[i] == 0xFF:
+                i += 1
+            if i >= n:
+                break
+            marker = b[i]
+            i += 1
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers, no length field
+            if i + 1 >= n:
+                break
+            seglen = int.from_bytes(b[i:i + 2], "big")
+            if seglen < 2 or i + seglen > n:
+                return (False, None, None, None)
+            if marker in SOF_MARKERS:
+                if seglen < 8:
+                    return (False, None, None, None)
+                height = int.from_bytes(b[i + 3:i + 5], "big")
+                width = int.from_bytes(b[i + 5:i + 7], "big")
+                ncomp = b[i + 7]
+                return (True, width, height, ncomp)
+            if marker == 0xDA:  # SOS before any SOF — malformed
+                return (False, None, None, None)
+            i += seglen
+        return (False, None, None, None)
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                ok, w, h, c = parse_one(
+                    None if payload is None else bytes(payload)
+                )
+                out.append((mid, ok, w, h, c))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "is_jpeg", "width", "height", "n_components",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        batches, schema=JPEG_DIMS_SCHEMA
+    )

@@ -1088,3 +1088,42 @@ def test_resize_raw_gray_nearest_neighbor(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resize_raw_gray(media, 0, 5)
+
+
+def test_jpeg_dimensions_marker_walk(spark):
+    import struct
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        jpeg_dimensions,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof0 = struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3
+    jpeg = (
+        b"\xff\xd8"                              # SOI
+        + seg(0xE0, b"JFIF\x00" + b"\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + bytes(64))         # DQT
+        + seg(0xC0, sof0)                        # SOF0 baseline
+        + seg(0xDA, b"\x01\x01\x00")             # SOS
+        + b"\x12\x34" + b"\xff\xd9"
+    )
+    progressive = (
+        b"\xff\xd8" + seg(0xC2, struct.pack(">BHHB", 8, 100, 200, 1)
+                          + b"\x01\x11\x00")
+        + seg(0xDA, b"\x01\x01\x00")
+    )
+    sos_first = b"\xff\xd8" + seg(0xDA, b"\x01\x01\x00")
+    media = spark.createDataFrame(
+        [(0, jpeg), (1, progressive), (2, sos_first), (3, b"notjpeg"),
+         (4, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in jpeg_dimensions(media).collect()}
+    assert rows[0]["is_jpeg"] and (rows[0]["width"], rows[0]["height"],
+                                   rows[0]["n_components"]) == (640, 480, 3)
+    assert rows[1]["is_jpeg"] and (rows[1]["width"], rows[1]["height"]) == (
+        200, 100)
+    assert not rows[2]["is_jpeg"] and rows[2]["width"] is None
+    assert not rows[3]["is_jpeg"] and not rows[4]["is_jpeg"]
