@@ -404,23 +404,14 @@ def resize_raw_gray(
         raise ValueError("out_w and out_h must be positive")
 
     def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            out = []
-            for mid, payload, w, h in zip(
-                pdf["media_id"], pdf[payload_col],
-                pdf[width_col], pdf[height_col],
-            ):
-                if (
-                    payload is None
-                    or w is None or h is None
-                    or int(w) <= 0 or int(h) <= 0
-                    or len(payload) != int(w) * int(h)
-                ):
-                    out.append((mid, out_w, out_h, None))
-                    continue
-                w, h = int(w), int(h)
-                img = np.frombuffer(bytes(payload), dtype=np.uint8)
-                img = img.reshape(h, w)
+        # gather indices depend only on (w, h): memoize per batch —
+        # curated datasets have few distinct dimensions, so this
+        # collapses 10k identical index computations to one
+        idx_cache: dict = {}
+
+        def indices(w: int, h: int):
+            got = idx_cache.get((w, h))
+            if got is None:
                 ys = np.minimum(
                     ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
                     h - 1,
@@ -429,6 +420,30 @@ def resize_raw_gray(
                     ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
                     w - 1,
                 )
+                got = idx_cache[(w, h)] = (ys, xs)
+            return got
+
+        for pdf in it:
+            out = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf[payload_col],
+                pdf[width_col], pdf[height_col],
+            ):
+                # pd.isna, not `is None`: Arrow hands nullable int
+                # columns to pandas as float64 with NaN, and int(NaN)
+                # raises
+                if (
+                    payload is None
+                    or pd.isna(w) or pd.isna(h)
+                    or int(w) <= 0 or int(h) <= 0
+                    or len(payload) != int(w) * int(h)
+                ):
+                    out.append((mid, out_w, out_h, None))
+                    continue
+                w, h = int(w), int(h)
+                img = np.frombuffer(bytes(payload), dtype=np.uint8)
+                img = img.reshape(h, w)
+                ys, xs = indices(w, h)
                 small = img[np.ix_(ys, xs)]
                 out.append((mid, out_w, out_h, small.tobytes()))
             yield pd.DataFrame(

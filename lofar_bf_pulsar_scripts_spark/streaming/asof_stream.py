@@ -12,8 +12,11 @@ results are exact whenever each key's rows arrive in event-time order
 across batches (e.g. a per-key-ordered log/Kafka partition — the
 reference's hw-state poll stream is exactly this). A state row that
 arrives after an event it should have served cannot retroactively
-re-emit that event — that reordering window is what the batch
-asof_join is for.
+re-emit that event, and a late state row OLDER than the carried one
+is dropped (never applied backward) — that reordering window is what
+the batch asof_join is for. NULL-valued state rows are skipped
+(matching the batch form's ignorenulls carry) and NULL timestamps
+are dropped.
 
 State per key: (last_ts, last json-encoded value). Bounded: one row
 per key, independent of stream length.
@@ -47,7 +50,20 @@ def make_asof_fn(value_col: str):
         for ts, side, val in zip(
             rows["__ts"], rows["__side"], rows[value_col]
         ):
+            if pd.isna(ts):
+                # a NULL timestamp is unorderable — drop the row
+                # rather than crash the query (int(NaN) raises)
+                continue
             if side == 0:  # state row
+                if pd.isna(val):
+                    # match the batch asof_join's ignorenulls
+                    # semantics: a NULL-valued state row never
+                    # overwrites the carried value
+                    continue
+                if last_ts is not None and int(ts) < last_ts:
+                    # a LATE state row (older than the carried one)
+                    # must not poison future events with a stale value
+                    continue
                 last_ts, last_val = int(ts), json.dumps(val)
             else:  # event row
                 out.append(
@@ -86,6 +102,16 @@ def streaming_asof_join(
     NULL asof_* before the first state row, exactly like the batch
     asof_join's left rows."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    key_type = events.schema[key_col].dataType
+    if not isinstance(key_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType)):
+        raise ValueError(
+            f"streaming_asof_join: key column {key_col!r} must be an "
+            f"integral type (output schema declares `key long`); got "
+            f"{key_type.simpleString()}"
+        )
 
     ev = events.select(
         F.col(key_col).alias("key"),

@@ -686,8 +686,7 @@ def test_chunk_documents_cover_and_overlap(spark):
         (0, 1, "")
     ]
     # bad params raise
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
 
 
@@ -1085,8 +1084,15 @@ def test_resize_raw_gray_nearest_neighbor(spark):
     big = np.frombuffer(up[0]["pixels"], dtype=np.uint8).reshape(20, 16)
     assert big.shape == (20, 16) and set(big.ravel()) <= set(img.ravel())
     assert rows[1]["pixels"] is None and rows[2]["pixels"] is None
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    # NULL width arrives in pandas as NaN (nullable int -> float64):
+    # must yield NULL pixels, not crash the stage
+    nullw = spark.createDataFrame(
+        [(7, img.tobytes(), None, 10), (8, img.tobytes(), 8, 10)],
+        "media_id long, payload binary, width int, height int",
+    )
+    nw = {r["media_id"]: r for r in resize_raw_gray(nullw, 4, 5).collect()}
+    assert nw[7]["pixels"] is None and nw[8]["pixels"] is not None
+    with pytest.raises(ValueError):
         resize_raw_gray(media, 0, 5)
 
 

@@ -402,3 +402,57 @@ def test_streaming_asof_join_equals_batch(spark, tmp_path):
         (r["k"], r["ts"]): r["asof_sv"] for r in b.collect()
     }
     assert batch == {kk: v for kk, (_, v) in got.items()}
+
+
+def test_streaming_asof_join_late_and_null_state(spark, tmp_path):
+    """A state row older than the carried one is dropped (no stale
+    poisoning of future events); NULL-valued state rows are skipped
+    (batch ignorenulls parity); NULL timestamps don't crash; a
+    non-integral key is rejected up front."""
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.streaming.asof_stream import (
+        streaming_asof_join,
+    )
+
+    ev_schema = "k long, ts long, kind string, v string"
+    src = str(tmp_path / "asof_src2")
+    os.makedirs(src, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, 40, "state", "b"), (1, 41, "event", None)])
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    out = streaming_asof_join(
+        stream.filter(F.col("kind") == "event"),
+        stream.filter(F.col("kind") == "state"),
+        key_col="k", event_ts_col="ts", state_ts_col="ts", value_col="v",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("asof_late").start()
+    )
+    try:
+        q.processAllAvailable()
+        write([
+            (1, 10, "state", "a"),     # LATE: older than carried (40,'b')
+            (1, 45, "state", None),    # NULL value: skipped
+            (1, None, "event", None),  # NULL ts: dropped, not a crash
+            (1, 50, "event", None),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["key"], r["event_ts"]): (r["asof_ts"], r["asof_value"])
+        for r in spark.table("asof_late").collect()
+    }
+    assert got == {(1, 41): (40, "b"), (1, 50): (40, "b")}
+    # non-integral key rejected before any execution
+    sdf = spark.createDataFrame([("x", 1, "s")], "k string, ts long, v string")
+    with pytest.raises(ValueError, match="integral"):
+        streaming_asof_join(sdf, sdf, key_col="k", event_ts_col="ts",
+                            state_ts_col="ts", value_col="v")
