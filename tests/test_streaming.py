@@ -456,3 +456,66 @@ def test_streaming_asof_join_late_and_null_state(spark, tmp_path):
     with pytest.raises(ValueError, match="integral"):
         streaming_asof_join(sdf, sdf, key_col="k", event_ts_col="ts",
                             state_ts_col="ts", value_col="v")
+
+
+def test_streaming_asof_join_random_parity(spark, tmp_path):
+    """Randomized single-replay parity: for per-key event-time-ordered
+    input (the operator's exactness precondition), the streaming as-of
+    equals the batch asof_join on 300 random rows across 5 keys."""
+    import os
+    import random
+
+    from lofar_bf_pulsar_scripts_spark.operators.asof import asof_join
+    from lofar_bf_pulsar_scripts_spark.streaming.asof_stream import (
+        streaming_asof_join,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    ts_used = set()
+    for _ in range(300):
+        k = rng.randrange(5)
+        ts = rng.randrange(10_000)
+        if (k, ts) in ts_used:  # unique (k, ts) keeps parity well-defined
+            continue
+        ts_used.add((k, ts))
+        if rng.random() < 0.3:
+            rows.append((k, ts, "state", f"v{rng.randrange(100)}"))
+        else:
+            rows.append((k, ts, "event", None))
+    src = str(tmp_path / "asof_rand")
+    spark.createDataFrame(
+        rows, "k long, ts long, kind string, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "k long, ts long, kind string, v string"
+    ).parquet(src)
+    out = streaming_asof_join(
+        stream.filter(F.col("kind") == "event"),
+        stream.filter(F.col("kind") == "state"),
+        key_col="k", event_ts_col="ts", state_ts_col="ts", value_col="v",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("asof_rand").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["key"], r["event_ts"]): r["asof_value"]
+        for r in spark.table("asof_rand").collect()
+    }
+    full = spark.read.parquet(src)
+    b = asof_join(
+        full.filter("kind = 'event'").select("k", "ts"),
+        full.filter("kind = 'state'").select(
+            "k", F.col("ts").alias("sts"), F.col("v").alias("sv")
+        ),
+        key_cols=["k"], left_ts="ts", right_ts="sts",
+        right_value_cols=["sv"],
+    )
+    batch = {(r["k"], r["ts"]): r["asof_sv"] for r in b.collect()}
+    assert got == batch and len(got) > 100
