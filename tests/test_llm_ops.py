@@ -1133,3 +1133,57 @@ def test_jpeg_dimensions_marker_walk(spark):
         200, 100)
     assert not rows[2]["is_jpeg"] and rows[2]["width"] is None
     assert not rows[3]["is_jpeg"] and not rows[4]["is_jpeg"]
+
+
+def test_mp4_metadata_box_walk(spark):
+    import struct
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        mp4_metadata,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes([0]) + b"\x00\x00\x00"          # version 0 + flags
+        + struct.pack(">II", 0, 0)            # ctime, mtime
+        + struct.pack(">II", 1000, 45_500)    # timescale, duration
+        + b"\x00" * 80,
+    )
+    trak = box(b"trak", b"\x00" * 16)
+    moov = box(b"moov", mvhd_v0 + trak + trak)
+    mp4 = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomavc1") \
+        + box(b"mdat", b"\x00" * 64) + moov
+    media = spark.createDataFrame(
+        [(0, mp4), (1, b"RIFFxxxxWAVE" + b"\0" * 40), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mp4_metadata(media).collect()}
+    m = rows[0]
+    assert m["is_mp4"] and m["major_brand"] == "isom"
+    assert m["timescale"] == 1000 and m["duration"] == 45_500
+    assert m["duration_s"] == pytest.approx(45.5)
+    assert m["n_tracks"] == 2
+    assert not rows[1]["is_mp4"] and rows[1]["n_tracks"] is None
+    assert not rows[2]["is_mp4"]
+    # 64-bit largesize + v1 mvhd variant
+    mvhd_v1 = box(
+        b"mvhd",
+        bytes([1]) + b"\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 600, 1200)
+        + b"\x00" * 80,
+    )
+    big_moov_body = mvhd_v1
+    large = (
+        struct.pack(">I", 1) + b"moov"
+        + struct.pack(">Q", 16 + len(big_moov_body)) + big_moov_body
+    )
+    mp4b = box(b"ftyp", b"mp42" + b"\x00" * 8) + large
+    r2 = mp4_metadata(
+        spark.createDataFrame([(9, mp4b)], "media_id long, payload binary")
+    ).collect()[0]
+    assert r2["is_mp4"] and r2["timescale"] == 600 and r2["duration"] == 1200
+    assert r2["duration_s"] == pytest.approx(2.0)
