@@ -1187,3 +1187,41 @@ def test_mp4_metadata_box_walk(spark):
     ).collect()[0]
     assert r2["is_mp4"] and r2["timescale"] == 600 and r2["duration"] == 1200
     assert r2["duration_s"] == pytest.approx(2.0)
+
+
+def test_mp4_chunk_offsets_from_stco(spark):
+    import struct
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        mp4_chunk_offsets,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def track(offsets, co64=False):
+        if co64:
+            stco = box(b"co64", struct.pack(">II", 0, len(offsets))
+                       + b"".join(struct.pack(">Q", o) for o in offsets))
+        else:
+            stco = box(b"stco", struct.pack(">II", 0, len(offsets))
+                       + b"".join(struct.pack(">I", o) for o in offsets))
+        return box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stco))))
+
+    moov = box(b"moov", track([100, 200, 300]) + track([5_000_000_000],
+                                                       co64=True))
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+    media = spark.createDataFrame(
+        [(0, mp4), (1, b"not a video")], "media_id long, payload binary"
+    )
+    rows = sorted(
+        (r["media_id"], r["track_idx"], r["chunk_idx"], r["byte_offset"])
+        for r in mp4_chunk_offsets(media).collect()
+    )
+    assert rows == [
+        (0, 0, 0, 100), (0, 0, 1, 200), (0, 0, 2, 300),
+        (0, 1, 0, 5_000_000_000),
+    ]
+    # cap respected
+    capped = mp4_chunk_offsets(media, max_chunks_per_track=2).collect()
+    assert sum(1 for r in capped if r["track_idx"] == 0) == 2
