@@ -160,9 +160,10 @@ def frame_sample(
     df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:
     """'Frame sampling' shape for video payloads: one row per sampled
-    offset (UDTF-like fan-out), payload slicing JVM-side. With a real
-    container parser the offsets would come from the index; the
-    slicing/explode plumbing is identical."""
+    offset (UDTF-like fan-out), payload slicing JVM-side, at a fixed
+    byte stride. For real MP4 payloads use ``mp4_chunk_offsets`` to
+    derive the offsets from the container's stco/co64 index instead —
+    the slicing/explode plumbing downstream is identical."""
     n = F.least(
         F.floor(F.octet_length("payload") / every_n_bytes).cast("int") + 1,
         F.lit(max_frames),
