@@ -533,6 +533,58 @@ def jpeg_dimensions(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+# ---- ISO-BMFF (MP4) box-walk helpers — ONE definition shared by the
+# two MP4 parsers below (a fix applied to one copy but not the other
+# would silently diverge them) ------------------------------------
+
+_INT63_MAX = (1 << 63) - 1
+
+
+def _be32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i:i + 4], "big")
+
+
+def _be64(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i:i + 8], "big")
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the boxes in range.
+    Cannot loop (every accepted size advances i); a largesize < 16
+    (which would put body_start past box_end and re-parse the
+    largesize field itself as headers) is rejected as corrupt."""
+    i = start
+    while i + 8 <= end:
+        size = _be32(b, i)
+        btype = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = _be64(b, i + 8)
+            body = i + 16
+            if size < 16:
+                return
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def _find_boxes(b: bytes, s: int, e: int, path):
+    """Yield body ranges of boxes matching the nested type path."""
+    first, rest = path[0], path[1:]
+    for btype, bs, be in _walk_boxes(b, s, e):
+        if btype != first:
+            continue
+        if not rest:
+            yield bs, be
+        else:
+            yield from _find_boxes(b, bs, be, rest)
+
+
 MP4_METADATA_SCHEMA = (
     "media_id long, is_mp4 boolean, major_brand string, "
     "timescale long, duration long, duration_s double, n_tracks int"
@@ -547,36 +599,14 @@ def mp4_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     timescale/duration (v0 and v1 layouts) and counts ``trak`` boxes.
 
     The metadata half of video curation (duration / track filtering,
-    corpus stats) — actual frame decode stays behind ``frame_sample``
-    + an external decoder. Non-MP4 / malformed payloads yield
-    is_mp4 = false with NULL fields.
+    corpus stats) — actual frame decode stays behind the frame-sample
+    path + an external decoder. Non-MP4 / malformed payloads yield
+    is_mp4 = false with NULL fields; the spec's unknown-duration
+    sentinel (all ones, v0 or v1) and any duration beyond the signed
+    int64 output type map to NULL duration, never a crash or a
+    wrapped negative.
     """
     import pandas as pd
-
-    def be32(b, i):
-        return int.from_bytes(b[i:i + 4], "big")
-
-    def be64(b, i):
-        return int.from_bytes(b[i:i + 8], "big")
-
-    def walk(b, start, end):
-        """Yield (box_type, body_start, body_end) for boxes in range."""
-        i = start
-        while i + 8 <= end:
-            size = be32(b, i)
-            btype = b[i + 4:i + 8]
-            body = i + 8
-            if size == 1:  # 64-bit largesize
-                if i + 16 > end:
-                    return
-                size = be64(b, i + 8)
-                body = i + 16
-            elif size == 0:  # box extends to end of file
-                size = end - i
-            if size < 8 or i + size > end:
-                return
-            yield btype, body, i + size
-            i += size
 
     def parse_one(b: bytes):
         none = (False, None, None, None, None, None)
@@ -588,19 +618,25 @@ def mp4_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         brand = None
         timescale = duration = None
         n_tracks = 0
-        for btype, s, e in walk(b, 0, len(b)):
+        for btype, s, e in _walk_boxes(b, 0, len(b)):
             if btype == b"ftyp" and e - s >= 4:
                 brand = b[s:s + 4].decode("ascii", "replace")
             elif btype == b"moov":
-                for t2, s2, e2 in walk(b, s, e):
+                for t2, s2, e2 in _walk_boxes(b, s, e):
                     if t2 == b"mvhd" and e2 - s2 >= 4:
                         ver = b[s2]
                         if ver == 1 and e2 - s2 >= 28 + 4:
-                            timescale = be32(b, s2 + 20)
-                            duration = be64(b, s2 + 24)
+                            timescale = _be32(b, s2 + 20)
+                            duration = _be64(b, s2 + 24)
+                            if duration >= (1 << 64) - 1:
+                                duration = None  # unknown-duration sentinel
                         elif ver == 0 and e2 - s2 >= 16 + 4:
-                            timescale = be32(b, s2 + 12)
-                            duration = be32(b, s2 + 16)
+                            timescale = _be32(b, s2 + 12)
+                            duration = _be32(b, s2 + 16)
+                            if duration == (1 << 32) - 1:
+                                duration = None
+                        if duration is not None and duration > _INT63_MAX:
+                            duration = None  # exceeds the signed output type
                     elif t2 == b"trak":
                         n_tracks += 1
         dur_s = (
@@ -642,72 +678,43 @@ def mp4_chunk_offsets(
     walks moov→trak→mdia→minf→stbl→stco (chunk-offset table, 'co64'
     for the 64-bit variant) and emits up to ``max_chunks_per_track``
     byte offsets per track — the real-container counterpart of the
-    stride-based ``frame_sample`` (whose docstring promises exactly
-    this once an index parser exists). Downstream, the offsets drive
+    stride-based ``frame_sample``. Downstream, the offsets drive
     JVM-side ``substring`` slicing or ranged reads of the media file —
     media bytes are never scanned here, only the index boxes.
+
+    ``track_idx`` is the ordinal of the ``trak`` box (aligned with
+    ``mp4_metadata``'s n_tracks ordering) — a track without an stbl
+    index consumes an index but emits no rows. Corrupt offsets beyond
+    signed int64 are skipped, never a crash.
     """
     import pandas as pd
-
-    def be32(b, i):
-        return int.from_bytes(b[i:i + 4], "big")
-
-    def be64(b, i):
-        return int.from_bytes(b[i:i + 8], "big")
-
-    def walk(b, start, end):
-        i = start
-        while i + 8 <= end:
-            size = be32(b, i)
-            btype = b[i + 4:i + 8]
-            body = i + 8
-            if size == 1:
-                if i + 16 > end:
-                    return
-                size = be64(b, i + 8)
-                body = i + 16
-            elif size == 0:
-                size = end - i
-            if size < 8 or i + size > end:
-                return
-            yield btype, body, i + size
-            i += size
-
-    def find(b, s, e, path):
-        """Yield body ranges of boxes matching the nested type path."""
-        head, rest = path[0], path[1:]
-        for btype, bs, be in walk(b, s, e):
-            if btype != head:
-                continue
-            if not rest:
-                yield bs, be
-            else:
-                yield from find(b, bs, be, rest)
 
     def parse_one(b: bytes):
         if b is None or len(b) < 12 or b[4:8] != b"ftyp":
             return []
         rows = []
-        tracks = list(
-            find(b, 0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
-        )
-        for t_idx, (s, e) in enumerate(tracks):
+        traks = list(_find_boxes(b, 0, len(b), [b"moov", b"trak"]))
+        for t_idx, (ts_, te_) in enumerate(traks):
             offs = []
-            for btype, bs, be in walk(b, s, e):
-                if btype == b"stco" and be - bs >= 8:
-                    n = be32(b, bs + 4)
-                    for j in range(min(n, max_chunks_per_track)):
-                        p = bs + 8 + 4 * j
-                        if p + 4 > be:
-                            break
-                        offs.append(be32(b, p))
-                elif btype == b"co64" and be - bs >= 8:
-                    n = be32(b, bs + 4)
-                    for j in range(min(n, max_chunks_per_track)):
-                        p = bs + 8 + 8 * j
-                        if p + 8 > be:
-                            break
-                        offs.append(be64(b, p))
+            for s, e in _find_boxes(b, ts_, te_, [b"mdia", b"minf", b"stbl"]):
+                for btype, bs, be in _walk_boxes(b, s, e):
+                    if btype == b"stco" and be - bs >= 8:
+                        n = _be32(b, bs + 4)
+                        for j in range(min(n, max_chunks_per_track)):
+                            pos = bs + 8 + 4 * j
+                            if pos + 4 > be:
+                                break
+                            offs.append(_be32(b, pos))
+                    elif btype == b"co64" and be - bs >= 8:
+                        n = _be32(b, bs + 4)
+                        for j in range(min(n, max_chunks_per_track)):
+                            pos = bs + 8 + 8 * j
+                            if pos + 8 > be:
+                                break
+                            off = _be64(b, pos)
+                            if off > _INT63_MAX:
+                                continue  # corrupt: beyond signed int64
+                            offs.append(off)
             rows.extend(
                 (t_idx, c_idx, off) for c_idx, off in enumerate(offs)
             )

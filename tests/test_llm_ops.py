@@ -1225,3 +1225,51 @@ def test_mp4_chunk_offsets_from_stco(spark):
     # cap respected
     capped = mp4_chunk_offsets(media, max_chunks_per_track=2).collect()
     assert sum(1 for r in capped if r["track_idx"] == 0) == 2
+
+
+def test_mp4_sentinels_and_corrupt_boxes(spark):
+    import struct
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        mp4_chunk_offsets,
+        mp4_metadata,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    # v0 unknown-duration sentinel -> NULL duration, still is_mp4
+    mvhd_unknown = box(
+        b"mvhd",
+        bytes([0]) + b"\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 0xFFFFFFFF) + b"\x00" * 80,
+    )
+    mp4u = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd_unknown)
+    # corrupt largesize (1..15) must stop the walk, not re-parse noise
+    corrupt = (
+        box(b"ftyp", b"isom" + b"\x00" * 8)
+        + struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 10) + b"\xff" * 64
+    )
+    # co64 offset beyond int63 is skipped, not a crash
+    co64 = box(b"co64", struct.pack(">II", 0, 2)
+               + struct.pack(">Q", 1 << 63) + struct.pack(">Q", 77))
+    trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", co64))))
+    # a trak WITHOUT stbl still consumes a track index
+    empty_trak = box(b"trak", b"\x00" * 8)
+    mp4c = box(b"ftyp", b"isom" + b"\x00" * 8) + box(
+        b"moov", empty_trak + trak
+    )
+    media = spark.createDataFrame(
+        [(0, mp4u), (1, corrupt), (2, mp4c)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mp4_metadata(media).collect()}
+    assert rows[0]["is_mp4"] and rows[0]["duration"] is None
+    assert rows[0]["duration_s"] is None and rows[0]["timescale"] == 1000
+    assert rows[1]["is_mp4"] and rows[1]["n_tracks"] == 0  # walk stopped
+    offs = [
+        (r["track_idx"], r["chunk_idx"], r["byte_offset"])
+        for r in mp4_chunk_offsets(media).collect()
+    ]
+    # only the valid offset survives, attributed to trak ordinal 1
+    assert offs == [(1, 0, 77)]

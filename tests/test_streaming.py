@@ -459,9 +459,12 @@ def test_streaming_asof_join_late_and_null_state(spark, tmp_path):
 
 
 def test_streaming_asof_join_random_parity(spark, tmp_path):
-    """Randomized single-replay parity: for per-key event-time-ordered
-    input (the operator's exactness precondition), the streaming as-of
-    equals the batch asof_join on 300 random rows across 5 keys."""
+    """Randomized single-replay parity: the whole dataset arrives as
+    ONE micro-batch (single coalesced file), where the operator's
+    in-batch mergesort makes it exact for ANY arrival order — so the
+    streaming as-of must equal the batch asof_join on 300 random rows
+    across 5 keys. (Split across batches, out-of-order input would
+    instead exercise the documented late-state drop.)"""
     import os
     import random
 
