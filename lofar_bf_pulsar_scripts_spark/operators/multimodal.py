@@ -323,9 +323,14 @@ def image_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Other payloads yield format 'unknown' with NULL fields.
     """
     p = F.col(payload_col)
-    is_png = F.substring(p, 1, 8) == F.lit(
-        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
-    )
+    # the fixed width/height/depth offsets assume the first chunk is
+    # IHDR — required first by the PNG spec, but a signature-only
+    # payload with a nonstandard first chunk would otherwise decode
+    # confident garbage (same guard class as the BMP DIB whitelist).
+    is_png = (
+        F.substring(p, 1, 8)
+        == F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]))
+    ) & (F.substring(p, 13, 4) == F.lit(b"IHDR"))
     # the int32 width/height/bpp offsets below hold only for the
     # BITMAPINFOHEADER family (DIB size 40, or the V4/V5 extensions
     # 108/124 which share its leading fields); a BITMAPCOREHEADER

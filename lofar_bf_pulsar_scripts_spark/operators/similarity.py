@@ -606,6 +606,10 @@ def lsh_ann_topk(
     # Exclude them up front (size(NULL) = -1, so one predicate covers
     # all three cases).
     corpus = corpus.filter(F.size(F.col(vec_col)) == dims)
+    # Same guard on the query side: a malformed query would hash to
+    # bucket 0 in every table and come back with k NULL-cosine rows
+    # (NULL sorts first inside the rank struct) instead of being absent.
+    queries = queries.filter(F.size(F.col(vec_col)) == dims)
     sig = hyperplane_buckets(F.col(vec_col), n_tables, n_bits, dims, scale)
     c_ex = corpus.select(
         F.col(id_col), F.col(vec_col),

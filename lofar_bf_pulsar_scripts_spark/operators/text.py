@@ -63,6 +63,14 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # the docstring's "every token is covered" guarantee would be
+        # silently broken: tokens in (start+chunk_tokens, start+stride)
+        # would belong to no chunk.
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) leaves "
+            "uncovered token gaps between chunks"
+        )
     # NULL text behaves as empty text (one empty chunk): without the
     # coalesce, size(NULL)=-1 flows through greatest/least (which skip
     # NULLs) into an inconsistent (chunk_len=chunk_tokens, text='') row.

@@ -130,7 +130,12 @@ def compact_parquet_dir(
     binaryFile listing with only the ``length`` column selected (the
     source is columnar about it — content is never read), then one
     repartition to ceil(total/target) files. Returns the file count
-    written."""
+    written.
+
+    Note: the output is UNPARTITIONED — Hive partition columns of a
+    partitioned source are read back as ordinary data columns and the
+    directory layout is flattened. Compact partitioned sources one
+    partition directory at a time to keep the layout."""
     sizes = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -139,6 +144,10 @@ def compact_parquet_dir(
         .first()
     )
     total = int(sizes["b"] or 0)
+    if total == 0:
+        raise ValueError(
+            f"compact_parquet_dir: no *.parquet files found under {src!r}"
+        )
     n_files = max(1, -(-total // int(target_file_bytes)))
     df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(dst)

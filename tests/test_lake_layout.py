@@ -220,3 +220,11 @@ def test_compact_parquet_dir(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(dst).collect()))
     assert a == b
+    # empty / fileless source raises a clear error, not an opaque
+    # schema-inference failure
+    import pytest
+
+    empty = tmp_path / "empty_src"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no \\*\\.parquet"):
+        compact_parquet_dir(spark, str(empty), dst)

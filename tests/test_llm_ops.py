@@ -688,6 +688,9 @@ def test_chunk_documents_cover_and_overlap(spark):
     # bad params raise
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
+    # stride > chunk_tokens would leave uncovered token gaps
+    with pytest.raises(ValueError, match="uncovered"):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
 
 
 def test_wav_pcm_features_real_decode(spark):
@@ -1030,6 +1033,23 @@ def test_image_metadata_rejects_core_header_and_topdown(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (320, -200)
 
 
+def test_image_metadata_rejects_png_without_ihdr_first(spark):
+    import struct
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        image_metadata,
+    )
+
+    sig = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    # nonstandard first chunk: the fixed-offset field decode would
+    # return confident garbage — must classify unknown
+    bogus = sig + struct.pack(">I", 13) + b"tEXt" + b"\0" * 17
+    media = spark.createDataFrame(
+        [(0, bogus)], "media_id long, payload binary"
+    )
+    r = image_metadata(media).collect()[0]
+    assert r["format"] == "unknown" and r["width"] is None
+
+
 def test_lsh_ann_topk_malformed_vectors_excluded(spark, vectors):
     from lofar_bf_pulsar_scripts_spark.operators.similarity import (
         hyperplane_buckets_long,
@@ -1055,6 +1075,16 @@ def test_lsh_ann_topk_malformed_vectors_excluded(spark, vectors):
         ).collect()
     }
     assert 200 not in ids and 201 not in ids
+    # a malformed QUERY vector is excluded too (it would otherwise
+    # hash to bucket 0 everywhere and return k NULL-cosine rows)
+    bad_q = spark.createDataFrame(
+        [(900, [0.5] * 3), (901, None)],
+        "qid long, embedding array<float>",
+    )
+    assert (
+        lsh_ann_topk(vectors, bad_q, k=5, n_tables=4, n_bits=4, dims=16)
+        .count() == 0
+    )
 
 
 def test_resize_raw_gray_nearest_neighbor(spark):
