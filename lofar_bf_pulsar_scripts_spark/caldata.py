@@ -217,13 +217,71 @@ def hamaker_carozzi_beamcorr(
 
 # --- Wijnholds gain cube (Aeff/Tsys simulation) -----------------------
 #
-# The cube file itself ships outside even the reference repo (loaded
-# from $LOFARSOFT at lofar_gain.py:173-190), so no data is committed
-# here; the full ingest -> azimuth-average -> Trec-correction pipeline
-# is implemented against the documented layout and tested on a
-# synthetic cube.
+# The cube file itself (lofar_sensitivity_senstable-v02.txt) ships
+# outside even the reference repo — lofar_gain.py:173-190 loads it
+# from $LOFARSOFT — so the REAL data cannot be ported here. What IS
+# real: the full ingest -> azimuth-average -> Trec-correction ->
+# bilinear-lookup pipeline against the documented layout
+# (lofar_gain.py:165-214), exercised at the file's TRUE dimensions
+# (29 freq x 361 az x 91 el = 952,679 values) on a deterministic
+# synthetic cube generated from the closed form below. A user with
+# the $LOFARSOFT file points ``wijnholds_cube_from_text`` at it and
+# gets the reference's gains; ``load_wijnholds_aeff`` returns the
+# packaged synthetic-cube dimension (built by tools/build_caldata.py).
 
 WIJNHOLDS_NFREQ, WIJNHOLDS_NAZ, WIJNHOLDS_NEL = 29, 361, 91
+
+
+def write_synthetic_wijnholds_cube(
+    path: str,
+    nfreq: int = WIJNHOLDS_NFREQ,
+    naz: int = WIJNHOLDS_NAZ,
+    nel: int = WIJNHOLDS_NEL,
+) -> int:
+    """Write a full-dimension synthetic gain cube in the reference's
+    exact file layout (flat whitespace floats, el fastest, az next,
+    freq slowest — lofar_gain.py:165-171). Defining closed form::
+
+        raw[fi, az, el] = base(fi, el) + (az - 180) / 2^20
+        base(fi, el)    = (2048 + 16*el - 8*fi + (el*fi) mod 32) / 4096
+
+    Every value is a dyadic rational (exact in float64) and the
+    azimuth ripple sums to exactly zero over az = 0..360, so the
+    azimuth MEAN equals ``base`` exactly in any summation order —
+    the oracle can regenerate the expected table from the closed
+    form while Spark reads this file through the real ingest path.
+    Magnitudes (~0.45-0.8) match the real table's Aeff/Tsys scale.
+    Returns the number of values written."""
+    import numpy as np
+
+    fi = np.arange(nfreq)[:, None, None]
+    az = np.arange(naz)[None, :, None]
+    el = np.arange(nel)[None, None, :]
+    base = (2048 + 16 * el - 8 * fi + (el * fi) % 32) / 4096.0
+    raw = (base + (az - 180) / 1048576.0).ravel()
+    tmp = path + ".tmp"
+    np.savetxt(tmp, raw, fmt="%.18g")
+    os.replace(tmp, path)
+    return raw.size
+
+
+def ensure_wijnholds_cube() -> str:
+    """Path of the packaged full-dimension synthetic cube text file,
+    generating it (deterministically, ~20 MB, a second) on first
+    use — the file is derived data and not committed."""
+    path = data_path("wijnholds_cube_full.txt")
+    if not os.path.exists(path):
+        write_synthetic_wijnholds_cube(path)
+    return path
+
+
+def load_wijnholds_aeff(spark: SparkSession) -> DataFrame:
+    """Packaged Aeff(freq_mhz, el_deg) dimension (29 x 91 = 2,639
+    rows) built by tools/build_caldata.py from the synthetic
+    full-dimension cube via the documented pipeline — a broadcast
+    dimension for ``wijnholds_aeff_lookup``. Swap in real gains by
+    rebuilding from the $LOFARSOFT senstable file."""
+    return spark.read.parquet(data_path("wijnholds_aeff.parquet"))
 
 
 def wijnholds_cube_from_text(spark: SparkSession, path: str) -> DataFrame:
@@ -231,12 +289,25 @@ def wijnholds_cube_from_text(spark: SparkSession, path: str) -> DataFrame:
     952,679 numbers, elevation the fastest-running index, azimuth
     next, frequency slowest (lofar_gain.py:165-171). The file is
     ~10 MB, a dimension input: parsed driver-side (order-preserving,
-    unlike a distributed text scan) and shipped Arrow-batched."""
+    unlike a distributed text scan) and shipped Arrow-batched — the
+    pyarrow-Table createDataFrame path, measured 5x faster than the
+    pandas path in a vanilla (non-Arrow-conf) session."""
     import pandas as pd
+    import pyarrow as pa
 
     vals = pd.read_csv(path, sep=r"\s+", header=None).to_numpy().ravel()
-    pdf = pd.DataFrame({"idx": range(len(vals)), "raw": vals.astype("f8")})
-    return spark.createDataFrame(pdf)
+    tbl = pa.table(
+        {
+            "idx": pa.array(range(len(vals)), pa.int64()),
+            "raw": pa.array(vals.astype("f8"), pa.float64()),
+        }
+    )
+    # coalesce: a ~1M-row local relation fanned out to local[32] makes
+    # the downstream tiny-key agg open 32 tasks x shuffle.partitions
+    # writer buffers (~100 KB each) — enough to OOM a default-1g
+    # driver-local session. 8 map tasks are plenty for 15 MB of input
+    # and the agg is partial map-side anyway.
+    return spark.createDataFrame(tbl).coalesce(8)
 
 
 def wijnholds_aeff_table(

@@ -4087,18 +4087,24 @@ def q_channel_sefd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wijnholds_aeff_lookup",
     """
     WITH idxs AS (
-        SELECT i AS idx FROM generate_series(0, 59) AS t(i)
+        SELECT i AS idx FROM generate_series(0, 952678) AS t(i)
     ), cube AS (
-        -- regenerates data/wijnholds_cube_fixture.txt from its
-        -- defining formula: raw = (fi*4096 + az*64 + el)/64 (dyadic,
-        -- so azimuth means are exact in any summation order). The
-        -- Spark side READS the committed text fixture, so a green row
-        -- proves the file + ingest path match the formula.
+        -- regenerates the FULL-dimension synthetic cube (29 freq x
+        -- 361 az x 91 el — the real senstable's dims) from its
+        -- defining closed form (caldata.write_synthetic_wijnholds_
+        -- cube): base is dyadic in (fi, el); the azimuth ripple
+        -- (az-180)/2^20 sums to exactly zero over az, so azimuth
+        -- means are exact in any summation order. The Spark side
+        -- READS the generated text file through the real ingest
+        -- path, so a green row proves file layout + index decode +
+        -- azimuth mean + Tsys correction + bilinear lookup at the
+        -- reference's true dimensions.
         SELECT idx,
-               CAST(idx // 20 AS BIGINT) AS fi,
-               CAST(idx % 4 AS BIGINT) AS el,
-               ((idx // 20) * 4096 + ((idx // 4) % 5) * 64 + (idx % 4))
-                   / 64.0 AS raw
+               CAST(idx // 32851 AS BIGINT) AS fi,
+               CAST(idx % 91 AS BIGINT) AS el,
+               ((2048 + 16 * (idx % 91) - 8 * (idx // 32851)
+                 + ((idx % 91) * (idx // 32851)) % 32) / 4096.0
+                + ((idx // 91) % 361 - 180) / 1048576.0) AS raw
         FROM idxs
     ), avg_el AS (
         SELECT fi, el, avg(raw) AS m FROM cube GROUP BY 1, 2
@@ -4111,13 +4117,13 @@ def q_channel_sefd(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM avg_el
     ), pts AS (
         SELECT event_id,
-               least(greatest((110.0 + (value % 10.0) - 110.0) / 5.0, 0.0), 2.0) AS x,
-               least(greatest((value * 7.0) % 3.0, 0.0), 3.0) AS y
+               (110.0 + (value * 13.0) % 140.0 - 110.0) / 5.0 AS x,
+               (value * 7.0) % 90.0 AS y
         FROM events
     ), corners AS (
         SELECT p.event_id, p.x, p.y,
-               least(CAST(floor(p.x) AS INTEGER), 1) AS x0,
-               least(CAST(floor(p.y) AS INTEGER), 2) AS y0
+               least(CAST(floor(p.x) AS INTEGER), 27) AS x0,
+               least(CAST(floor(p.y) AS INTEGER), 89) AS y0
         FROM pts p
     )
     SELECT c.event_id,
@@ -4131,24 +4137,28 @@ def q_channel_sefd(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN aeff g01 ON g01.gx = c.x0 AND g01.gy = c.y0 + 1
       LEFT JOIN aeff g11 ON g11.gx = c.x0 + 1 AND g11.gy = c.y0 + 1
     """,
-    "§2.8 Wijnholds gain-cube ingest + J8 separable interpolation (lofar_gain.py:84-128,165-193)",
+    "§2.8 Wijnholds gain-cube ingest at true 29x361x91 dims + J8 separable interpolation (lofar_gain.py:84-128,165-193)",
 )
 def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .caldata import (
-        data_path,
+        ensure_wijnholds_cube,
         wijnholds_aeff_lookup,
         wijnholds_aeff_table,
         wijnholds_cube_from_text,
     )
 
-    cube = wijnholds_cube_from_text(
-        spark, data_path("wijnholds_cube_fixture.txt")
-    )
-    aeff = wijnholds_aeff_table(cube, flow_mhz=110.0, fstep_mhz=5.0, naz=5, nel=4)
+    cube = wijnholds_cube_from_text(spark, ensure_wijnholds_cube())
+    # materialize the 2,639-row dimension ONCE: every broadcast build
+    # re-derives its upstream (measured pitfall 5), which would re-run
+    # the 952k-value cube ingest ~7x (two gmax probes + 4 corner
+    # broadcasts) — a dimension build collects exactly once.
+    aeff = spark.createDataFrame(wijnholds_aeff_table(cube).toPandas())
     ev = load_table(spark, "events", sf_dir).select(
         "event_id",
-        (F.lit(110.0) + F.pmod(F.col("value"), F.lit(10.0))).alias("freq_mhz"),
-        F.pmod(F.col("value") * 7.0, F.lit(3.0)).alias("el_deg"),
+        (F.lit(110.0) + F.pmod(F.col("value") * 13.0, F.lit(140.0))).alias(
+            "freq_mhz"
+        ),
+        F.pmod(F.col("value") * 7.0, F.lit(90.0)).alias("el_deg"),
     )
     out = wijnholds_aeff_lookup(
         ev, aeff, flow_mhz=110.0, fstep_mhz=5.0,

@@ -209,6 +209,33 @@ def test_wijnholds_aeff_bilinear_lookup(spark, tmp_path):
     assert got["aeff_m2"] == pytest.approx(expect, rel=1e-12)
 
 
+def test_wijnholds_full_dims_packaged_parquet(spark):
+    """The packaged wijnholds_aeff.parquet (built by
+    tools/build_caldata.py) equals the REAL ingest pipeline run over
+    the full-dimension 29x361x91 synthetic cube — same dims as the
+    reference's senstable file (lofar_gain.py:165-171)."""
+    from lofar_bf_pulsar_scripts_spark import caldata
+
+    cube = caldata.wijnholds_cube_from_text(
+        spark, caldata.ensure_wijnholds_cube()
+    )
+    got = {
+        (r.freq_mhz, r.el_deg): r.aeff_m2
+        for r in caldata.wijnholds_aeff_table(cube).collect()
+    }
+    packaged = {
+        (r.freq_mhz, r.el_deg): r.aeff_m2
+        for r in caldata.load_wijnholds_aeff(spark).collect()
+    }
+    assert len(got) == 29 * 91 and len(packaged) == 29 * 91
+    # azimuth ripple averages to exactly zero; the only divergence is
+    # the 1-ulp numpy-vs-JVM libm pow in the Tsys factor
+    for k, v in got.items():
+        assert packaged[k] == pytest.approx(v, rel=1e-12), k
+    # physical scale: Aeff of an HBA station is O(100-1000) m^2
+    assert all(50.0 < v < 2000.0 for v in packaged.values())
+
+
 def test_aeff_arisN_elevation_scaling(spark):
     # arisN = analytic max * sin(EL)^1.39 (lofar_gain.py:460-473);
     # band-average composes through the same midpoint integral the
