@@ -52,6 +52,49 @@ def test_fit_histogram_gaussian(spark):
     assert row["gauss_mean"] == pytest.approx(5.0, abs=0.05)
     assert row["gauss_sigma"] == pytest.approx(1.5, rel=0.05)
     assert row["n_total"] == 20000
+    # on CLEAN Gaussian data the leastsq fit agrees with moments
+    frow = fit_histogram_gaussian(df, bins=60, method="fit").first()
+    assert frow["gauss_mean"] == pytest.approx(row["gauss_mean"], abs=0.05)
+    assert frow["gauss_sigma"] == pytest.approx(row["gauss_sigma"], rel=0.05)
+
+
+def test_fit_histogram_gaussian_contaminated_tail(spark):
+    """Why the reference leastsq-fits instead of taking moments
+    (subdyn.py:306-324, snr.py:536-542): an RFI tail drags the
+    moments badly but barely moves the peak fit."""
+    rng = np.random.RandomState(7)
+    clean = rng.normal(0.0, 1.0, 20000)
+    rfi = rng.uniform(8.0, 60.0, 1000)  # 5% contamination, far tail
+    vals = np.concatenate([clean, rfi])
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    mom = fit_histogram_gaussian(df, bins=240).first()
+    fit = fit_histogram_gaussian(df, bins=240, method="fit").first()
+    # moments are dragged off by the tail...
+    assert mom["gauss_mean"] > 0.5
+    assert mom["gauss_sigma"] > 3.0
+    # ...the fit recovers the underlying population
+    assert fit["gauss_mean"] == pytest.approx(0.0, abs=0.1)
+    assert fit["gauss_sigma"] == pytest.approx(1.0, rel=0.12)
+    assert fit["gauss_amp"] > 0
+    # grouped mode: two planted groups with different parameters
+    g = spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(2.0, 0.5, 8000)]
+        + [("b", float(v)) for v in np.concatenate(
+            [rng.normal(-3.0, 2.0, 8000), rng.uniform(20.0, 90.0, 400)]
+        )],
+        "grp string, value double",
+    )
+    rows = {
+        r["grp"]: r
+        for r in fit_histogram_gaussian(
+            g, bins=240, group_cols=["grp"], method="fit"
+        ).collect()
+    }
+    assert rows["a"]["gauss_mean"] == pytest.approx(2.0, abs=0.1)
+    assert rows["a"]["gauss_sigma"] == pytest.approx(0.5, rel=0.15)
+    assert rows["b"]["gauss_mean"] == pytest.approx(-3.0, abs=0.3)
+    assert rows["b"]["gauss_sigma"] == pytest.approx(2.0, rel=0.15)
 
 
 def test_retry_ledger_stateful(spark):
