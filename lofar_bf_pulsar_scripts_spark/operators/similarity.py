@@ -307,6 +307,141 @@ def ivf_topk(
     )
 
 
+def kmeans_parallel_seeds(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int | None = None,
+    rounds: int | None = None,
+    score_scale: float = 1e12,
+) -> tuple[list[list[float]], int]:
+    """k-means|| seeding (Bahmani et al., VLDB 2012): O(log k) corpus
+    passes instead of farthest-first's k-1 sequential scans — the
+    shape that survives IVF-codebook k (2^14-2^16) on 100 TB, where
+    k-1 full scans are tens of thousands of jobs.
+
+    Per round: one pass computes each point's exact-integer squared
+    distance to its nearest current candidate (broadcast candidates,
+    the same argmax identity as kmeans_assign) and the total cost phi;
+    each point is then admitted iff u(x) * phi < l * d2(x), where
+    u(x) is a DETERMINISTIC uniform from md5(round, id) — Bahmani's
+    independent sampling with the coin flips derandomized, expected l
+    admissions per round. A final pass weights every candidate by its
+    nearest-point count, and a driver-side weighted farthest-first
+    over the ~l*rounds candidates (model-sized, never the corpus)
+    selects the k seeds. Deterministic end-to-end: hash coins,
+    integer-quantized distances, id-sorted candidate order, argmax
+    ties to the lowest index.
+
+    Returns (seed_vectors, n_rounds); n_rounds <= ceil(log2 k) + 1.
+    """
+    import math
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    ell = int(oversample) if oversample else 2 * k
+    n_rounds = (
+        int(rounds) if rounds else max(1, math.ceil(math.log2(max(k, 2))))
+    )
+    src = corpus.select(id_col, vec_col)
+    first = (
+        src.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans seeding: corpus is empty")
+    cand = [[float(x) for x in first[0][vec_col]]]
+    rounds_run = 0
+    for rnd in range(n_rounds):
+        rounds_run = rnd + 1
+        cdf = spark.createDataFrame(
+            list(enumerate(cand)), f"cid int, {vec_col} array<double>"
+        )
+        c = F.broadcast(
+            cdf.select(F.col("cid").alias("__cid"), F.col(vec_col).alias("__cvec"))
+        )
+        scored = src.crossJoin(c).select(
+            id_col,
+            F.col(vec_col),
+            (
+                F.lit(2)
+                * dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale)
+                - dot_quantized(F.col("__cvec"), F.col("__cvec"), score_scale)
+            ).alias("__s"),
+        )
+        d2 = (
+            scored.groupBy(id_col)
+            .agg(F.max("__s").alias("__smax"), F.first(vec_col).alias(vec_col))
+            .select(
+                id_col,
+                vec_col,
+                (
+                    dot_quantized(F.col(vec_col), F.col(vec_col), score_scale)
+                    - F.col("__smax")
+                ).alias("__d2q"),
+            )
+        )
+        phi = d2.agg(F.sum("__d2q")).first()[0]
+        phi = int(phi or 0)
+        if phi <= 0:  # every point coincides with a candidate
+            break
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(str(rnd)), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**15))
+        )
+        picked = (
+            d2.filter(u * F.lit(float(phi)) < F.lit(float(ell)) * F.col("__d2q"))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        for row in sorted(picked, key=lambda r: r[id_col]):
+            cand.append([float(x) for x in row[vec_col]])
+    # weight candidates by nearest-point counts (one assign-shaped pass)
+    cdf = spark.createDataFrame(
+        list(enumerate(cand)), f"cid int, {vec_col} array<double>"
+    )
+    wrows = (
+        kmeans_assign(src, cdf, id_col=id_col, vec_col=vec_col,
+                      score_scale=score_scale)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = np.zeros(len(cand))
+    for r in wrows:
+        weights[r["cid"]] = float(r["w"])
+    vecs = np.array(cand, dtype="float64")
+    if len(cand) <= k:  # degenerate: fewer candidates than seeds
+        seeds = list(cand)
+        while len(seeds) < k:
+            seeds.append(seeds[len(seeds) % len(cand)])
+        return seeds, rounds_run
+    # deterministic weighted farthest-first over the candidate set
+    chosen = [int(np.argmax(weights))]
+    dmin = ((vecs - vecs[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(np.argmax(weights * dmin))
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, ((vecs - vecs[nxt]) ** 2).sum(axis=1))
+    return [[float(x) for x in vecs[i]] for i in chosen], rounds_run
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int,
@@ -330,45 +465,18 @@ def kmeans_fit(
     size, never the data. Centroids re-enter each iteration as a fresh
     literal DataFrame, so the corpus lineage never grows (the
     iterative-plan trap handled the same way as connected_components'
-    truncation). Init is deterministic farthest-first traversal (the
-    2-approximation k-center seeding): first seed = min md5(id), each
-    next seed maximizes distance to its nearest chosen seed — k-1
-    bounded-output passes, no data-dependent sampling, and unlike
-    naive hash-order seeding it cannot drop all k seeds into one true
-    cluster (which strands Lloyd in a split/merged local optimum).
-    Empty clusters keep their previous centroid."""
+    truncation). Init is deterministic k-means|| seeding
+    (``kmeans_parallel_seeds``): O(log k) corpus passes, so seeding
+    stays cheap even at IVF-codebook k — unlike farthest-first's k-1
+    sequential scans — while still spreading seeds across true
+    clusters (which naive hash-order seeding does not, stranding Lloyd
+    in split/merged local optima). Empty clusters keep their previous
+    centroid."""
     spark = corpus.sparkSession
 
-    def _lit_vec(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
-
-    def _l2_sq(a: Column, vals) -> Column:
-        d = F.zip_with(
-            a, _lit_vec(vals), lambda x, y: (x.cast("double") - y) ** 2
-        )
-        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
-
-    first = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__h", id_col)
-        .limit(1)
-        .collect()
+    seed_vecs, _ = kmeans_parallel_seeds(
+        corpus, k, id_col=id_col, vec_col=vec_col, score_scale=score_scale
     )
-    if not first:
-        raise ValueError("kmeans_fit: corpus is empty — nothing to cluster")
-    seed_vecs = [[float(x) for x in first[0][vec_col]]]
-    for _ in range(1, k):
-        dists = [_l2_sq(F.col(vec_col), v) for v in seed_vecs]
-        nearest = dists[0] if len(dists) == 1 else F.least(*dists)
-        far = (
-            corpus.select(id_col, vec_col)
-            .withColumn("__d", nearest)
-            .orderBy(F.desc("__d"), id_col)
-            .limit(1)
-            .collect()
-        )
-        seed_vecs.append([float(x) for x in far[0][vec_col]])
     cents = list(enumerate(seed_vecs))
     dims = len(cents[0][1]) if cents else 0
     n_iters = 0

@@ -559,6 +559,48 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     assert got == {r["vec_id"]: r["cid"] for r in assigned2.collect()}
 
 
+def test_kmeans_parallel_seeding_rounds_and_determinism(spark):
+    """k-means|| seeding: O(log k) corpus passes (not k-1), seeds
+    deterministic and spread across planted clusters."""
+    import math
+
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        kmeans_parallel_seeds,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[6.0] * 6, [-6.0] * 6, [6.0] * 3 + [-6.0] * 3,
+                        [-6.0] * 3 + [6.0] * 3])
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + 0.4 * rng.normal(0, 1, 6)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds, n_rounds = kmeans_parallel_seeds(df, k=4)
+    assert len(seeds) == 4
+    # pass-count bound: O(log k), never k-1 sequential scans
+    assert n_rounds <= math.ceil(math.log2(4)) + 1
+    # each seed lies near a DISTINCT planted center
+    near = set()
+    for s in seeds:
+        d = ((centers - np.array(s)) ** 2).sum(axis=1)
+        assert d.min() < 36.0, s  # inside a cluster, not between
+        near.add(int(np.argmin(d)))
+    assert near == {0, 1, 2, 3}
+    # bit-deterministic across runs
+    seeds2, _ = kmeans_parallel_seeds(df, k=4)
+    assert seeds == seeds2
+    # degenerate: k larger than distinct points still yields k seeds
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    s3, _ = kmeans_parallel_seeds(tiny, k=5)
+    assert len(s3) == 5
+
+
 def _tiny_wav(rate=16000, channels=2, bits=16, n_samples=8000) -> bytes:
     import struct
 
