@@ -597,6 +597,39 @@ def hyperplane_buckets(
     )
 
 
+def hyperplane_buckets_py(
+    vec,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dims: int = 64,
+    scale: float = 1e6,
+) -> list[int]:
+    """Driver-side replica of ``hyperplane_buckets`` for a single
+    vector — every step is the same correctly-rounded IEEE-754 double
+    operation as the column form (exact dyadic plane components,
+    floored integer products, integer sums), so the buckets are
+    BIT-IDENTICAL; pinned by the store-parity test. Used to hash a
+    bounded query set without paying the column expression's
+    per-plan Catalyst cost (~3 s) for a handful of rows."""
+    import math
+
+    out = []
+    for t in range(n_tables):
+        bucket = 0
+        for b in range(n_bits):
+            p = t * n_bits + b
+            acc = 0
+            for i in range(1, dims + 1):
+                h = (
+                    ((1 + p * dims + i) * _LSH_KNUTH) % _LSH_MOD
+                ) / _LSH_MOD - 0.5
+                acc += math.floor(float(vec[i - 1]) * h * scale + 0.5)
+            if acc > 0:
+                bucket += 1 << b
+        out.append(bucket)
+    return out
+
+
 def hyperplane_buckets_long(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -117,6 +117,114 @@ def read_lsh_bucket(
     return df.filter((df["tbl"] == int(tbl)) & (df["bkt"] == int(bkt)))
 
 
+def ensure_lsh_signatures(
+    corpus: DataFrame,
+    path: str,
+    **kwargs,
+) -> str:
+    """Build the at-rest LSH signature store once (atomic: write to a
+    tmp dir, rename into place); later calls are a no-op. Returns the
+    path."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        write_lsh_signatures(corpus, tmp, **kwargs)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    return path
+
+
+def lsh_ann_topk_stored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    store_path: str,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    scale: float = 1e6,
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """Sign-LSH ANN probing the AT-REST signature store — the 100 TB
+    shape of ``lsh_ann_topk`` (same buckets, same results,
+    parity-pinned): the corpus's signatures are read from the
+    (tbl, bkt)-partitioned parquet written by
+    ``write_lsh_signatures`` instead of being recomputed per query
+    with the column expression.
+
+    Probe plan: the query set is bounded by definition, so its
+    signatures are computed DRIVER-SIDE with
+    ``hyperplane_buckets_py`` (bit-identical closed form; the column
+    expression's ~3 s per-plan Catalyst cost is absurd for a handful
+    of rows). The distinct (tbl, bkt) pairs become a STATIC
+    disjunctive filter on the store's partition columns, so the store
+    scan is partition-pruned at plan time (PartitionFilters,
+    plan-asserted; no reliance on runtime DPP). Candidate ids join
+    back to the corpus through a broadcast of the candidate set — the
+    corpus is never shuffled and only candidate rows are scored.
+    Signature computation for the corpus is amortized into the store
+    build instead of being paid on every probe."""
+    from functools import reduce as _reduce
+
+    from ..operators.similarity import (
+        cosine,
+        hyperplane_buckets_py,
+        two_stage_topk,
+    )
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    pair_rows = []
+    for r in qrows:
+        if r[vec_col] is None or len(r[vec_col]) != dims:
+            continue  # malformed queries excluded (mirrors lsh_ann_topk)
+        qv = [float(x) for x in r[vec_col]]
+        for t, bkt in enumerate(
+            hyperplane_buckets_py(qv, n_tables, n_bits, dims, scale)
+        ):
+            pair_rows.append((r[query_id_col], qv, t, bkt))
+    if not pair_rows:
+        empty = f"{query_id_col} long, {id_col} long, cos double"
+        return spark.createDataFrame([], empty)
+    q_ex = spark.createDataFrame(
+        pair_rows, ["__qid", "__qvec", "tbl", "bkt"]
+    )
+    pairs = {(t, b) for _, _, t, b in pair_rows}
+    pred = _reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("tbl") == t) & (F.col("bkt") == b)
+            for t, b in sorted(pairs)
+        ],
+    )
+    store = spark.read.parquet(store_path).filter(pred)
+    cand = (
+        store.join(F.broadcast(q_ex), on=["tbl", "bkt"])
+        .filter(F.col(id_col) != F.col("__qid"))
+        .groupBy("__qid", id_col)
+        .agg(F.first("__qvec").alias("__qvec"))
+    )
+    fetched = corpus.select(id_col, vec_col).join(
+        F.broadcast(cand), on=id_col
+    )
+    scored = fetched.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+    )
+    return two_stage_topk(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        partial_buckets=partial_buckets,
+    )
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     src: str,

@@ -164,6 +164,42 @@ def test_lsh_signature_store_partition_pruning(spark, tmp_path):
     assert ids == want
 
 
+def test_lsh_ann_topk_stored_parity_and_pruning(spark, tmp_path):
+    """The store-backed ANN probe (the gate/scale path) returns
+    byte-identical results to the column-form lsh_ann_topk, and its
+    store scan is partition-pruned at plan time."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        lsh_ann_topk,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        ensure_lsh_signatures,
+        explain_string,
+        lsh_ann_topk_stored,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    path = str(tmp_path / "ann_store")
+    ensure_lsh_signatures(emb, path, n_tables=4, n_bits=6, dims=64)
+    # idempotent: second ensure is a no-op on the existing store
+    ensure_lsh_signatures(emb, path, n_tables=4, n_bits=6, dims=64)
+    stored = lsh_ann_topk_stored(
+        emb, q, path, k=5, n_tables=4, n_bits=6, dims=64
+    )
+    plan = explain_string(stored)
+    head = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "tbl" in head and "bkt" in head
+    column = lsh_ann_topk(emb, q, k=5, n_tables=4, n_bits=6, dims=64)
+    a = sorted(map(tuple, stored.collect()))
+    b = sorted(map(tuple, column.collect()))
+    assert a == b and a
+
+
 def test_salted_join_equals_plain_join(spark):
     from lofar_bf_pulsar_scripts_spark.operators.skew import salted_join
     from lofar_bf_pulsar_scripts_spark.tables import load_table
