@@ -3485,6 +3485,89 @@ def q_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_asof_exact",
+    """
+    -- batch dual of the stateful streaming as-of join (§2.9,
+    -- applyInPandasWithState carry-forward): 'click' events are the
+    -- per-user STATE stream, everything else the event stream.
+    -- Composite integer keys make the carry bit-deterministic:
+    --   state key = ts_s * 2^32 + event_id mod (2^32 - 1)  (unique:
+    --     event_id is globally unique, and the residue never reaches
+    --     2^32 - 1)
+    --   event key = ts_s * 2^32 + (2^32 - 1)  (strictly after every
+    --     same-second state row -> no cross-side ties; inclusive-<=
+    --     tie handling is covered by the streaming pytest instead)
+    -- so DuckDB's ASOF LEFT JOIN reproduces the carried value
+    -- exactly.
+    WITH base AS (
+        SELECT user_id, event_type, event_id, value,
+               CAST(datediff('microsecond',
+                             TIMESTAMP '1970-01-01 00:00:00',
+                             CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   // 1000000 AS ts_s
+        FROM events WHERE ts IS NOT NULL
+    ), ev AS (
+        SELECT user_id,
+               ts_s * 4294967296 + 4294967295 AS event_ts
+        FROM base WHERE event_type != 'click'
+    ), st AS (
+        SELECT user_id,
+               ts_s * 4294967296 + event_id % 4294967295 AS state_ts,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS sval
+        FROM base WHERE event_type = 'click' AND value IS NOT NULL
+    )
+    SELECT e.user_id, e.event_ts,
+           s.state_ts AS asof_ts,
+           s.sval AS asof_value_micro
+    FROM ev e ASOF LEFT JOIN st s
+      ON e.user_id = s.user_id AND e.event_ts >= s.state_ts
+    """,
+    "§2.9 stateful streaming as-of join, hash-gated "
+    "(asof_stream.py applyInPandasWithState vs DuckDB ASOF JOIN; "
+    "hw-state poll stream dual, plotqualities.py state attach)",
+)
+def q_streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.asof_stream import streaming_asof_join
+    from .tables import stream_events
+
+    stage = _stage_events_dir(sf_dir)
+    stream = stream_events(spark, stage).filter(F.col("ts").isNotNull())
+    ts_s = F.floor(F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long")
+    ev = stream.filter(F.col("event_type") != "click").select(
+        "user_id",
+        (ts_s * F.lit(4294967296) + F.lit(4294967295)).alias("k_ts"),
+    )
+    st = (
+        stream.filter(
+            (F.col("event_type") == "click") & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            (
+                ts_s * F.lit(4294967296)
+                + F.pmod(F.col("event_id"), F.lit(4294967295))
+            ).alias("k_ts"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("sval"),
+        )
+    )
+    joined = streaming_asof_join(
+        ev, st, key_col="user_id", event_ts_col="k_ts",
+        state_ts_col="k_ts", value_col="sval",
+    )
+    out = _run_bounded_to_memory(
+        spark, joined, "q_stream_asof", mode="append"
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("event_ts"),
+        F.col("asof_ts"),
+        F.col("asof_value").cast("long").alias("asof_value_micro"),
+    )
+
+
+@_register(
     "salted_event_type_volume",
     """
     -- semantics oracle for the skew-salting helper: salting is a

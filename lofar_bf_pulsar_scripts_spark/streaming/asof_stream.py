@@ -39,7 +39,26 @@ def make_asof_fn(value_col: str):
         last_ts, last_val = (
             state.get if state.exists else (None, None)
         )
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        # drop empty chunks and NULL-ts rows BEFORE concat: an empty
+        # chunk's columns default to float64 and the concat upcasts
+        # int64 __ts to float64, silently rounding keys above 2^53
+        # (observed: composite epoch keys off by 1 on the 1024-spaced
+        # float grid). Same trap for a chunk whose own NULLs force a
+        # float column.
+        chunks = []
+        for c in pdfs:
+            if len(c):
+                c = c[c["__ts"].notna()]
+                if len(c):
+                    chunks.append(c)
+        if not chunks:
+            state.update((last_ts, last_val))
+            yield pd.DataFrame(
+                [], columns=["key", "event_ts", "asof_ts", "asof_value"]
+            )
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        rows["__ts"] = rows["__ts"].astype("int64")
         # mergesort = stable; secondary key __side puts the state row
         # BEFORE an event at the same instant (inclusive <=), matching
         # the batch asof_join's (ts, side) ordering
@@ -77,9 +96,23 @@ def make_asof_fn(value_col: str):
                     }
                 )
         state.update((last_ts, last_val))
+        # asof_ts mixes ints with None (events before the first state
+        # row): plain DataFrame inference would make the column
+        # float64 and round keys above 2^53 — use the NULLABLE Int64
+        # extension dtype so values stay exact integers end-to-end.
         yield pd.DataFrame(
-            out,
-            columns=["key", "event_ts", "asof_ts", "asof_value"],
+            {
+                "key": pd.array([r["key"] for r in out], dtype="int64"),
+                "event_ts": pd.array(
+                    [r["event_ts"] for r in out], dtype="int64"
+                ),
+                "asof_ts": pd.array(
+                    [r["asof_ts"] for r in out], dtype="Int64"
+                ),
+                "asof_value": pd.array(
+                    [r["asof_value"] for r in out], dtype=object
+                ),
+            }
         )
 
     return update
