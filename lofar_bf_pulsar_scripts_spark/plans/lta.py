@@ -67,6 +67,41 @@ def register_catalog(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
         tables[name].createOrReplaceTempView(f"lta_{name}")
 
 
+def register_catalog_jdbc(
+    spark: SparkSession,
+    url: str,
+    driver: str | None = None,
+    table_prefix: str = "lta_",
+    **options: str,
+) -> None:
+    """S8 LIVE catalog source: the reference connects straight to the
+    LTA Oracle database (lta-query.py:182 ``cx_Oracle.connect``); the
+    parquet mirror in ``register_catalog`` is the offline dual. This
+    registers the same ``lta_*`` temp views from ``spark.read.jdbc``,
+    so every downstream plan (superquery, manifests, regex filters)
+    runs unchanged against the live DB.
+
+    Scale notes: Catalyst pushes the validity/project predicates and
+    column pruning into the remote WHERE/SELECT (JDBC PushedFilters),
+    so the catalog DB — a dimension source — ships only matching rows;
+    pass ``numPartitions``/``partitionColumn``/``lowerBound``/
+    ``upperBound`` through ``options`` to parallelize a large table
+    scan. Any JDBC driver on the executor classpath works (the
+    integration test uses Spark's bundled embedded Derby standing in
+    for Oracle)."""
+    for name in CATALOG_SCHEMAS:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f"{table_prefix}{name}")
+        )
+        if driver:
+            reader = reader.option("driver", driver)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        reader.load().createOrReplaceTempView(f"lta_{name}")
+
+
 def superquery(
     spark: SparkSession, project_id: int | None = None, form: str = "single"
 ) -> DataFrame:
