@@ -343,6 +343,74 @@ def test_scheduler_greedy_deterministic(spark):
     assert df.count() == 4
 
 
+def test_momxml_schedule_sink_byte_parity():
+    """D8 XML sink goldens (bfscheduler.py:26-240 stem substitution,
+    :753-788 merge): byte-level md5 pins so any drift in the DOM
+    rewrite, line surgery, or folder wrapping fails loudly — the
+    sp2tim TOA-golden precedent for the last sink."""
+    import hashlib
+
+    from lofar_bf_pulsar_scripts_spark.plans.momxml import (
+        dec2deg,
+        good_stations,
+        ra2deg,
+        render_schedule_xml,
+        render_target_xml,
+    )
+
+    # coordinate conversions (bfscheduler.py:109-120)
+    assert ra2deg("03:32:59.37") == pytest.approx(53.247375)
+    assert dec2deg("-01:27:08.6") == pytest.approx(-(1 + 27 / 60 + 8.6 / 3600))
+    # stations semantics (bfscheduler.py:58-70)
+    assert good_stations("-1") is None
+    assert len(good_stations("")) == 24
+    assert "CS021" not in good_stations("21,24")
+
+    targets = [
+        dict(name="B0329+54", obsindex=0, duration_min=20,
+             start="2020-01-01T00:30:00", end="2020-01-01T00:50:00",
+             ra="03:32:59.37", dec="+54:34:43.6"),
+        dict(name="B1919+21", obsindex=1, duration_min=15,
+             start="2020-01-01T01:00:00", end="2020-01-01T01:15:00",
+             ra="19:21:44.81", dec="+21:53:02.2", bad_stations="-1"),
+    ]
+    single = render_target_xml(
+        "LC4_010", "CEP4", 3, "B0329+54", 20,
+        "2020-01-01T00:30:00", "2020-01-01T00:50:00",
+        "03:32:59.37", "+54:34:43.6", bad_stations="21,24",
+    )
+    assert "<duration>1200</duration>" in single  # LENGTHSEC = min*60
+    assert "<duration>12000</duration>" in single  # PIPELENGTH = 10x
+    assert 'index="10003"' in single  # pipeline index = 10000+obs
+    assert "CS021" not in single and "CS024" not in single
+    merged = render_schedule_xml(targets, "LC4_010", "CEP4")
+    folderv = render_schedule_xml(
+        targets, "LC4_010", "CEP4", folder="PulsarFolder"
+    )
+    # merged docs keep ONE header/trailer; both targets' items present
+    assert merged.count("<?xml") == 1 and merged.count("</lofar:project>") == 1
+    assert "B.0.B0329+54" in merged and "B.1.B1919+21" in merged
+    assert "<stations>STATIONS</stations>" in merged  # '-1' untouched
+    assert "<name>PulsarFolder</name>" in folderv
+    assert "<description>B0329+54, B1919+21</description>" in folderv
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert md5(single) == "677cfcc867e69ef92778d85e4831b2d6"
+    assert md5(merged) == "049ad3a99f73668250c7ccc9d789fe58"
+    assert md5(folderv) == "d88e974becaa7e2117eea16a60b78fe7"
+    # MoM 255-char description truncation: drop the last truncated
+    # name, append ",..." (bfscheduler.py:771-773)
+    many = [
+        dict(name=f"J{i:04d}+4242", obsindex=i, duration_min=5,
+             start="2020-01-01T00:00:00", end="2020-01-01T00:05:00",
+             ra="00:00:00.0", dec="+00:00:00.0")
+        for i in range(40)
+    ]
+    fx = render_schedule_xml(many, "LC4_010", "CEP4", folder="F")
+    descr = fx.split("<description>", 1)[1].split("</description>")[0]
+    assert descr.endswith(",...") and len(descr) <= 255
+    assert descr.count("J") == len([n for n in descr.split(", ") if n])
+
+
 def test_sp2tim_full_precision(spark):
     sp = spark.createDataFrame(
         [("L1", 26.76, 8.5, 4321.123456789)],
