@@ -130,3 +130,54 @@ def test_hex_prefix_bucket_is_monotone(spark, nb):
     bs = [r["b"] for r in rows]
     assert bs == sorted(bs)          # monotone in key order
     assert all(0 <= b < nb for b in bs)
+
+
+def test_sketch_estimates_within_published_bounds(spark):
+    """Quantitative check for the rows-only approx_sketches gate: the
+    HLL distinct estimate stays within 3x the configured relative
+    standard deviation (Spark default rsd = 0.05), and the GK
+    percentile_approx(accuracy=1000) result respects its published
+    rank guarantee (rank error <= n/accuracy) against the exact
+    sorted values."""
+    import math
+
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", F.lit(0.95), F.lit(1000)).alias(
+                "p95"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("users"))
+        .collect()
+    }
+    assert approx and set(approx) == set(exact)
+    vals_by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        vals_by_type.setdefault(r["event_type"], []).append(r["value"])
+    for etype, a in approx.items():
+        rel = abs(a["approx_users"] - exact[etype]["users"]) / exact[etype][
+            "users"
+        ]
+        assert rel <= 3 * 0.05, (etype, rel)  # 3 sigma of default rsd
+        vals = sorted(vals_by_type[etype])
+        n = len(vals)
+        assert n == a["n"]
+        # GK rank guarantee at accuracy=1000: rank error <= ceil(n *
+        # 1/accuracy); +1 covers duplicate-value rank boundaries
+        tol = math.ceil(n / 1000) + 1
+        target = math.ceil(0.95 * n)
+        lo = vals[max(0, target - tol - 1)]
+        hi = vals[min(n - 1, target + tol - 1)]
+        assert lo <= a["p95"] <= hi, (etype, lo, a["p95"], hi)
