@@ -504,19 +504,21 @@ def write_psrfits_cube(
     # size guard: one .ar is one observation; a cube that doesn't fit
     # the driver indicates a mis-scoped call (e.g. an unfiltered fact
     # table), not a bigger archive. 2^28 cells = 2 GiB of float64.
-    # Probed with a LIMIT guard+1 count: CollectLimit stops scanning
-    # once the limit is hit, so the probe's work is bounded by the
-    # guard itself (a full count() would execute the entire upstream
-    # twice; checking len() after toPandas() would OOM the driver on
-    # the very input the guard exists to reject).
+    # ONE upstream execution: collect through LIMIT guard+1 and length-
+    # check the result — CollectLimit stops scanning once the limit is
+    # hit, so a runaway input costs at most guard+1 rows of transfer
+    # (the same bound a valid cube pays), and a valid cube (<= guard
+    # rows) passes through the limit unchanged. The former separate
+    # probe count() ran the whole upstream a second time.
     guard = 1 << 28
-    if cube.select(F.lit(1)).limit(guard + 1).count() > guard:
+    pdf = cube.limit(guard + 1).toPandas()
+    if len(pdf) > guard:
         raise ValueError(
             f"write_psrfits_cube collects the cube to the driver; "
             f"more than 2^28 cells exceeds the single-archive guard — "
             f"filter to one observation (or shard per obs) first"
         )
-    pdf = cube.toPandas().sort_values(["subint", "pol", "chan", "bin"])
+    pdf = pdf.sort_values(["subint", "pol", "chan", "bin"])
     nsub = int(pdf["subint"].max()) + 1
     npol = int(pdf["pol"].max()) + 1
     nchan = int(pdf["chan"].max()) + 1

@@ -254,3 +254,36 @@ def test_write_psrfits_cube_roundtrip(spark, tmp_path):
                     v, w = got[(s, p, c, b)]
                     assert abs(v - vals[s, p, c, b]) <= q * 0.51
                     assert w == (1.0 if c != 1 else 0.0)
+
+
+def test_write_psrfits_cube_single_upstream_execution(spark, tmp_path):
+    """The size guard and the collect share ONE upstream execution
+    (limit-bounded toPandas) — the former separate probe count() ran
+    the whole upstream twice per sink call."""
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.sources.fits_h5 import (
+        write_psrfits_cube,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(its):
+        import pandas as pd  # noqa: F401
+
+        for pdf in its:
+            acc.add(len(pdf))
+            yield pdf
+
+    nsub, npol, nchan, nbin = 1, 1, 2, 8
+    rows = [
+        (0, 0, c, b, float(c * 10 + b))
+        for c in range(nchan)
+        for b in range(nbin)
+    ]
+    base = spark.createDataFrame(
+        rows, "subint int, pol int, chan int, bin int, value double"
+    ).repartition(2)
+    cube = base.mapInPandas(counted, schema=base.schema)
+    write_psrfits_cube(cube, str(tmp_path / "one.ar"))
+    assert acc.value == len(rows)  # exactly one pass, not two
