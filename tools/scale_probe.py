@@ -1,0 +1,230 @@
+"""Scale probe: measure wall-clock growth of the most expensive
+registry queries under a 10x (sf0.1 -> sf1-equivalent) data scale-up.
+
+VERDICT r4 task 1: the 100 TB story rested on plan shapes plus a
+single ad-hoc 10x probe; this tool makes the measurement reproducible
+and records per-query scaling exponents for SCALE.md.
+
+Dataset construction (``build``): each fact/dim table at the source SF
+is replicated ``factor`` times with per-replica key shifts chosen so
+ALL foreign keys stay consistent (orders<->lineitem<->customer/part/
+supplier join exactly as in TPC-H scaling; region/nation stay fixed,
+as dbgen does). To avoid the degenerate corpus of the round-4 ad-hoc
+probe (10 exact copies of every doc => candidate pairs grow as
+replicas^2 inside every LSH bucket, which measures the synthetic
+duplication, not the operator), replica r>0 gets:
+
+* documents.text suffixed with a per-replica token (docs distinct
+  across replicas; WITHIN-replica duplicates are preserved, so dedup
+  still has real work at every scale);
+* embeddings.embedding[0] nudged by r * 1e-3 (vectors distinct, near
+  the originals — realistic near-dup structure).
+
+events.user_id is shifted per replica: 10x data = 10x users with the
+same per-user session structure, which is how a real corpus grows.
+
+Usage:
+    python tools/scale_probe.py build  [--src /root/testdata/sf0.1] \
+        [--dst /tmp/scale_sf1] [--factor 10]
+    python tools/scale_probe.py run    [--base /root/testdata/sf0.1] \
+        [--scaled /tmp/scale_sf1] [--factor 10] [--repeats 2] [--queries a,b]
+
+``run`` prints one JSON object per query with base/scaled wall times
+(min over repeats after a warmup), the ratio, and the scaling exponent
+log(t_scaled/t_base)/log(factor); plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The 8 most expensive registry queries per BENCH_r04 — the set VERDICT
+# r4 names for the measurement.
+DEFAULT_QUERIES = [
+    "dup_clusters",
+    "sequence_packing",
+    "streaming_dedup_exact",
+    "acf2d_user_day",
+    "lsh_ann_topk",
+    "chunk_dedup_stats",
+    "lta_superquery_manifest",
+    "catalog_union",
+]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Tables replicated with key shifts; region/nation are fixed dims.
+FIXED = {"region", "nation"}
+
+
+def _strides(con, src: str) -> dict[str, int]:
+    """Key-shift stride per key family = max(key)+1 at the source SF."""
+    q = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
+    return {
+        "cust": q(f"select max(c_custkey)+1 from '{src}/customer.parquet'"),
+        "supp": q(f"select max(s_suppkey)+1 from '{src}/supplier.parquet'"),
+        "part": q(f"select max(p_partkey)+1 from '{src}/part.parquet'"),
+        "order": q(f"select max(o_orderkey)+1 from '{src}/orders.parquet'"),
+        "event": q(f"select max(event_id)+1 from '{src}/events.parquet'"),
+        "user": q(f"select max(user_id)+1 from '{src}/events.parquet'"),
+        "doc": q(f"select max(doc_id)+1 from '{src}/documents.parquet'"),
+        "vec": q(f"select max(vec_id)+1 from '{src}/embeddings.parquet'"),
+    }
+
+
+def build(src: str, dst: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    s = _strides(con, src)
+    # Per-table SELECT for replica r (r is substituted as a literal).
+    replica_sql = {
+        "customer": (
+            "select c_custkey + {r}*{cust} as c_custkey, c_name, "
+            "c_nationkey, c_acctbal, c_mktsegment from src"
+        ),
+        "supplier": (
+            "select s_suppkey + {r}*{supp} as s_suppkey, s_name, "
+            "s_nationkey, s_acctbal from src"
+        ),
+        "part": (
+            "select p_partkey + {r}*{part} as p_partkey, p_name, p_brand, "
+            "p_type, p_size, p_retailprice from src"
+        ),
+        "orders": (
+            "select o_orderkey + {r}*{order} as o_orderkey, "
+            "o_custkey + {r}*{cust} as o_custkey, o_orderstatus, "
+            "o_totalprice, o_orderdate, o_orderpriority from src"
+        ),
+        "lineitem": (
+            "select l_orderkey + {r}*{order} as l_orderkey, "
+            "l_partkey + {r}*{part} as l_partkey, "
+            "l_suppkey + {r}*{supp} as l_suppkey, l_linenumber, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, "
+            "l_returnflag, l_linestatus, l_shipdate from src"
+        ),
+        "events": (
+            "select event_id + {r}*{event} as event_id, ts, "
+            "user_id + {r}*{user} as user_id, event_type, value, props "
+            "from src"
+        ),
+        "documents": (
+            "select doc_id + {r}*{doc} as doc_id, "
+            "case when {r} = 0 then text else text || ' zrep{r}' end as text, "
+            "lang, source, n_chars from src"
+        ),
+        "embeddings": (
+            "select vec_id + {r}*{vec} as vec_id, "
+            "cast(list_concat([embedding[1] + {r} * 0.001], embedding[2:]) "
+            "as FLOAT[]) as embedding, label from src"
+        ),
+    }
+    for t in TABLES:
+        src_path = f"{src}/{t}.parquet"
+        out = f"{dst}/{t}.parquet"
+        con.execute(f"create or replace view src as select * from '{src_path}'")
+        if t in FIXED:
+            sql = "select * from src"
+        else:
+            parts = [
+                replica_sql[t].format(r=r, **s) for r in range(factor)
+            ]
+            sql = " union all ".join(f"({p})" for p in parts)
+        con.execute(f"copy ({sql}) to '{out}' (format parquet)")
+        n = con.execute(f"select count(*) from '{out}'").fetchone()[0]
+        print(f"built {t}: {n} rows", file=sys.stderr)
+
+
+def run(base: str, scaled: str, factor: int, repeats: int, names: list[str]) -> None:
+    from lofar_bf_pulsar_scripts_spark.session import get_spark
+    from __spark_entry__ import queries
+
+    spark = get_spark(app_name="scale_probe")
+    qs = queries()
+    missing = [n for n in names if n not in qs]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+
+    def timed(name: str, sf_dir: str) -> float:
+        # warmup run (JVM/codegen + any at-rest store build), then
+        # min over `repeats` timed runs = steady-state cost.
+        qs[name](spark, sf_dir).count()
+        best = math.inf
+        for _ in range(repeats):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best
+
+    rows = []
+    for name in names:
+        tb = timed(name, base)
+        ts_ = timed(name, scaled)
+        ratio = ts_ / tb
+        exponent = math.log(max(ratio, 1e-9)) / math.log(factor)
+        row = {
+            "query": name,
+            "base_s": round(tb, 3),
+            "scaled_s": round(ts_, 3),
+            "ratio": round(ratio, 2),
+            "exponent": round(exponent, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    worst = max(rows, key=lambda r: r["ratio"])
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "factor": factor,
+                "max_ratio": worst["ratio"],
+                "max_ratio_query": worst["query"],
+                "all_within_linear_x1.2": all(
+                    r["ratio"] <= 1.2 * factor for r in rows
+                ),
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("--src", default="/root/testdata/sf0.1")
+    b.add_argument("--dst", default="/tmp/scale_sf1")
+    b.add_argument("--factor", type=int, default=10)
+    r = sub.add_parser("run")
+    r.add_argument("--base", default="/root/testdata/sf0.1")
+    r.add_argument("--scaled", default="/tmp/scale_sf1")
+    r.add_argument("--factor", type=int, default=10)
+    r.add_argument("--repeats", type=int, default=2)
+    r.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    a = ap.parse_args()
+    if a.cmd == "build":
+        build(a.src, a.dst, a.factor)
+    else:
+        run(a.base, a.scaled, a.factor, a.repeats, a.queries.split(","))
+
+
+if __name__ == "__main__":
+    main()
