@@ -5,9 +5,20 @@ ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Each query is executed through the same registry the correctness gate
-uses; timing includes plan + execution (count() action), excluding
-session startup and first-touch JVM warmup (one warmup query runs
-first).
+uses; timing includes plan + execution, excluding session startup and
+first-touch JVM warmup (one warmup query runs first).
+
+Execution action (round 5 change): ``df.write.format("noop")`` — NOT
+``count()``. Catalyst prunes unused columns through a final count, so
+count() on an Aggregate drops the aggregate expressions themselves
+(and column-prunes the scan down to the group keys): rounds 1-4
+timed partial plans for every aggregate-shaped query
+(minhash_signatures measured 0.4s flat at every SF; its full
+projection is ~1.7s at sf0.1). The noop sink executes the complete
+projection — what a downstream consumer pays. The JSON carries
+``"action": "noop_write"`` so cross-round comparisons know r5+
+numbers are NOT comparable to the r1-r4 count()-based series
+(measured conversion on the r4 set: see SCALE.md round 5).
 """
 
 from __future__ import annotations
@@ -47,12 +58,15 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    def execute(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # JVM/codegen warmup on the smallest query
-    qs[names[0]](spark, sf_dir).count()
+    execute(qs[names[0]](spark, sf_dir))
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        execute(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +75,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "action": "noop_write",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

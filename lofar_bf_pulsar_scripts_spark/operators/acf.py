@@ -22,6 +22,27 @@ energy normalization (dynsp.py:305-345) or an unbiased 1/(N-L) one.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _widened(df: DataFrame, col: str):
+    """decimal(38,0)-widened copy of an integral column; floats pass
+    through unchanged.
+
+    ACF inputs are typically quantized-integer BIN SUMS, which grow
+    linearly with the data: at the 100x scale probe the pairwise
+    product of two int64 bin sums crossed 2^63 and ANSI mode raised
+    ARITHMETIC_OVERFLOW (caught by tools/scale_probe.py — the
+    count()-pruned bench never executed the product). decimal(38,0)
+    gives int128-equivalent headroom, the same engine-width-parity
+    treatment as fit_powerlaw / _regr_exact (SCALE.md round 4); the
+    public `acf` column is one correctly-rounded double conversion
+    at the end."""
+    t = df.schema[col].dataType
+    c = F.col(col)
+    return c.cast("decimal(38,0)") if isinstance(t, _INTEGRAL) else c
 
 
 def acf_1d(
@@ -35,28 +56,33 @@ def acf_1d(
     (group..., lag, acf, acf_norm, npairs): acf = sum x_i x_{i+L},
     acf_norm = acf / sum x_i^2 (zero-lag normalized)."""
     group_cols = group_cols or []
+    base = df.select(
+        *group_cols, order_col, _widened(df, value_col).alias("__wv")
+    )
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     prods = [
-        (F.col(value_col) * F.lead(value_col, lag).over(w)).alias(f"__p_{lag}")
+        (F.col("__wv") * F.lead("__wv", lag).over(w)).alias(f"__p_{lag}")
         for lag in lags
     ]
-    wide = df.select(*group_cols, F.col(value_col), *prods)
+    wide = base.select(*group_cols, F.col("__wv"), *prods)
     stack_args = ", ".join(f"{lag}, __p_{lag}" for lag in lags)
     long = wide.selectExpr(
         *group_cols,
-        value_col,
+        "__wv",
         f"stack({len(lags)}, {stack_args}) AS (lag, prod)",
     )
     out = long.groupBy(*group_cols, "lag").agg(
-        F.sum("prod").alias("acf"),
+        F.sum("prod").alias("__acf"),
         F.count("prod").alias("npairs"),
-        F.sum(F.col(value_col) * F.col(value_col)).alias("__e"),
+        F.sum(F.col("__wv") * F.col("__wv")).alias("__e"),
     )
     return out.select(
         *group_cols,
         "lag",
-        "acf",
-        (F.col("acf") / F.col("__e")).alias("acf_norm"),
+        F.col("__acf").cast("double").alias("acf"),
+        (F.col("__acf").cast("double") / F.col("__e").cast("double")).alias(
+            "acf_norm"
+        ),
         "npairs",
     )
 
@@ -78,13 +104,14 @@ def acf_2d(
     acf_norm) where acf_norm divides by the raster energy."""
     lag_rows = [(int(dt), int(dfl)) for dt in time_lags for dfl in freq_lags]
     lags = raster.sparkSession.createDataFrame(lag_rows, "dt int, df_ int")
+    wv = _widened(raster, value_col)
     left = raster.select(
         F.col(t_col).alias("__t"), F.col(f_col).alias("__f"),
-        F.col(value_col).alias("__va"),
+        wv.alias("__va"),
     )
     right = raster.select(
         F.col(t_col).alias("__t2"), F.col(f_col).alias("__f2"),
-        F.col(value_col).alias("__vb"),
+        wv.alias("__vb"),
     )
     expanded = left.crossJoin(F.broadcast(lags)).withColumn(
         "__tt", F.col("__t") + F.col("dt")
@@ -93,19 +120,22 @@ def acf_2d(
         right,
         (F.col("__tt") == F.col("__t2")) & (F.col("__ff") == F.col("__f2")),
     )
-    energy = raster.agg(
-        F.sum(F.col(value_col) * F.col(value_col)).alias("__e")
+    energy = raster.select(wv.alias("__wv")).agg(
+        F.sum(F.col("__wv") * F.col("__wv")).alias("__e")
     )
     out = (
         joined.groupBy("dt", "df_")
         .agg(
-            F.sum(F.col("__va") * F.col("__vb")).alias("acf"),
+            F.sum(F.col("__va") * F.col("__vb")).alias("__acf"),
             F.count(F.lit(1)).alias("npairs"),
         )
         .crossJoin(F.broadcast(energy))
         .select(
-            "dt", "df_", "acf", "npairs",
-            (F.col("acf") / F.col("__e")).alias("acf_norm"),
+            "dt", "df_",
+            F.col("__acf").cast("double").alias("acf"),
+            "npairs",
+            (F.col("__acf").cast("double") / F.col("__e").cast("double"))
+            .alias("acf_norm"),
         )
     )
     return out

@@ -2700,14 +2700,18 @@ _ACF_LAGS = [1, 2, 3, 4, 6, 12, 24]
 
 
 def _acf_oracle() -> str:
-    # Milli-quantized hourly sums: products of two BIGINT bin sums stay
-    # far below 2^63, so the per-lag product sums and the energy are
-    # exact integers; acf_norm is one double division over them.
+    # Milli-quantized hourly sums are BIGINT bin sums that grow
+    # linearly with the data, so their pairwise products are widened
+    # to HUGEINT BEFORE multiplying (the 100x scale probe caught the
+    # int64 product overflowing — engine-width parity, SCALE.md r4/r5);
+    # acf_m2 is one correctly-rounded double conversion of the exact
+    # integer sum, matching Spark's decimal(38,0) -> double.
     branches = "\n        UNION ALL\n".join(
         f"""
         SELECT {lag} AS lag,
-               profile * lead(profile, {lag}) OVER (ORDER BY bin) AS prod,
-               profile * profile AS sq
+               CAST(profile AS HUGEINT)
+                 * lead(profile, {lag}) OVER (ORDER BY bin) AS prod,
+               CAST(profile AS HUGEINT) * profile AS sq
         FROM hourly"""
         for lag in _ACF_LAGS
     )
@@ -2719,7 +2723,7 @@ def _acf_oracle() -> str:
     ), long AS ({branches}
     )
     SELECT lag,
-           CAST(sum(prod) AS BIGINT) AS acf_m2,
+           CAST(sum(prod) AS DOUBLE) AS acf_m2,
            round(sum(prod) / sum(sq), 6) + 0.0 AS acf_norm,
            count(prod) AS npairs
     FROM long GROUP BY lag
@@ -2759,14 +2763,18 @@ def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum({_vq_sql('1e3')}) AS BIGINT) AS value
         FROM events GROUP BY 1, 2
     ), energy AS (
-        SELECT sum(value * value) AS e FROM raster
+        -- HUGEINT-widened BEFORE multiplying: the day-bin sums grow
+        -- linearly with the data and their products cross 2^63 at the
+        -- 100x probe scale (engine-width parity, SCALE.md r5)
+        SELECT sum(CAST(value AS HUGEINT) * value) AS e FROM raster
     ), lags AS (
         SELECT * FROM (VALUES (0, 1), (1, 0), (1, 1), (2, 0), (0, 2)) AS t(dt, df_)
     )
     SELECT l.dt, l.df_,
-           CAST(sum(a.value * b.value) AS BIGINT) AS acf_m2,
+           CAST(sum(CAST(a.value AS HUGEINT) * b.value) AS DOUBLE) AS acf_m2,
            count(*) AS npairs,
-           round(sum(a.value * b.value) / any_value(energy.e), 6) + 0.0 AS acf_norm
+           round(sum(CAST(a.value AS HUGEINT) * b.value)
+                 / any_value(energy.e), 6) + 0.0 AS acf_norm
     FROM raster a
       CROSS JOIN lags l
       JOIN raster b ON a.time_bin + l.dt = b.time_bin
@@ -4342,10 +4350,14 @@ _TAIL: tuple[str, ...] = (
     "streaming_fold_replay",
     "approx_sketches",
     # r4-green and byte-identical since r4; demoted in r5 to free
-    # head-50 slots for the re-gated wijnholds_aeff_lookup and the
-    # new streaming_asof_exact / lsh_ann_topk_stored gates.
+    # head-50 slots for the re-gated wijnholds_aeff_lookup, the new
+    # streaming_asof_exact / lsh_ann_topk_stored gates, and the
+    # re-gated acf_hourly (its products were HUGEINT-widened after
+    # the 100x probe exposed the int64 overflow; changed oracle text
+    # must re-gate, so it leaves the tail and tsky_scaled funds it).
     "qq_normalize_stats",
     "auto_off_window",
+    "tsky_scaled",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
@@ -4389,7 +4401,6 @@ _TAIL: tuple[str, ...] = (
     "pivot_event_values",
     "event_pairs_within_minute",
     "bilinear_gain",
-    "acf_hourly",
 )
 
 
