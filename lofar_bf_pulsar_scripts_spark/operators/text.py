@@ -105,16 +105,31 @@ def chunk_documents(
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles; [] when the document has < k tokens.
-    (Spark's sequence(1, n) is DESCENDING for n<1, hence the guard.)"""
-    w = tokens(col)
-    n = F.size(w)
+    (Spark's sequence(1, n) is DESCENDING for n<1, hence the guard.)
 
-    def shingle(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    The token array is bound ONCE as a lambda variable: a captured
+    outer expression inside a higher-order-function lambda is
+    re-evaluated per element (SCALE.md pitfall 1 / the minhash
+    measurement), so referencing ``tokens(col)`` directly from the
+    per-shingle lambda re-ran the tokenizer regex k times per
+    shingle — quadratic per document (measured: repetition_stats at
+    17 s for sf0.1 under the noop executor; ~1.4 s with the bound
+    form). ``transform(array(tokens), build)[0]`` is the same
+    nested-lambda binding trick as hyperplane_buckets (pitfall 7)."""
 
-    return F.when(
-        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)
-    ).otherwise(F.array().cast("array<string>"))
+    def build(w: Column) -> Column:
+        n = F.size(w)
+
+        def shingle(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(k)]
+            )
+
+        return F.when(
+            n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(tokens(col)), build)[0]
 
 
 def corpus_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1331,13 +1331,25 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     sh = word_shingles("text", 3)
-    return d.select(
+    # explode(array(sh)) materializes the shingle array ONCE behind a
+    # generator boundary: referencing `sh` from three projection
+    # columns lets CollapseProject inline (and re-evaluate) the whole
+    # tokenize+shingle expression per consumer (SCALE.md pitfall 1).
+    exploded = d.select(
+        "doc_id", F.explode(F.array(sh)).alias("__sh")
+    )
+    sizes = exploded.select(
         "doc_id",
-        F.size(sh).cast("bigint").alias("n_shingles"),
-        F.size(F.array_distinct(sh)).cast("bigint").alias(
+        F.size("__sh").cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct("__sh")).cast("bigint").alias(
             "n_distinct_shingles"
         ),
-        (F.size(sh) - F.size(F.array_distinct(sh))).cast("bigint").alias(
+    )
+    return sizes.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct_shingles",
+        (F.col("n_shingles") - F.col("n_distinct_shingles")).alias(
             "n_repeated"
         ),
     )

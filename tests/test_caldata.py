@@ -87,11 +87,21 @@ def test_casa_beamcorr_nearest_matches_reference_sort(spark):
         .orderBy("freq_mhz")
         .collect()
     ]
-    for f0 in (100.0, 151.337, 299.9, 10.0):
+    # includes exact grid points, a grid MIDPOINT (tie -> lower table
+    # frequency, the reference's stable-sort break), out-of-range
+    # extrapolation on both sides, and near-boundary offsets — the
+    # cases that stress the O(1) index probe's idx +/- 1 window.
+    mid = (table[700][0] + table[701][0]) / 2.0
+    probes = (
+        100.0, 151.337, 299.9, 10.0, 0.5, 500.0,
+        table[0][0], table[-1][0], mid,
+        mid - 1e-9, mid + 1e-9, table[3][0] + 1e-9,
+    )
+    for f0 in probes:
         facts = sorted(table, key=lambda arr: abs(f0 - arr[0]))
         df = spark.createDataFrame([Row(station="CS002", freq_mhz=f0)])
         got = caldata.attach_casa_beamcorr(df, bc).first()
-        assert got.casa_factor == pytest.approx(facts[0][1], rel=0, abs=0)
+        assert got.casa_factor == pytest.approx(facts[0][1], rel=0, abs=0), f0
 
 
 def test_jones_beam_factor_complex_algebra(spark):
