@@ -216,6 +216,101 @@ def quota_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based source re-weighting sample: keep each row of
+    source s with probability p_s ∝ n_s^alpha, scaled so the expected
+    kept total is ``budget_frac`` of the corpus — the standard
+    multi-source pretraining mixer (alpha < 1 upweights small sources,
+    alpha = 1 is proportional, alpha = 0 is uniform-over-sources).
+
+        w_s  = floor(n_s^alpha * 1000)            (integer weight)
+        p_s  = min(1, budget_frac * N * w_s / (Σw * n_s))
+        keep = md5_bucket(id, seed) < floor(p_s * 1e6)
+
+    The budget is an UPPER bound: when a small source's unclamped
+    rate crosses 1 it keeps everything and the excess is NOT
+    redistributed to other sources (standard mixer behavior —
+    redistribution would make p_s depend on the clamp set and break
+    the nesting property below).
+
+    Scale/determinism design:
+    * Two tiny aggregations (per-source counts, then their sums) and a
+      broadcast join back — the corpus crosses the wire zero times;
+      membership is then a pure projection + filter like hash_sample,
+      so the sample is identical across runs, partitionings, cluster
+      sizes, and engines, and is NESTED in budget_frac (a row kept at
+      0.3 is kept at 0.5).
+    * Weights are quantized to integers BEFORE the cross-source sum so
+      the sum is associative-exact; alpha = 0.5 uses sqrt (correctly
+      rounded per IEEE 754 in both the JVM and DuckDB) rather than
+      pow, whose last-ulp behavior is not portable — the per-source
+      threshold is therefore bit-identical cross-engine. Other alphas
+      use pow and are deterministic within an engine but may differ
+      cross-engine in the last ulp of the threshold boundary.
+    * Σw·n_s is computed in double (the probability denominator): at
+      corpus scale the integer product w_tot * n_s crosses 2^63
+      (pitfall 9's class), and a probability does not need exactness.
+
+    Appends nothing; returns kept rows. Use ``temperature_mix_rates``
+    for the per-source rate table itself."""
+    rates = temperature_mix_rates(
+        df, source_col=source_col, alpha=alpha, budget_frac=budget_frac
+    )
+    from .dedup import _md5_int28
+
+    bkt = F.pmod(
+        _md5_int28(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+        ),
+        F.lit(1_000_000),
+    )
+    joined = df.join(
+        F.broadcast(rates.select(source_col, "thresh")), source_col
+    )
+    return joined.filter(bkt < F.col("thresh")).drop("thresh")
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source rate table for ``temperature_mix``: (source, n_docs,
+    wq, thresh) with thresh = floor(p_s * 1e6). See temperature_mix
+    for the exactness contract."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    w = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    cw = counts.withColumn(
+        "wq", F.floor(w * F.lit(1000.0)).cast("long")
+    )
+    totals = cw.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("wq").alias("w_tot")
+    )
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_frac)) * F.col("n_tot") * F.col("wq"))
+        / (F.col("w_tot").cast("double") * F.col("n_docs")),
+    )
+    return (
+        cw.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            "wq",
+            F.floor(p * F.lit(1_000_000.0)).cast("long").alias("thresh"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,

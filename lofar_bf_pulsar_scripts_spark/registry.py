@@ -1378,6 +1378,68 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(d, "source", 50, id_col="doc_id", seed="mix")
 
 
+@_register(
+    "temperature_mix_counts",
+    f"""
+    WITH c AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), cw AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+                   AS wq
+        FROM c
+    ), t AS (
+        SELECT sum(n_docs) AS n_tot, sum(wq) AS w_tot FROM cw
+    ), r AS (
+        SELECT source, n_docs, wq,
+               CAST(floor(least(1.0,
+                   (0.5 * n_tot * wq) / (CAST(w_tot AS DOUBLE) * n_docs)
+               ) * 1000000) AS BIGINT) AS thresh
+        FROM cw CROSS JOIN t
+    ), k AS (
+        SELECT d.source, d.doc_id
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE ({_minhash_x_sql("CAST(doc_id AS VARCHAR) || ':mix'")})
+              % 1000000 < r.thresh
+    )
+    SELECT r.source, r.n_docs, r.wq, r.thresh,
+           count(k.doc_id) AS n_kept,
+           COALESCE(CAST(sum(k.doc_id) AS BIGINT), 0) AS sum_kept_id
+    FROM r LEFT JOIN k ON r.source = k.source
+    GROUP BY r.source, r.n_docs, r.wq, r.thresh
+    """,
+    "temperature-based source mixing (p_s ~ n_s^0.5, budget-scaled; "
+    "north star multi-source pretraining mixer — integer-quantized "
+    "weights + IEEE sqrt make the per-source threshold bit-identical "
+    "cross-engine; corpus crosses the wire zero times)",
+)
+def q_temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import temperature_mix, temperature_mix_rates
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    rates = temperature_mix_rates(d, alpha=0.5, budget_frac=0.5)
+    kept = temperature_mix(d, alpha=0.5, budget_frac=0.5, seed="mix")
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.sum("doc_id").alias("__sum_kept"),
+    )
+    return (
+        rates.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "wq",
+            "thresh",
+            F.coalesce(F.col("__n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col("__sum_kept"), F.lit(0).cast("long")).alias(
+                "sum_kept_id"
+            ),
+        )
+    )
+
+
 def _dup_clusters_oracle() -> str:
     """LSH buckets -> candidate pairs -> connected components via a
     recursive transitive-closure CTE (min reachable doc_id = the
@@ -4370,6 +4432,8 @@ _TAIL: tuple[str, ...] = (
     "qq_normalize_stats",
     "auto_off_window",
     "tsky_scaled",
+    # funds the head-50 slot for the NEW temperature_mix_counts gate
+    "off_window_stats",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",

@@ -290,6 +290,64 @@ def test_connected_components_long_chain_converges(spark, tmp_path):
     assert comps == {0}
 
 
+def test_temperature_mix_rates_and_nesting(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        temperature_mix,
+        temperature_mix_rates,
+    )
+
+    # 2 sources, 10:1 size skew — alpha=0.5 should upweight the small
+    # source's keep RATE by ~sqrt(10) relative to the big one.
+    df = spark.range(22000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20000, "web").otherwise("books").alias(
+            "source"
+        ),
+    )
+    # budget 0.3: neither source clamps, so the rate ratio is exactly
+    # (n_web/n_books)^(1-alpha) = sqrt(10)
+    rates = {
+        r["source"]: r
+        for r in temperature_mix_rates(df, alpha=0.5, budget_frac=0.3)
+        .collect()
+    }
+    assert rates["web"]["n_docs"] == 20000
+    p_web = rates["web"]["thresh"] / 1e6
+    p_books = rates["books"]["thresh"] / 1e6
+    assert p_books / p_web == pytest.approx((20000 / 2000) ** 0.5, rel=1e-3)
+    expected = p_web * 20000 + p_books * 2000
+    assert expected == pytest.approx(0.3 * 22000, rel=1e-3)
+    # budget 0.5: the small source's rate crosses 1 and CLAMPS (no
+    # redistribution — the budget is an upper bound, standard mixer
+    # behavior); the kept total is then p_web*20000 + all 2000
+    r5 = {
+        r["source"]: r
+        for r in temperature_mix_rates(df, alpha=0.5, budget_frac=0.5)
+        .collect()
+    }
+    assert r5["books"]["thresh"] == 1_000_000
+    kept = temperature_mix(df, alpha=0.5, budget_frac=0.5)
+    n = kept.count()
+    target = (r5["web"]["thresh"] / 1e6) * 20000 + 2000
+    assert abs(n - target) / target < 0.03  # md5 bucket noise
+    # nested in budget_frac: every row kept at 0.25 is kept at 0.5
+    small = {
+        r["doc_id"]
+        for r in temperature_mix(df, alpha=0.5, budget_frac=0.25).collect()
+    }
+    big = {r["doc_id"] for r in kept.collect()}
+    assert small <= big
+    # deterministic across evaluations
+    assert {r["doc_id"] for r in kept.collect()} == big
+    # alpha=1 is proportional: both sources keep at the same rate
+    r1 = {
+        r["source"]: r["thresh"]
+        for r in temperature_mix_rates(df, alpha=1.0, budget_frac=0.5)
+        .collect()
+    }
+    assert r1["web"] == pytest.approx(r1["books"], abs=1)
+
+
 def test_hash_sample_stratified_deterministic_nested(spark):
     from lofar_bf_pulsar_scripts_spark.operators.pipeline import hash_sample
 
