@@ -67,3 +67,28 @@ def test_doc_chunks_plan(spark):
     assert "Generate" in plan  # posexplode
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_jones_beam_corr_plan(spark):
+    """CasA nearest-frequency lookup is an O(1) computed-index probe
+    over a broadcast 52-row grid dimension: no fan-out join through a
+    SortAggregate (the r5 noop audit found that shape costing 7.6s at
+    sf0.1), no fact shuffle at all."""
+    plan = _plan(spark, "jones_beam_corr")
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+    # the ONLY hash exchange is the 52-group grid build on the
+    # dimension side; the fact side goes scan -> project, unshuffled
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_repetition_stats_plan(spark):
+    """The shingle array materializes ONCE behind a generator
+    boundary; CollapseProject re-inlining the tokenize+shingle
+    expression per output column is the 17s regression shape."""
+    plan = _plan(spark, "repetition_stats")
+    assert "Generate explode" in plan
+    # exactly one tokenizer invocation in the plan: the split() that
+    # feeds the shingle transform appears once, inside the Generate
+    assert plan.count("split(") <= 2  # Generate input + requiredChildOutput echo
