@@ -40,14 +40,33 @@ def int8_quantize(vec: Column) -> tuple[Column, Column]:
     Embedding stores ship int8 for 4x less IO; the quantization is a
     per-row sequential array expression — codegen'd, no shuffle, and
     bit-deterministic across engines (float->double widening is exact;
-    every op is one fixed IEEE expression per element)."""
-    xd = F.transform(vec, lambda x: x.cast("double"))
-    m = F.array_max(F.transform(xd, lambda x: F.abs(x)))
-    q = F.when(
-        m > 0,
-        F.transform(xd, lambda x: F.floor(x / m * 127 + F.lit(0.5))),
-    ).otherwise(F.transform(xd, lambda x: F.lit(0).cast("bigint")))
-    return m, q
+    every op is one fixed IEEE expression per element).
+
+    Both the widened array and its max are bound ONCE as lambda
+    variables (``transform(array(...), ...)[0]``): a captured outer
+    expression inside a HOF lambda is re-evaluated per element, so the
+    original form recomputed array_max(|x|) for EVERY element —
+    O(dims²) per row (the word_shingles/pitfall-1 lambda class, caught
+    by the r5 noop audit)."""
+
+    def with_xd(xd: Column) -> Column:
+        m = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+
+        def with_m(m: Column) -> Column:
+            q = F.when(
+                m > 0,
+                F.transform(
+                    xd, lambda x: F.floor(x / m * 127 + F.lit(0.5))
+                ),
+            ).otherwise(F.transform(xd, lambda x: F.lit(0).cast("bigint")))
+            return F.struct(m.alias("m"), q.alias("q"))
+
+        return F.transform(F.array(m), with_m)[0]
+
+    st = F.transform(
+        F.array(F.transform(vec, lambda x: x.cast("double"))), with_xd
+    )[0]
+    return st["m"], st["q"]
 
 
 def two_stage_topk(
