@@ -58,8 +58,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop_write")
+
     def execute(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
+        if action == "count":  # legacy r1-r4 series, for comparison only
+            df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
 
     # JVM/codegen warmup on the smallest query
     execute(qs[names[0]](spark, sf_dir))
@@ -75,7 +80,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "action": "noop_write",
+                "action": action,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
