@@ -260,3 +260,69 @@ def compact_parquet_dir(
     df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    docs_per_shard: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Training-data export sink: shuffle the corpus into a
+    reproducible pseudo-random global order, cut it into consecutive
+    shards of ``docs_per_shard`` rows, and write one Hive partition
+    per shard. Returns the shard manifest (shard, n_docs, min_rank,
+    max_rank) — the index a training loader reads instead of listing
+    files.
+
+    Why rank-based and not hash-mod sharding: trainers stream shards
+    sequentially, so shard i must be a CONTIGUOUS slice of the global
+    shuffle order for single-epoch coverage without a shuffle buffer
+    spanning shards; hash-mod would give balanced but order-
+    interleaved shards. The global order is the deterministic md5
+    shuffle key (engine-portable, partition-invariant), ranked with
+    global_rank (one shuffle + one map, offsets bounded by the bucket
+    count — no single-partition window), so the export is
+    bit-reproducible across runs and cluster sizes. Every shard
+    except the last has exactly ``docs_per_shard`` rows.
+
+    At 100 TB: one exchange for the rank, one write job; shard
+    directories are partition-pruned by loaders that resume
+    mid-epoch (``WHERE shard >= k`` touches no earlier shard)."""
+    from ..operators.pipeline import (
+        global_rank,
+        hex_prefix_bucket,
+        shuffle_key,
+    )
+
+    if docs_per_shard <= 0:
+        raise ValueError("docs_per_shard must be positive")
+    keyed = df.withColumn(
+        "__sk", shuffle_key(F.col(id_col), seed)
+    )
+    ranked = global_rank(
+        keyed,
+        ["__sk", id_col],
+        hex_prefix_bucket(F.col("__sk"), num_buckets),
+        rank_col="__rank",
+    )
+    sharded = ranked.withColumn(
+        "shard",
+        ((F.col("__rank") - 1) / F.lit(int(docs_per_shard)))
+        .cast("bigint"),
+    )
+    sharded.drop("__sk").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    out = sharded.sparkSession.read.parquet(path)
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__rank").alias("min_rank"),
+            F.max("__rank").alias("max_rank"),
+        )
+        .orderBy("shard")
+    )

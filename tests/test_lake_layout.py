@@ -264,3 +264,39 @@ def test_compact_parquet_dir(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no \\*\\.parquet"):
         compact_parquet_dir(spark, str(empty), dst)
+
+
+def test_write_training_shards(spark, tmp_path):
+    from lofar_bf_pulsar_scripts_spark.plans.lake import write_training_shards
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") * 2).alias("payload"))
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out, docs_per_shard=300).collect()
+    # 1000 docs / 300 per shard -> shards of 300/300/300/100
+    assert [r["n_docs"] for r in manifest] == [300, 300, 300, 100]
+    # shards are CONTIGUOUS slices of the global order
+    for r in manifest:
+        assert r["max_rank"] - r["min_rank"] + 1 == r["n_docs"]
+    assert manifest[0]["min_rank"] == 1 and manifest[-1]["max_rank"] == 1000
+    # deterministic: a second export produces byte-identical membership
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, out2, docs_per_shard=300)
+    a = spark.read.parquet(out).select("shard", "doc_id").collect()
+    b = spark.read.parquet(out2).select("shard", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the layout partition-prunes a resume-from-shard-k read
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("shard") >= 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # the shuffle order is not the id order (it's the md5 order)
+    first_shard_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(out)
+        .filter(F.col("shard") == 0).select("doc_id").collect()
+    )
+    assert first_shard_ids != list(range(300))
+    with pytest.raises(ValueError):
+        write_training_shards(df, out, docs_per_shard=0)
