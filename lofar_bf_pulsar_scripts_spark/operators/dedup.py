@@ -327,3 +327,105 @@ def simhash16(col: Column | str) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+# --- Bloom-filter pre-screen for incremental dedup --------------------
+#
+# Two-tier incremental dedup at corpus scale: joining every new batch
+# against the FULL historical fingerprint store (incremental_dedup)
+# shuffles |history| per batch; a Bloom pre-screen reduces that to the
+# positives only (definite-new rows never touch the store). Spark's
+# built-in BloomFilter (df.stat.bloomFilter / runtime might_contain)
+# is a driver-side object the column API cannot probe without a Python
+# UDF, so this is a COLUMN-ALGEBRA Bloom: the bitmap is built with one
+# distinct + one bit_or aggregation, shipped as a single broadcast
+# map<word, bits32> row, and probed with k element_at + bit tests in
+# whole-stage codegen. Positions are md5-derived (engine-portable),
+# so the filter — an approximate structure — is BIT-REPRODUCIBLE in
+# any engine: DuckDB expresses the identical membership as a k-way
+# position semi-join, which is what lets the driver hash-gate it.
+
+BLOOM_SALTS = ("b0", "b1", "b2", "b3")
+
+def _bit_masks() -> Column:
+    """32-entry literal array of bit masks: shiftleft()'s bit count
+    must be a Python int in the column API, so the per-position mask
+    is an element_at lookup instead (built lazily — F.lit needs an
+    active session)."""
+    return F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+
+
+def bloom_positions(fp: Column, m_bits: int) -> Column:
+    """k deterministic bit positions for a fingerprint string —
+    md5(fp || ':salt') mod m, identical in Spark and DuckDB."""
+    return F.array(
+        *[
+            F.pmod(
+                _md5_int28(F.concat_ws(":", fp, F.lit(s))),
+                F.lit(int(m_bits)),
+            )
+            for s in BLOOM_SALTS
+        ]
+    )
+
+
+def bloom_build(
+    history: DataFrame, fp_col: str = "fp", m_bits: int = 1 << 20
+) -> DataFrame:
+    """One-row DataFrame carrying the Bloom bitmap as map<word_idx,
+    bits> of 32-bit words (32-bit so ``1 << (p % 32)`` stays positive
+    int64 in every engine). Build cost: one explode (k rows per
+    fingerprint), one distinct, one bit_or aggregation — never more
+    than k·|history| rows in flight, output ≤ m/32 map entries
+    (~128 KB at m = 2^20)."""
+    pos = history.select(
+        F.explode(bloom_positions(F.col(fp_col), m_bits)).alias("p")
+    ).distinct()
+    words = pos.groupBy(
+        (F.col("p") / F.lit(32)).cast("long").alias("w")
+    ).agg(
+        F.bit_or(
+            F.element_at(_bit_masks(), F.pmod(F.col("p"), F.lit(32)).cast("int") + 1)
+        ).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+            "bloom"
+        )
+    )
+
+
+def bloom_screen(
+    new: DataFrame,
+    bloom_row: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 1 << 20,
+    out_col: str = "bloom_positive",
+) -> DataFrame:
+    """Append ``bloom_positive``: True iff every one of the row's k
+    positions is set in the broadcast bitmap. No false negatives (an
+    exact duplicate is always positive); false-positive rate is the
+    standard (1 - e^{-kn/m})^k — at k=4, n=10^6, m=2^20 about 0.24,
+    so size m ~ 10 bits per historical fingerprint in production.
+    The probe is a pure projection: the new batch is never shuffled,
+    the bitmap row is broadcast once."""
+    bloom = F.col("__bloom")
+    probe = F.forall(
+        bloom_positions(F.col(fp_col), m_bits),
+        lambda p: (
+            F.coalesce(
+                F.element_at(bloom, (p / F.lit(32)).cast("long")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(
+                F.element_at(_bit_masks(), F.pmod(p, F.lit(32)).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+    return (
+        new.crossJoin(
+            F.broadcast(bloom_row.select(F.col("bloom").alias("__bloom")))
+        )
+        .withColumn(out_col, probe)
+        .drop("__bloom")
+    )

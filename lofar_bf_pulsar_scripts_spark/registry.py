@@ -2082,6 +2082,86 @@ def q_incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 1 << 20
+
+
+@_register(
+    "bloom_incremental_screen",
+    rf"""
+    -- Bloom pre-screen for incremental dedup, expressed as its exact
+    -- semantic dual: a fingerprint is bloom-positive iff ALL k of its
+    -- md5-salt positions appear in the history's distinct position
+    -- set (the bitmap merely packs that set into words). Positions
+    -- are md5-derived, so the approximate structure is bit-identical
+    -- cross-engine and hash-gateable.
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), hist AS (
+        SELECT DISTINCT fp FROM d WHERE doc_id % 5 != 4
+    ), pos AS (
+        SELECT DISTINCT ({_minhash_x_sql("fp || ':b0'")}) % {_BLOOM_M} AS p FROM hist
+        UNION SELECT DISTINCT ({_minhash_x_sql("fp || ':b1'")}) % {_BLOOM_M} FROM hist
+        UNION SELECT DISTINCT ({_minhash_x_sql("fp || ':b2'")}) % {_BLOOM_M} FROM hist
+        UNION SELECT DISTINCT ({_minhash_x_sql("fp || ':b3'")}) % {_BLOOM_M} FROM hist
+    ), newb AS (
+        SELECT doc_id, source, fp FROM d WHERE doc_id % 5 = 4
+    ), newpos AS (
+        SELECT doc_id, unnest([
+            ({_minhash_x_sql("fp || ':b0'")}) % {_BLOOM_M},
+            ({_minhash_x_sql("fp || ':b1'")}) % {_BLOOM_M},
+            ({_minhash_x_sql("fp || ':b2'")}) % {_BLOOM_M},
+            ({_minhash_x_sql("fp || ':b3'")}) % {_BLOOM_M}
+        ]) AS p
+        FROM newb
+    ), flags AS (
+        SELECT np.doc_id, count(pos.p) = 4 AS bloom_positive
+        FROM newpos np LEFT JOIN pos ON np.p = pos.p
+        GROUP BY np.doc_id
+    )
+    SELECT n.source,
+           count(*) AS n_new,
+           CAST(sum(CASE WHEN f.bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+           CAST(sum(CASE WHEN n.fp IN (SELECT fp FROM hist)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN f.bloom_positive
+                          AND n.fp NOT IN (SELECT fp FROM hist)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM newb n JOIN flags f ON n.doc_id = f.doc_id
+    GROUP BY n.source
+    """,
+    "Bloom-filter pre-screen for incremental dedup (column-algebra "
+    "bitmap, broadcast map row, md5 positions -> bit-reproducible "
+    "cross-engine; new batch never shuffled)",
+)
+def q_bloom_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import bloom_build, bloom_screen
+    from .operators.text import fingerprint
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    is_new = F.col("doc_id") % 5 == 4
+    hist = d.filter(~is_new).select("fp").distinct()
+    bloom = bloom_build(hist, m_bits=_BLOOM_M)
+    new = bloom_screen(d.filter(is_new), bloom, m_bits=_BLOOM_M)
+    exact = hist.withColumn("__seen", F.lit(1))
+    joined = new.join(exact, "fp", "left")
+    is_dup = F.col("__seen").isNotNull()
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("bloom_positive").cast("int"))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        F.sum(is_dup.cast("int")).cast("bigint").alias("n_exact_dup"),
+        F.sum((F.col("bloom_positive") & ~is_dup).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positive"),
+    )
+
+
 @_register(
     "curation_funnel",
     rf"""
@@ -4432,8 +4512,10 @@ _TAIL: tuple[str, ...] = (
     "qq_normalize_stats",
     "auto_off_window",
     "tsky_scaled",
-    # funds the head-50 slot for the NEW temperature_mix_counts gate
+    # fund the head-50 slots for the NEW temperature_mix_counts and
+    # bloom_incremental_screen gates
     "off_window_stats",
+    "flux_spectrum",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",

@@ -290,6 +290,40 @@ def test_connected_components_long_chain_converges(spark, tmp_path):
     assert comps == {0}
 
 
+def test_bloom_screen_no_false_negatives_and_fp_behavior(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.dedup import (
+        bloom_build,
+        bloom_screen,
+    )
+
+    hist = spark.range(500).select(
+        F.concat(F.lit("fp"), F.col("id")).alias("fp")
+    )
+    # 200 overlap with history + 300 novel
+    new = spark.range(300, 800).select(
+        F.concat(F.lit("fp"), F.col("id")).alias("fp")
+    )
+    m = 1 << 16
+    bloom = bloom_build(hist, m_bits=m)
+    out = bloom_screen(new, bloom, m_bits=m).collect()
+    flags = {r["fp"]: r["bloom_positive"] for r in out}
+    # NO false negatives: every true duplicate is positive
+    for i in range(300, 500):
+        assert flags[f"fp{i}"] is True
+    # at 500*4/65536 bits set, FP rate ~ (1-e^-0.03)^4 ~ 1e-6: the
+    # 300 novel fps are (deterministically) all negative here
+    novel_pos = sum(flags[f"fp{i}"] for i in range(500, 800))
+    assert novel_pos == 0
+    # a cramped filter (m=256) MUST false-positive yet never
+    # false-negative — the approximation degrades in one direction only
+    tiny = bloom_screen(new, bloom_build(hist, m_bits=256), m_bits=256)
+    tflags = {r["fp"]: r["bloom_positive"] for r in tiny.collect()}
+    assert all(tflags[f"fp{i}"] for i in range(300, 500))
+    assert sum(tflags[f"fp{i}"] for i in range(500, 800)) > 250
+    # deterministic across evaluations
+    assert {r["fp"]: r["bloom_positive"] for r in out} == flags
+
+
 def test_temperature_mix_rates_and_nesting(spark):
     from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
         temperature_mix,
