@@ -834,3 +834,79 @@ def ann_recall(
     return all_q.join(per_q, on=query_id_col, how="left").select(
         query_id_col, F.coalesce("recall", F.lit(0.0)).alias("recall")
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------
+
+PQ_MULT = 2_654_435_761  # Knuth multiplicative constant (same as LSH)
+PQ_MOD = 193  # prime; codebook values land in [-96, 96]
+
+
+def pq_codebook_value(m, c, d):
+    """Closed-form integer codebook entry for (subspace m, code c,
+    within-subspace dim d): ((1 + 101m + 31c + 7d) * PQ_MULT) mod 193
+    − 96. Like the sign-LSH hyperplanes, the codebook is a formula —
+    nothing to ship, bit-identical in any engine (all-integer
+    arithmetic, max product ≈ 2^44 « 2^63). Real deployments would
+    train codebooks per subspace with kmeans_fit; the closed form
+    keeps the ENCODE path (the scale-relevant part) exactly testable
+    cross-engine."""
+    return (
+        F.pmod(
+            (F.lit(1) + m * F.lit(101) + c * F.lit(31) + d * F.lit(7))
+            * F.lit(PQ_MULT),
+            F.lit(PQ_MOD),
+        )
+        - F.lit(96)
+    )
+
+
+def pq_encode(vec: Column, dims: int, m_sub: int = 4, k: int = 16) -> Column:
+    """Product-quantization codes for a float vector: int8-quantize,
+    split into ``m_sub`` subspaces, and per subspace emit the code of
+    the nearest (exact integer L2) codebook entry — the compression
+    tier of the ANN family (IVF prunes which partitions a probe
+    scans; PQ shrinks what each scan reads: 64 float32 dims → 4
+    codes, 64x smaller).
+
+    Exactness: distances are sums of squared INTEGER differences
+    (quantized vector in [-127, 127], codebook in [-96, 96] — per-
+    subspace distance ≤ 16·223² < 2^20), and the argmin folds the
+    integer key ``dist·k + c`` so ties break to the smaller code —
+    the whole encode is engine-exact, which is what lets the driver
+    hash-gate a PQ pipeline at all. Every array/lambda value is
+    BOUND, never captured (pitfall-1 class): qv via the
+    transform(array(..))[0] trick, m/c/d as lambda variables.
+
+    Per-row cost is O(m_sub · k · sub_dims) integer ops with a
+    constant-size expression tree (pitfall 7); no shuffle, no join —
+    a 100 TB encode is a pure scan+project."""
+    if dims % m_sub != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    sub = dims // m_sub
+    _, qv_expr = int8_quantize(vec)
+
+    def with_qv(qv: Column) -> Column:
+        def code_for(m: Column) -> Column:
+            def dist(c: Column) -> Column:
+                return F.aggregate(
+                    F.sequence(F.lit(0), F.lit(sub - 1)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, d: acc
+                    + F.pow(
+                        F.element_at(qv, (m * F.lit(sub) + d + 1).cast("int"))
+                        - pq_codebook_value(m, c, d),
+                        F.lit(2),
+                    ).cast("bigint"),
+                )
+
+            best_key = F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(2**62).cast("bigint"),
+                lambda acc, c: F.least(acc, dist(c) * F.lit(k) + c),
+            )
+            return F.pmod(best_key, F.lit(k))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)), code_for)
+
+    return F.transform(F.array(qv_expr), with_qv)[0]

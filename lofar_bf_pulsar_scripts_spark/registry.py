@@ -2037,6 +2037,76 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pq_code_histogram",
+    """
+    -- product-quantization encode, expressed directly: int8-quantize
+    -- (the embedding_quantize pipeline), then per (vec, subspace)
+    -- pick the code minimizing the exact-integer L2 distance to the
+    -- closed-form codebook entry ((1+101m+31c+7d)*2654435761 mod 193
+    -- - 96); the min of dist*16+c breaks ties to the smaller code,
+    -- matching the Spark fold.
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS m,
+               embedding
+        FROM embeddings
+    ), qq AS (
+        SELECT vec_id,
+               CASE WHEN m > 0
+                    THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / m * 127 + 0.5)
+                                   AS BIGINT))
+                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+               END AS qv
+        FROM q
+    ), grid AS (
+        SELECT mm.range AS m, cc.range AS c, dd.range AS d
+        FROM range(4) mm, range(16) cc, range(16) dd
+    ), dist AS (
+        SELECT vec_id, g.m, g.c,
+               sum(
+                 (qv[g.m * 16 + g.d + 1]
+                  - (((1 + g.m*101 + g.c*31 + g.d*7) * 2654435761) % 193
+                     - 96))
+                 *
+                 (qv[g.m * 16 + g.d + 1]
+                  - (((1 + g.m*101 + g.c*31 + g.d*7) * 2654435761) % 193
+                     - 96))
+               ) AS dd2
+        FROM qq CROSS JOIN grid g
+        GROUP BY vec_id, g.m, g.c
+    ), best AS (
+        SELECT vec_id, CAST(m AS INTEGER) AS subspace,
+               CAST(min(dd2 * 16 + c) % 16 AS BIGINT) AS code
+        FROM dist GROUP BY vec_id, m
+    )
+    SELECT subspace, code, count(*) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM best GROUP BY subspace, code
+    """,
+    "product-quantization encode (north star ANN compression tier: "
+    "IVF prunes which partitions a probe scans, PQ shrinks what each "
+    "scan reads, 64 floats -> 4 codes; exact-integer distances + "
+    "closed-form codebook make the encode engine-exact)",
+)
+def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_encode
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    enc = emb.select(
+        "vec_id",
+        F.posexplode(pq_encode(F.col("embedding"), dims=64)).alias(
+            "subspace", "code"
+        ),
+    )
+    return enc.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("sum_vec_id"),
+    )
+
+
+@_register(
     "incremental_dedup_counts",
     r"""
     -- snapshot/incremental dedup: a new batch (doc_id % 5 = 4)
@@ -4512,10 +4582,11 @@ _TAIL: tuple[str, ...] = (
     "qq_normalize_stats",
     "auto_off_window",
     "tsky_scaled",
-    # fund the head-50 slots for the NEW temperature_mix_counts and
-    # bloom_incremental_screen gates
+    # fund the head-50 slots for the NEW temperature_mix_counts,
+    # bloom_incremental_screen and pq_code_histogram gates
     "off_window_stats",
     "flux_spectrum",
+    "rollup_pricing",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",

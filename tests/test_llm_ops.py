@@ -290,6 +290,53 @@ def test_connected_components_long_chain_converges(spark, tmp_path):
     assert comps == {0}
 
 
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        PQ_MOD,
+        PQ_MULT,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id", pq_encode(F.col("embedding"), dims=64).alias("codes")
+        ).collect()
+    }
+
+    def codebook(m, c, d):
+        return ((1 + 101 * m + 31 * c + 7 * d) * PQ_MULT) % PQ_MOD - 96
+
+    for i, v in enumerate(vecs):
+        mx = np.abs(v.astype("float64")).max()
+        qv = np.floor(v.astype("float64") / mx * 127 + 0.5).astype("int64")
+        want = []
+        for m in range(4):
+            sub = qv[m * 16 : (m + 1) * 16]
+            dists = [
+                int(sum((sub[d] - codebook(m, c, d)) ** 2 for d in range(16)))
+                for c in range(16)
+            ]
+            want.append(min(range(16), key=lambda c: (dists[c], c)))
+        assert list(got[i]) == want, i
+    # zero vector encodes deterministically (all-zero quantized)
+    z = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    zc = z.select(pq_encode(F.col("embedding"), dims=64).alias("c")).first()["c"]
+    assert len(zc) == 4 and all(0 <= c < 16 for c in zc)
+    with pytest.raises(ValueError):
+        pq_encode(F.col("embedding"), dims=63)
+
+
 def test_bloom_screen_no_false_negatives_and_fp_behavior(spark):
     from lofar_bf_pulsar_scripts_spark.operators.dedup import (
         bloom_build,
