@@ -2107,6 +2107,86 @@ def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pq_adc_top3",
+    """
+    -- PQ asymmetric-distance top-3: corpus encoded to 4 codes (the
+    -- pq_code_histogram pipeline), queries scored against the CODE
+    -- RECONSTRUCTIONS via exact-integer L2 — ties to the smaller id.
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS m,
+               embedding
+        FROM embeddings
+    ), qq AS (
+        SELECT vec_id,
+               CASE WHEN m > 0
+                    THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / m * 127 + 0.5)
+                                   AS BIGINT))
+                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+               END AS qv
+        FROM q
+    ), grid AS (
+        SELECT mm.range AS m, cc.range AS c, dd.range AS d
+        FROM range(4) mm, range(16) cc, range(16) dd
+    ), dist AS (
+        SELECT vec_id, g.m, g.c,
+               sum(
+                 (qv[g.m * 16 + g.d + 1]
+                  - (((1 + g.m*101 + g.c*31 + g.d*7) * 2654435761) % 193
+                     - 96))
+                 *
+                 (qv[g.m * 16 + g.d + 1]
+                  - (((1 + g.m*101 + g.c*31 + g.d*7) * 2654435761) % 193
+                     - 96))
+               ) AS dd2
+        FROM qq CROSS JOIN grid g
+        GROUP BY vec_id, g.m, g.c
+    ), enc AS (
+        SELECT vec_id, m, CAST(min(dd2 * 16 + c) % 16 AS BIGINT) AS code
+        FROM dist GROUP BY vec_id, m
+    ), qs AS (
+        SELECT vec_id AS qid, qv FROM qq WHERE vec_id % 397 = 0
+    ), pairs AS (
+        SELECT qs.qid, e.vec_id,
+               sum(
+                 (qs.qv[e.m * 16 + dd.range + 1]
+                  - (((1 + e.m*101 + e.code*31 + dd.range*7) * 2654435761)
+                     % 193 - 96))
+                 *
+                 (qs.qv[e.m * 16 + dd.range + 1]
+                  - (((1 + e.m*101 + e.code*31 + dd.range*7) * 2654435761)
+                     % 193 - 96))
+               ) AS adist
+        FROM qs JOIN enc e ON e.vec_id != qs.qid
+        CROSS JOIN range(16) dd
+        GROUP BY qs.qid, e.vec_id
+    ), ranked AS (
+        SELECT qid, vec_id, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rk
+        FROM pairs
+    )
+    SELECT qid, vec_id, CAST(adist AS BIGINT) AS adc_dist
+    FROM ranked WHERE rk <= 3
+    """,
+    "PQ asymmetric-distance search (north star ANN: per-query integer "
+    "lookup tables, 4 element_at per corpus row, no corpus shuffle, "
+    "two-stage top-k; engine-exact so the full search path is "
+    "hash-gated)",
+)
+def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 397 == 0).withColumnRenamed(
+        "vec_id", "qid"
+    )
+    return pq_adc_topk(emb, queries.select("qid", "embedding"), dims=64)
+
+
+@_register(
     "incremental_dedup_counts",
     r"""
     -- snapshot/incremental dedup: a new batch (doc_id % 5 = 4)
@@ -4587,6 +4667,7 @@ _TAIL: tuple[str, ...] = (
     "off_window_stats",
     "flux_spectrum",
     "rollup_pricing",
+    "cube_pricing",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",

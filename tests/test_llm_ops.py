@@ -337,6 +337,68 @@ def test_pq_encode_matches_numpy(spark):
         pq_encode(F.col("embedding"), dims=63)
 
 
+def test_pq_adc_topk_matches_numpy(spark):
+    import numpy as np
+
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        PQ_MOD,
+        PQ_MULT,
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = df.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "qid")
+    got = pq_adc_topk(df, qdf, dims=64, topk=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+
+    def cb(m, c, d):
+        return ((1 + 101 * m + 31 * c + 7 * d) * PQ_MULT) % PQ_MOD - 96
+
+    def quant(v):
+        mx = np.abs(v.astype("float64")).max()
+        return np.floor(v.astype("float64") / mx * 127 + 0.5).astype("int64")
+
+    def encode(qv):
+        out = []
+        for m in range(4):
+            sub = qv[m * 16 : (m + 1) * 16]
+            dists = [
+                int(sum((sub[d] - cb(m, c, d)) ** 2 for d in range(16)))
+                for c in range(16)
+            ]
+            out.append(min(range(16), key=lambda c: (dists[c], c)))
+        return out
+
+    codes = {i: encode(quant(v)) for i, v in enumerate(vecs)}
+    for qid in (0, 1):
+        qv = quant(vecs[qid])
+        dists = {}
+        for vid in range(40):
+            if vid == qid:
+                continue
+            d = 0
+            for m in range(4):
+                c = codes[vid][m]
+                d += int(
+                    sum(
+                        (qv[m * 16 + dd] - cb(m, c, dd)) ** 2
+                        for dd in range(16)
+                    )
+                )
+            dists[vid] = d
+        want = sorted(dists, key=lambda v: (dists[v], v))[:3]
+        assert [v for v, _ in sorted(by_q[qid], key=lambda t: (t[1], t[0]))] == want
+        for vid, d in by_q[qid]:
+            assert d == dists[vid]
+
+
 def test_bloom_screen_no_false_negatives_and_fp_behavior(spark):
     from lofar_bf_pulsar_scripts_spark.operators.dedup import (
         bloom_build,
