@@ -326,3 +326,54 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def write_cobucketed_pair(
+    left: DataFrame,
+    right: DataFrame,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    buckets: int = 16,
+) -> None:
+    """Co-bucket two FACT tables on their join key (orders/lineitem on
+    the orderkey being the canonical case): both sides hash into the
+    same bucket count, so the join needs NO exchange on either side —
+    at 100 TB this turns the biggest shuffle in the warehouse into a
+    per-bucket local merge. Broadcast covers dim joins; co-bucketing
+    is the fact-fact answer."""
+    for df, name, key in (
+        (left, left_table, left_key),
+        (right, right_table, right_key),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+
+def cobucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket keys. The bucketed
+    scans report their hash distribution to Catalyst, so the plan is
+    SortMergeJoin with ZERO Exchange operators (asserted in
+    test_lake_layout) — only the per-bucket sort (already satisfied
+    when written sortBy) and the merge remain.
+
+    The merge hint matters: under the raised 64 MB broadcast
+    threshold a small-SF side gets broadcast instead, and the planner
+    then DISABLES bucketed reading entirely ("Bucketed: false") —
+    co-bucketing is the fact-fact strategy for sides too big to
+    broadcast, so the join is pinned to the shape it exists for."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])

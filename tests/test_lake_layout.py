@@ -300,3 +300,33 @@ def test_write_training_shards(spark, tmp_path):
     assert first_shard_ids != list(range(300))
     with pytest.raises(ValueError):
         write_training_shards(df, out, docs_per_shard=0)
+
+
+def test_cobucketed_fact_join_has_no_exchange(spark, tmp_path):
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        cobucketed_join,
+        write_cobucketed_pair,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_cobucketed_pair(
+        orders, lineitem, "orders_cb", "lineitem_cb",
+        "o_orderkey", "l_orderkey", buckets=8,
+    )
+    try:
+        j = cobucketed_join(
+            spark, "orders_cb", "lineitem_cb", "o_orderkey", "l_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point: fact-fact join with ZERO shuffles
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # correctness: same row count as the plain join
+        expect = orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        ).count()
+        assert j.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_cb")
+        spark.sql("DROP TABLE IF EXISTS lineitem_cb")
