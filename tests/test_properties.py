@@ -181,3 +181,42 @@ def test_sketch_estimates_within_published_bounds(spark):
         lo = vals[max(0, target - tol - 1)]
         hi = vals[min(n - 1, target + tol - 1)]
         assert lo <= a["p95"] <= hi, (etype, lo, a["p95"], hi)
+
+
+def test_misra_gries_guarantees(spark):
+    """The two classical MG guarantees against exact counts on a
+    Zipf-like corpus, plus the k-counter memory bound."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.operators.sketches import misra_gries
+
+    # Zipf-ish: item i appears ~ N/(i+1) times, shuffled deterministically
+    n_items, reps = 200, 12000
+    df = (
+        spark.range(reps)
+        .select(
+            F.floor(
+                F.pow(F.lit(float(n_items)), F.pmod(F.xxhash64("id"), 10000) / 10000.0)
+            ).cast("long").cast("string").alias("item")
+        )
+    )
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    k = 32
+    summary = dict(misra_gries(df, "item", k=k))
+    # memory bound: at most k-1 survivors
+    assert len(summary) <= k - 1
+    # guarantee 1: every item with true freq > n/k is present
+    for item, cnt in exact.items():
+        if cnt > n / k:
+            assert item in summary, (item, cnt, n / k)
+    # guarantee 2: reported counts lower-bound truth by at most n/k
+    for item, est in summary.items():
+        assert est <= exact[item]
+        assert exact[item] - est <= n / k
+    with pytest.raises(ValueError):
+        misra_gries(df, "item", k=1)
