@@ -1001,3 +1001,81 @@ def pq_adc_topk(
     return out.select(
         query_id_col, id_col, (-F.col("__neg")).alias("adc_dist")
     )
+
+
+def ivf_pq_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dims: int,
+    k: int = 3,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """The composed modern ANN stack: IVF decides WHICH partitions a
+    probe scans (nprobe nearest centroids — at rest the corpus is
+    cid-partitioned, so this is partition pruning), PQ decides how
+    CHEAP each scanned row is (4 integer table lookups against the
+    query's precomputed ADC table instead of a 64-dim float dot).
+    Returns (qid, vec_id, adc_dist), ties to the smaller id,
+    exact-integer scoring throughout — hash-gateable like its two
+    component tiers."""
+    enc = corpus_assigned.select(
+        F.col(id_col),
+        F.col(centroid_id_col),
+        pq_encode(F.col(vec_col), dims, m_sub, k_codes).alias("__codes"),
+    )
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+        )
+    )
+    qprobe = (
+        queries.crossJoin(c)
+        .select(
+            F.col(query_id_col),
+            pq_query_lut(F.col(vec_col), dims, m_sub, k_codes).alias("__lut"),
+            F.col("__cid"),
+            dot(F.col(vec_col), F.col("__cvec")).alias("__score"),
+        )
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("__score"), "__cid"
+                )
+            ),
+        )
+        .filter(F.col("__rank") <= nprobe)
+        .select(query_id_col, "__lut", F.col("__cid").alias(centroid_id_col))
+    )
+    cand = enc.join(F.broadcast(qprobe), on=centroid_id_col).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    codes, lut = F.col("__codes"), F.col("__lut")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc
+        + F.element_at(
+            lut,
+            (m * F.lit(k_codes) + F.element_at(codes, (m + 1).cast("int")) + 1)
+            .cast("int"),
+        ),
+    )
+    scored = cand.select(
+        query_id_col, F.col(id_col), (-dist).alias("__neg")
+    )
+    out = two_stage_topk(
+        scored, k, id_col=id_col, query_id_col=query_id_col,
+        score_col="__neg",
+    )
+    return out.select(
+        query_id_col, id_col, (-F.col("__neg")).alias("adc_dist")
+    )

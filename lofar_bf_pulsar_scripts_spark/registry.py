@@ -2036,83 +2036,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "pq_code_histogram",
-    """
-    -- product-quantization encode, expressed directly: int8-quantize
-    -- (the embedding_quantize pipeline), then per (vec, subspace)
-    -- pick the code minimizing the exact-integer L2 distance to the
-    -- closed-form codebook entry ((1+101m+31c+7d)*2654435761 mod 193
-    -- - 96); the min of dist*16+c breaks ties to the smaller code,
-    -- matching the Spark fold.
-    WITH q AS (
-        SELECT vec_id,
-               list_max(list_transform(embedding,
-                                       x -> abs(CAST(x AS DOUBLE)))) AS m,
-               embedding
-        FROM embeddings
-    ), qq AS (
-        SELECT vec_id,
-               CASE WHEN m > 0
-                    THEN list_transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) / m * 127 + 0.5)
-                                   AS BIGINT))
-                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
-               END AS qv
-        FROM q
-    ), grid AS (
-        SELECT mm.range AS m, cc.range AS c, dd.range AS d
-        FROM range(4) mm, range(16) cc, range(16) dd
-    ), dist AS (
-        SELECT vec_id, g.m, g.c,
-               sum(
-                 (qv[g.m * 16 + g.d + 1]
-                  - (((1 + g.m*101 + g.c*31 + g.d*7) * 2654435761) % 193
-                     - 96))
-                 *
-                 (qv[g.m * 16 + g.d + 1]
-                  - (((1 + g.m*101 + g.c*31 + g.d*7) * 2654435761) % 193
-                     - 96))
-               ) AS dd2
-        FROM qq CROSS JOIN grid g
-        GROUP BY vec_id, g.m, g.c
-    ), best AS (
-        SELECT vec_id, CAST(m AS INTEGER) AS subspace,
-               CAST(min(dd2 * 16 + c) % 16 AS BIGINT) AS code
-        FROM dist GROUP BY vec_id, m
-    )
-    SELECT subspace, code, count(*) AS n_vecs,
-           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
-    FROM best GROUP BY subspace, code
-    """,
-    "product-quantization encode (north star ANN compression tier: "
-    "IVF prunes which partitions a probe scans, PQ shrinks what each "
-    "scan reads, 64 floats -> 4 codes; exact-integer distances + "
-    "closed-form codebook make the encode engine-exact)",
-)
-def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import pq_encode
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    enc = emb.select(
-        "vec_id",
-        F.posexplode(pq_encode(F.col("embedding"), dims=64)).alias(
-            "subspace", "code"
-        ),
-    )
-    return enc.groupBy("subspace", "code").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("vec_id").alias("sum_vec_id"),
-    )
-
-
-@_register(
-    "pq_adc_top3",
-    """
-    -- PQ asymmetric-distance top-3: corpus encoded to 4 codes (the
-    -- pq_code_histogram pipeline), queries scored against the CODE
-    -- RECONSTRUCTIONS via exact-integer L2 — ties to the smaller id.
-    WITH q AS (
+# Shared CTE block for the PQ oracles (pq_code_histogram, pq_adc_top3,
+# ivf_pq_top3): int8-quantize (the embedding_quantize pipeline), then
+# per (vec, subspace) the code minimizing exact-integer L2 to the
+# closed-form codebook entry ((1+101m+31c+7d)*2654435761 mod 193 - 96);
+# min(dist*16+c) breaks ties to the smaller code, matching the Spark
+# fold. ONE definition so the three gates cannot drift apart.
+_PQ_ENC_CTES = """q AS (
         SELECT vec_id,
                list_max(list_transform(embedding,
                                        x -> abs(CAST(x AS DOUBLE)))) AS m,
@@ -2146,7 +2076,58 @@ def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), enc AS (
         SELECT vec_id, m, CAST(min(dd2 * 16 + c) % 16 AS BIGINT) AS code
         FROM dist GROUP BY vec_id, m
-    ), qs AS (
+    )"""
+
+# ADC pair distance between a query's qv and a corpus row's (m, code)
+# reconstruction — 16-dim exact-integer L2, shared by the two search
+# oracles.
+_PQ_ADC_DIST = """sum(
+                 ({q}.qv[e.m * 16 + dd.range + 1]
+                  - (((1 + e.m*101 + e.code*31 + dd.range*7) * 2654435761)
+                     % 193 - 96))
+                 *
+                 ({q}.qv[e.m * 16 + dd.range + 1]
+                  - (((1 + e.m*101 + e.code*31 + dd.range*7) * 2654435761)
+                     % 193 - 96))
+               )"""
+
+
+@_register(
+    "pq_code_histogram",
+    f"""
+    WITH {_PQ_ENC_CTES}
+    SELECT CAST(m AS INTEGER) AS subspace, code, count(*) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM enc GROUP BY m, code
+    """,
+    "product-quantization encode (north star ANN compression tier: "
+    "IVF prunes which partitions a probe scans, PQ shrinks what each "
+    "scan reads, 64 floats -> 4 codes; exact-integer distances + "
+    "closed-form codebook make the encode engine-exact)",
+)
+def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_encode
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    enc = emb.select(
+        "vec_id",
+        F.posexplode(pq_encode(F.col("embedding"), dims=64)).alias(
+            "subspace", "code"
+        ),
+    )
+    return enc.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("sum_vec_id"),
+    )
+
+
+@_register(
+    "pq_adc_top3",
+    f"""
+    -- PQ asymmetric-distance top-3: corpus encoded to 4 codes (the
+    -- pq_code_histogram pipeline), queries scored against the CODE
+    -- RECONSTRUCTIONS via exact-integer L2 — ties to the smaller id.
+    WITH {_PQ_ENC_CTES}, qs AS (
         -- fixed query budget: the id cap keeps the query set CONSTANT
         -- as the corpus grows (serving load doesn't scale with corpus
         -- size) — without it the 100x probe measured O(n^2/397)
@@ -2154,15 +2135,7 @@ def q_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE vec_id % 397 = 0 AND vec_id <= 20000
     ), pairs AS (
         SELECT qs.qid, e.vec_id,
-               sum(
-                 (qs.qv[e.m * 16 + dd.range + 1]
-                  - (((1 + e.m*101 + e.code*31 + dd.range*7) * 2654435761)
-                     % 193 - 96))
-                 *
-                 (qs.qv[e.m * 16 + dd.range + 1]
-                  - (((1 + e.m*101 + e.code*31 + dd.range*7) * 2654435761)
-                     % 193 - 96))
-               ) AS adist
+               {_PQ_ADC_DIST.format(q='qs')} AS adist
         FROM qs JOIN enc e ON e.vec_id != qs.qid
         CROSS JOIN range(16) dd
         GROUP BY qs.qid, e.vec_id
@@ -2190,6 +2163,76 @@ def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 397 == 0) & (F.col("vec_id") <= 20000)
     ).withColumnRenamed("vec_id", "qid")
     return pq_adc_topk(emb, queries.select("qid", "embedding"), dims=64)
+
+
+@_register(
+    "ivf_pq_top3",
+    f"""
+    -- the composed ANN stack: IVF coarse assignment + nprobe=2 probe
+    -- (the ivf_topk pipeline) restricts the candidate set; PQ ADC
+    -- (the pq_adc_top3 pipeline) scores it with exact-integer L2 to
+    -- the code reconstructions. Ties to the smaller id.
+    WITH {_PQ_ENC_CTES}, cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < 8
+    ), assign_scored AS (
+        SELECT e.vec_id, c.cid,
+               {_COS_DOT.format(a='e.embedding', b='c.ce')} AS score
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid ASC
+            ) AS rn FROM assign_scored
+        ) WHERE rn = 1
+    ), qset AS (
+        SELECT e.vec_id AS qid, e.embedding AS qe, qq.qv
+        FROM embeddings e JOIN qq ON qq.vec_id = e.vec_id
+        WHERE e.vec_id >= 8 AND e.vec_id < 13
+    ), probe AS (
+        SELECT qid, qv, cid FROM (
+            SELECT qset.qid, qset.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY qset.qid
+                       ORDER BY {_COS_DOT.format(a='qset.qe', b='c.ce')} DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM qset CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ), pairs AS (
+        SELECT p.qid, a.vec_id,
+               {_PQ_ADC_DIST.format(q='p')} AS adist
+        FROM probe p
+        JOIN assigned a USING (cid)
+        JOIN enc e ON e.vec_id = a.vec_id
+        CROSS JOIN range(16) dd
+        WHERE a.vec_id != p.qid
+        GROUP BY p.qid, a.vec_id
+    ), ranked AS (
+        SELECT qid, vec_id, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rk
+        FROM pairs
+    )
+    SELECT qid, vec_id, CAST(adist AS BIGINT) AS adc_dist
+    FROM ranked WHERE rk <= 3
+    """,
+    "composed IVF+PQ ANN stack (north star: IVF partition pruning "
+    "decides WHICH rows a probe scans, PQ ADC decides how cheap each "
+    "row is; both tiers exact-integer, the composition hash-gated)",
+)
+def q_ivf_pq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, ivf_pq_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = ivf_assign(e, cent)
+    queries_df = e.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_pq_topk(corpus, queries_df, cent, dims=64, k=3, nprobe=2)
 
 
 @_register(
@@ -4674,6 +4717,7 @@ _TAIL: tuple[str, ...] = (
     "flux_spectrum",
     "rollup_pricing",
     "cube_pricing",
+    "running_revenue",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
