@@ -522,3 +522,76 @@ def test_streaming_asof_join_random_parity(spark, tmp_path):
     )
     batch = {(r["k"], r["ts"]): r["asof_sv"] for r in b.collect()}
     assert got == batch and len(got) > 100
+
+
+def test_streaming_bloom_dedup_bounded_state(spark):
+    """Bounded-state Bloom dedup: duplicates are NEVER re-emitted
+    (across micro-batches), novel keys pass at adequate m, and the
+    state is a fixed-size bitmap however many keys flow through."""
+    import os
+    import shutil
+
+    from lofar_bf_pulsar_scripts_spark.streaming.bloom_dedup import (
+        make_bloom_dedup_fn,
+        streaming_bloom_dedup,
+    )
+
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_stream_tmp")
+    src = os.path.join(tmp, "bloom_src")
+    os.makedirs(src, exist_ok=True)
+    try:
+        # batch 1: f0..f199; batch 2: f100..f299 (100 dups + 100 novel)
+        spark.createDataFrame(
+            [(f"f{i}",) for i in range(200)], "filename string"
+        ).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+        stream = spark.readStream.schema("filename string").parquet(
+            src + "/b*"
+        )
+        out = streaming_bloom_dedup(stream, m_bits=1 << 16, n_buckets=4)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bloom_dedup_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = {r["key"] for r in spark.table("bloom_dedup_stream").collect()}
+            assert first == {f"f{i}" for i in range(200)}
+            spark.createDataFrame(
+                [(f"f{i}",) for i in range(100, 300)], "filename string"
+            ).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+            q.processAllAvailable()
+            rows = [r["key"] for r in spark.table("bloom_dedup_stream").collect()]
+            # every duplicate from batch 2 was suppressed ACROSS batches
+            assert len(rows) == len(set(rows))
+            # all genuinely novel keys passed (m is ample here)
+            assert set(rows) == {f"f{i}" for i in range(300)}
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    # unit-level: the state bitmap stays exactly m/8 bytes as keys accrue
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    fn = make_bloom_dedup_fn(m_bits=1 << 10)
+    st = FakeState()
+    for wave in range(5):
+        keys = [f"k{wave}_{i}" for i in range(20)]
+        list(fn((0,), iter([pd.DataFrame({"key": keys})]), st))
+        assert len(st.get[0]) == (1 << 10) // 8  # fixed, forever
+    with pytest.raises(ValueError):
+        make_bloom_dedup_fn(m_bits=1001)
