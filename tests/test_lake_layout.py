@@ -330,3 +330,51 @@ def test_cobucketed_fact_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_cb")
         spark.sql("DROP TABLE IF EXISTS lineitem_cb")
+
+
+def test_scale_probe_build_keeps_foreign_keys_consistent(spark, tmp_path):
+    """The 10x/100x scale datasets are only valid measurements if the
+    replica key shifts keep every join intact: lineitem->orders->
+    customer must join exactly N times the base rate, and replicated
+    documents must be distinct across replicas while preserving
+    within-replica duplicates."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.scale_probe import build
+
+    out = str(tmp_path / "x3")
+    build("/root/testdata/sf0.001", out, 3)
+    import duckdb
+
+    con = duckdb.connect()
+    q = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
+    base = "/root/testdata/sf0.001"
+    for sql in (
+        "SELECT count(*) FROM '{d}/lineitem.parquet' l "
+        "JOIN '{d}/orders.parquet' o ON l.l_orderkey = o.o_orderkey",
+        "SELECT count(*) FROM '{d}/orders.parquet' o "
+        "JOIN '{d}/customer.parquet' c ON o.o_custkey = c.c_custkey",
+        "SELECT count(*) FROM '{d}/lineitem.parquet' l "
+        "JOIN '{d}/part.parquet' p ON l.l_partkey = p.p_partkey",
+    ):
+        assert q(sql.format(d=out)) == 3 * q(sql.format(d=base)), sql
+    # orphan check: every scaled lineitem still has its order
+    assert q(
+        f"SELECT count(*) FROM '{out}/lineitem.parquet' l "
+        f"LEFT JOIN '{out}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderkey IS NULL"
+    ) == 0
+    # docs distinct ACROSS replicas, within-replica dups preserved
+    n_dup_base = q(
+        f"SELECT count(*) - count(DISTINCT text) FROM '{base}/documents.parquet'"
+    )
+    n_dup_scaled = q(
+        f"SELECT count(*) - count(DISTINCT text) FROM '{out}/documents.parquet'"
+    )
+    assert n_dup_scaled == 3 * n_dup_base
+    # dims fixed, facts scaled
+    assert q(f"SELECT count(*) FROM '{out}/nation.parquet'") == 25
+    assert q(f"SELECT count(*) FROM '{out}/events.parquet'") == 3 * q(
+        f"SELECT count(*) FROM '{base}/events.parquet'"
+    )
