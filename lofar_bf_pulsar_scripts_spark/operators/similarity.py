@@ -1079,3 +1079,57 @@ def ivf_pq_topk(
     return out.select(
         query_id_col, id_col, (-F.col("__neg")).alias("adc_dist")
     )
+
+
+def ivf_pq_rerank_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dims: int,
+    k: int = 3,
+    shortlist: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """Retrieve-then-rerank: the IVF+PQ tier shortlists ``shortlist``
+    candidates per query at table-lookup cost, then ONLY those rows
+    pay an exact cosine against the full float vectors — the standard
+    production ANN pattern (PQ's quantization error decides the
+    shortlist, never the final ranking). The exact pass joins the
+    shortlist (a per-query constant) back to the corpus on id: at
+    scale that is a broadcast semi-join touching ``shortlist x
+    |queries|`` rows, while the corpus-wide work stays in the cheap
+    tiers. Returns (qid, vec_id, cos) exact-ranked, ties to the
+    smaller id."""
+    short = ivf_pq_topk(
+        corpus_assigned, queries, centroids, dims,
+        k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        centroid_id_col=centroid_id_col,
+    ).select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cand = (
+        short.join(
+            corpus_assigned.select(F.col(id_col), F.col(vec_col)),
+            on=id_col,
+        )
+        .join(F.broadcast(qv), on=query_id_col)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

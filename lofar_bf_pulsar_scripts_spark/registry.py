@@ -2236,6 +2236,93 @@ def q_ivf_pq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_pq_rerank_top3",
+    f"""
+    -- retrieve-then-rerank: the IVF+PQ shortlist (ADC top-10) is the
+    -- only set that pays an exact cosine; final order is exact.
+    WITH {_PQ_ENC_CTES}, cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < 8
+    ), assign_scored AS (
+        SELECT e.vec_id, c.cid,
+               {_COS_DOT.format(a='e.embedding', b='c.ce')} AS score
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid ASC
+            ) AS rn FROM assign_scored
+        ) WHERE rn = 1
+    ), qset AS (
+        SELECT e.vec_id AS qid, e.embedding AS qe, qq.qv
+        FROM embeddings e JOIN qq ON qq.vec_id = e.vec_id
+        WHERE e.vec_id >= 8 AND e.vec_id < 13
+    ), probe AS (
+        SELECT qid, qv, cid FROM (
+            SELECT qset.qid, qset.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY qset.qid
+                       ORDER BY {_COS_DOT.format(a='qset.qe', b='c.ce')} DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM qset CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ), pairs AS (
+        SELECT p.qid, a.vec_id,
+               {_PQ_ADC_DIST.format(q='p')} AS adist
+        FROM probe p
+        JOIN assigned a USING (cid)
+        JOIN enc e ON e.vec_id = a.vec_id
+        CROSS JOIN range(16) dd
+        WHERE a.vec_id != p.qid
+        GROUP BY p.qid, a.vec_id
+    ), short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adist, vec_id) AS rk
+            FROM pairs
+        ) WHERE rk <= 10
+    ), rer AS (
+        SELECT s.qid, s.vec_id,
+               {_COS_DOT.format(a='qs2.qe', b='v.embedding')}
+               / ({_COS_NORM.format(a='qs2.qe')}
+                  * {_COS_NORM.format(a='v.embedding')}) AS cos
+        FROM short s
+        JOIN embeddings v ON v.vec_id = s.vec_id
+        JOIN (SELECT vec_id AS qid, embedding AS qe FROM embeddings) qs2
+          ON qs2.qid = s.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) + 0.0 AS cos
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rk FROM rer
+    ) WHERE rk <= 3
+    """,
+    "retrieve-then-rerank over the composed IVF+PQ stack: ADC "
+    "shortlists at table-lookup cost, exact cosine ranks only the "
+    "shortlist — the production ANN serving pattern, hash-gated "
+    "end-to-end",
+)
+def q_ivf_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, ivf_pq_rerank_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = ivf_assign(e, cent)
+    queries_df = e.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_pq_rerank_topk(
+        corpus, queries_df, cent, dims=64, k=3, shortlist=10, nprobe=2
+    )
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+
+
+@_register(
     "incremental_dedup_counts",
     r"""
     -- snapshot/incremental dedup: a new batch (doc_id % 5 = 4)
@@ -4718,6 +4805,7 @@ _TAIL: tuple[str, ...] = (
     "rollup_pricing",
     "cube_pricing",
     "running_revenue",
+    "shipping_priority",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
