@@ -2323,6 +2323,67 @@ def q_ivf_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_stats",
+    rf"""
+    -- dataset card: per-(source, lang) corpus statistics in ONE
+    -- conditional-aggregation scan plus a broadcast-sized dup-rate
+    -- join — what a training-data release publishes alongside the
+    -- shards. All integers (counts / sums / exact dup counts).
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars,
+               len({_TOKENS_SQL}) AS n_tokens,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), dup AS (
+        SELECT source, lang,
+               CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs
+        FROM (
+            SELECT source, lang, fp, count(*) AS cnt
+            FROM d GROUP BY source, lang, fp
+        ) GROUP BY source, lang
+    )
+    SELECT d.source, d.lang,
+           count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(d.n_tokens) AS BIGINT) AS max_tokens,
+           any_value(dup.n_dup_docs) AS n_dup_docs
+    FROM d JOIN dup ON d.source = dup.source AND d.lang = dup.lang
+    GROUP BY d.source, d.lang
+    """,
+    "dataset-card corpus statistics (north star release metadata: "
+    "per-(source, lang) doc/char/token totals + exact dup counts, "
+    "one scan + one tiny-key dup aggregation)",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint, token_count
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "source",
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+    )
+    dup = (
+        d.groupBy("source", "lang", "fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source", "lang")
+        .agg(F.sum(F.col("cnt") - 1).cast("bigint").alias("n_dup_docs"))
+    )
+    stats = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    return stats.join(F.broadcast(dup), ["source", "lang"]).select(
+        "source", "lang", "n_docs", "total_chars", "total_tokens",
+        "max_tokens", "n_dup_docs",
+    )
+
+
+@_register(
     "incremental_dedup_counts",
     r"""
     -- snapshot/incremental dedup: a new batch (doc_id % 5 = 4)
@@ -4806,6 +4867,7 @@ _TAIL: tuple[str, ...] = (
     "cube_pricing",
     "running_revenue",
     "shipping_priority",
+    "local_supplier_volume",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
