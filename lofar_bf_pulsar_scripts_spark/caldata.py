@@ -33,31 +33,62 @@ def data_path(name: str) -> str:
     return os.path.join(DATA_DIR, name)
 
 
+_MANIFEST_OK: set = set()
+
+
+def _verify_packaged(name: str) -> str:
+    """Check a packaged parquet's sha256 against the build-time
+    manifest (tools/build_caldata.py::write_manifest) before first
+    use, so a regenerated-but-uncommitted artifact fails loudly
+    instead of silently passing the driver gate with stale data.
+    Files are <= a few MB and each is hashed once per process."""
+    path = data_path(name)
+    if name in _MANIFEST_OK:
+        return path
+    import hashlib
+    import json
+
+    with open(data_path("caldata_manifest.json")) as fh:
+        manifest = json.load(fh)
+    want = manifest.get(name)
+    if want is None:
+        raise ValueError(f"{name} missing from caldata_manifest.json; rerun tools/build_caldata.py")
+    with open(path, "rb") as fh:
+        got = hashlib.sha256(fh.read()).hexdigest()
+    if got != want:
+        raise ValueError(
+            f"{name} content does not match caldata_manifest.json "
+            "(regenerated without rerunning tools/build_caldata.py?)"
+        )
+    _MANIFEST_OK.add(name)
+    return path
+
+
 def load_haslam(spark: SparkSession) -> DataFrame:
     """Haslam 408 MHz map: (l_idx 0-89, b_idx 0-179, t408_k).
 
     Decoded from ``fluxcal/tsky.py:14-1029`` per ``tsky.py:1044-1049``:
     4 deg longitude cells x 1 deg latitude cells."""
-    return spark.read.parquet(data_path("haslam_t408.parquet"))
+    return spark.read.parquet(_verify_packaged("haslam_t408.parquet"))
 
 
 def load_tinst_poly(spark: SparkSession) -> DataFrame:
     """Tinst polynomial coefficients (band, power, coeff, f_lo, f_hi)
     from ``fluxcal/lofar_tinst.py:45,60`` (fit to Wijnholds 2011)."""
-    return spark.read.parquet(data_path("tinst_poly.parquet"))
+    return spark.read.parquet(_verify_packaged("tinst_poly.parquet"))
 
 
 def load_casa_beamcorr(spark: SparkSession) -> DataFrame:
     """CasA beam-correction factors (station, freq_mhz, factor) from
     ``fluxcal/casa_beamcorr_pkg.py`` (52 stations x 1485 freqs)."""
-    return spark.read.parquet(data_path("casa_beamcorr.parquet"))
+    return spark.read.parquet(_verify_packaged("casa_beamcorr.parquet"))
 
 
 def load_stations(spark: SparkSession) -> DataFrame:
     """LOFAR station positions from ``FE-map/stations.txt`` —
     (station, color, lat, lon, unit) with unit 'deg' (international)
     or 'm' (core offsets from the core centre, stations.txt:5-10)."""
-    return spark.read.parquet(data_path("stations.parquet"))
+    return spark.read.parquet(_verify_packaged("stations.parquet"))
 
 
 # --- Haslam map lookup ------------------------------------------------
@@ -111,7 +142,7 @@ def tinst_k(band: str, f_mhz: Column) -> Column:
     executed plan has no join and no UDF."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(data_path("tinst_poly.parquet")).to_pydict()
+    tbl = pq.read_table(_verify_packaged("tinst_poly.parquet")).to_pydict()
     coeffs = sorted(
         (
             (p, c)
@@ -151,8 +182,60 @@ def attach_casa_beamcorr(
     column) pushed |fact| x 1,485 rows through a SortAggregate —
     7.6 s at sf0.1 under the noop executor vs ~0.3 s for the fold,
     and at scale it shuffled the fact table where this shuffles
-    nothing."""
+    nothing.
+
+    The O(1) index probe assumes each station's grid is a uniform
+    frequency comb; that assumption is CHECKED, not trusted: a
+    dimension-only probe (the beamcorr table is broadcast-scale by
+    contract, so this is a sub-millisecond job at plan-build time)
+    measures the worst spacing deviation per station, and any station
+    with fewer than 2 rows or spacing deviating from uniform by more
+    than delta/4 routes the whole call through the O(grid)
+    ``F.aggregate`` nearest-fold instead — same semantics (nearest,
+    ties toward the lower table frequency), no wrong-row risk on
+    non-comb tables, no 0/0 NaN on degenerate single-row grids."""
     fact_cols = df.columns
+    comb_ok = all(
+        r["n"] >= 2 and r["dev"] is not None and r["dev"] <= 0.25
+        for r in (
+            beamcorr.groupBy("station")
+            .agg(
+                F.count("*").cast("int").alias("n"),
+                F.array_sort(F.collect_list("freq_mhz")).alias("g"),
+            )
+            .select(
+                "n",
+                # max |consecutive spacing - uniform delta| / delta
+                F.when(
+                    F.col("n") >= 2,
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("g"), 2, F.greatest(F.col("n") - 1, F.lit(1))),
+                            F.slice(F.col("g"), 1, F.greatest(F.col("n") - 1, F.lit(1))),
+                            lambda hi, lo: hi - lo,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: F.greatest(
+                            acc,
+                            F.abs(
+                                d
+                                - (
+                                    F.element_at(F.col("g"), F.col("n"))
+                                    - F.col("g")[0]
+                                )
+                                / (F.col("n") - 1)
+                            ),
+                        ),
+                    )
+                    / F.abs(
+                        (F.element_at(F.col("g"), F.col("n")) - F.col("g")[0])
+                        / (F.col("n") - 1)
+                    ),
+                ).alias("dev"),
+            )
+            .collect()
+        )
+    )
     grid = F.broadcast(
         beamcorr.groupBy(F.col("station").alias("__bc_station")).agg(
             F.array_sort(
@@ -178,21 +261,32 @@ def attach_casa_beamcorr(
     # with strict improvement — identical semantics (nearest, ties
     # toward the lower table frequency) to the reference's stable
     # sort, for any query frequency.
-    f_first = g[0]["freq_mhz"]
-    f_last = F.element_at(g, n)["freq_mhz"]
-    delta = (f_last - f_first) / (n - 1).cast("double")
-    idx0 = F.round((fq - f_first) / delta).cast("int") + F.lit(1)
+    if comb_ok:
+        f_first = g[0]["freq_mhz"]
+        f_last = F.element_at(g, n)["freq_mhz"]
+        delta = (f_last - f_first) / (n - 1).cast("double")
+        idx0 = F.round((fq - f_first) / delta).cast("int") + F.lit(1)
 
-    def cand(i: Column):
-        return F.element_at(g, F.greatest(F.lit(1), F.least(n, i)))
+        def cand(i: Column):
+            return F.element_at(g, F.greatest(F.lit(1), F.least(n, i)))
 
-    a, b, c = cand(idx0 - 1), cand(idx0), cand(idx0 + 1)
-    best = F.when(
-        F.abs(fq - b["freq_mhz"]) < F.abs(fq - a["freq_mhz"]), b
-    ).otherwise(a)
-    best = F.when(
-        F.abs(fq - c["freq_mhz"]) < F.abs(fq - best["freq_mhz"]), c
-    ).otherwise(best)
+        a, b, c = cand(idx0 - 1), cand(idx0), cand(idx0 + 1)
+        best = F.when(
+            F.abs(fq - b["freq_mhz"]) < F.abs(fq - a["freq_mhz"]), b
+        ).otherwise(a)
+        best = F.when(
+            F.abs(fq - c["freq_mhz"]) < F.abs(fq - best["freq_mhz"]), c
+        ).otherwise(best)
+    else:
+        # non-uniform (or single-row) grid: exact ascending fold,
+        # strict improvement keeps ties at the lower table frequency
+        best = F.aggregate(
+            F.slice(g, 2, F.greatest(n - 1, F.lit(0))),
+            g[0],
+            lambda acc, x: F.when(
+                F.abs(fq - x["freq_mhz"]) < F.abs(fq - acc["freq_mhz"]), x
+            ).otherwise(acc),
+        )
     return joined.select(*fact_cols, best["factor"].alias("casa_factor"))
 
 
@@ -309,7 +403,7 @@ def load_wijnholds_aeff(spark: SparkSession) -> DataFrame:
     full-dimension cube via the documented pipeline — a broadcast
     dimension for ``wijnholds_aeff_lookup``. Swap in real gains by
     rebuilding from the $LOFARSOFT senstable file."""
-    return spark.read.parquet(data_path("wijnholds_aeff.parquet"))
+    return spark.read.parquet(_verify_packaged("wijnholds_aeff.parquet"))
 
 
 def wijnholds_cube_from_text(spark: SparkSession, path: str) -> DataFrame:

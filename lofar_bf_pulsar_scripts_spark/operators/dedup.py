@@ -357,7 +357,20 @@ def _bit_masks() -> Column:
 
 def bloom_positions(fp: Column, m_bits: int) -> Column:
     """k deterministic bit positions for a fingerprint string —
-    md5(fp || ':salt') mod m, identical in Spark and DuckDB."""
+    md5(fp || ':salt') mod m, identical in Spark and DuckDB.
+
+    The position hash has 28 bits of entropy (_md5_int28), so m_bits
+    above 2^28 would leave bits >= 2^28 permanently unset and the
+    documented (1-e^{-kn/m})^k false-positive rate would silently
+    degrade; sizing at ~10 bits/fingerprint that ceiling arrives near
+    n = 2.7e7 history rows. Refuse rather than mislead — callers
+    needing a bigger filter should shard history (one filter per
+    fp-prefix shard keeps each m under the ceiling)."""
+    if m_bits > (1 << 28):
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the 2^28 position-hash range; "
+            "shard the history (one Bloom per fp prefix) instead"
+        )
     return F.array(
         *[
             F.pmod(

@@ -36,9 +36,14 @@ def _mg_reduce(counts: dict, k: int) -> dict:
     drop non-positives."""
     if len(counts) < k:
         return counts
-    # decrement by the smallest amount that frees enough slots
+    # decrement by the k-th LARGEST counter: entries strictly above it
+    # number at most k-1, and the subtracted amount is bounded by n/k
+    # (there are >= k counters each >= cut, and counter mass <= n) —
+    # the classical mergeable-MG bound. Using the (k-1)-th largest
+    # would free a slot more aggressively but lets the decrement reach
+    # n/(k-1), breaking Guarantee 1 for items in (n/k, n/(k-1)].
     vals = sorted(counts.values())
-    cut = vals[len(counts) - (k - 1)]
+    cut = vals[len(counts) - k]
     return {i: c - cut for i, c in counts.items() if c > cut}
 
 

@@ -313,16 +313,25 @@ def write_training_shards(
         ((F.col("__rank") - 1) / F.lit(int(docs_per_shard)))
         .cast("bigint"),
     )
-    sharded.drop("__sk").write.mode("overwrite").partitionBy(
+    # published shards carry DATA columns only — __sk/__rank are
+    # internal bookkeeping and must not leak into the release files
+    sharded.drop("__sk", "__rank").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+    # manifest from the written files: a shard-grouped count touches
+    # only footer metadata + the partition column; the rank bounds are
+    # arithmetic (shard i is the contiguous slice starting at
+    # i*docs_per_shard+1), so no second execution of the upstream plan
     out = sharded.sparkSession.read.parquet(path)
+    dps = F.lit(int(docs_per_shard))
     return (
         out.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("__rank").alias("min_rank"),
-            F.max("__rank").alias("max_rank"),
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "shard",
+            "n_docs",
+            (F.col("shard") * dps + 1).alias("min_rank"),
+            (F.col("shard") * dps + F.col("n_docs")).alias("max_rank"),
         )
         .orderBy("shard")
     )
