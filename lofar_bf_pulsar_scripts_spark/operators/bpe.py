@@ -1,0 +1,161 @@
+"""Distributed byte-pair-encoding merge training (Sennrich et al.
+2016, the tokenizer-training core of every LLM data pipeline).
+
+Classic BPE trains on the WORD-TYPE table, not the corpus: one
+corpus-wide aggregation collapses 100 TB of text to its vocabulary of
+distinct words with frequencies (Zipf-bounded, map-side combined),
+and every subsequent merge iteration touches only that table. Each
+iteration is:
+
+  1. adjacent-symbol pair counts, frequency-weighted   (one shuffle
+     over pair keys — the table is word types, not documents)
+  2. argmax pair with a deterministic tie-break (count desc, pair
+     asc) — a 1-row collect
+  3. greedy left-to-right merge of that pair in every word's symbol
+     array — a pure projection (``F.aggregate`` fold, no UDF)
+
+The driver loop is inherent to BPE (merge i+1's counts depend on
+merge i having been applied — the same sequential-by-nature shape as
+the reference's W10 scheduler); everything inside an iteration is
+distributed. Lineage is truncated with ``localCheckpoint`` every few
+iterations so n_merges doesn't stack n plans.
+
+``learn_bpe_merges_local`` is the pure-Python reference
+implementation the Spark path is parity-tested against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+_CHECKPOINT_EVERY = 4
+
+
+def word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary of the corpus — the BPE training set.
+    One explode + one hash agg; at 100 TB the output is bounded by
+    the language's vocabulary, not the corpus."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _chars(word: Column) -> Column:
+    """Split a word into single-character symbols."""
+    return F.filter(F.split(word, ""), lambda s: s != "")
+
+
+def pair_counts(syms_df: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over (syms, freq) rows.
+    Pairs are (left, right) symbol structs; one shuffle with map-side
+    combine."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("a"),
+                F.element_at(F.col("syms"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        syms_df.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p")
+        .agg(F.sum("freq").alias("cnt"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+    )
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b — the
+    standard BPE application order ('aaa' with pair (a,a) becomes
+    ['aa','a']). An ``F.aggregate`` fold: merged symbols become the
+    accumulator's tail, so an element just consumed cannot be reused
+    as the left side of another merge."""
+    merged = a + b
+
+    def step(acc: Column, x: Column) -> Column:
+        can = (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b)
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list and the final (word, freq, syms) segmentation
+    table. Ties break deterministically (count desc, then (a, b)
+    lexicographic) so the result is partition-invariant."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    syms_df = word_types(df, text_col).select(
+        "word", "freq", _chars(F.col("word")).alias("syms")
+    )
+    syms_df = syms_df.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        top = (
+            pair_counts(syms_df)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        syms_df = syms_df.select(
+            "word", "freq", _merge_pair(F.col("syms"), a, b).alias("syms")
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            syms_df = syms_df.localCheckpoint()
+    return merges, syms_df
+
+
+def learn_bpe_merges_local(
+    corpus: list[str], n_merges: int
+) -> list[tuple[str, str]]:
+    """Pure-Python reference BPE trainer (same tokenization, same
+    tie-break) for parity tests."""
+    freqs: dict[str, int] = {}
+    for text in corpus:
+        for w in (text or "").strip().lower().split():
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    segs = {w: list(w) for w in freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in segs.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges

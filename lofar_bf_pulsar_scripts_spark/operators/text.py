@@ -334,3 +334,199 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= top_k)
         .select(id_col, "term", "score_q", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --- Gopher-style quality rules (north star: pretraining filters) ----
+#
+# The published Gopher / MassiveText filter battery (word-count
+# bounds, mean-word-length bounds, symbol-to-word ratio, alpha-word
+# fraction, required stopwords, bullet/ellipsis line fractions).
+# Every threshold comparison is expressed as an INTEGER
+# cross-multiplication (3 <= mean_len <= 10 becomes 3n <= sum_len <=
+# 10n), so the flags are bit-identical in any engine — the same
+# integer-exactness rule the rest of this registry's oracles follow
+# (no float ratios in compared columns).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule flags. Returns the integer components
+    (n_words, sum_word_len, n_alpha_words, n_symbols, n_stopwords,
+    n_lines, n_bullet_lines, n_ellipsis_lines) plus one boolean per
+    rule and ``pass_all``.
+
+    Scale shape: pure scan+project (one pass, zero shuffle, whole-
+    stage codegen); callers aggregate. The token and line arrays are
+    each bound ONCE per row via the nested-lambda trick (SCALE.md
+    pitfall 1: a captured outer expression inside a higher-order
+    lambda is re-evaluated per reference, so the naive form re-ran
+    the tokenizer regex ~10x per row)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def tok_stats(w: Column) -> Column:
+        return F.struct(
+            F.size(w).cast("long").alias("n_words"),
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+            .cast("long")
+            .alias("n_alpha"),
+            sum(
+                F.array_contains(w, s).cast("long") for s in GOPHER_STOPWORDS
+            )
+            .cast("long")
+            .alias("n_stop"),
+        )
+
+    def line_stats(lines: Column) -> Column:
+        return F.struct(
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+            .cast("long")
+            .alias("n_bullet"),
+            F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+            .cast("long")
+            .alias("n_ell"),
+        )
+
+    ts = F.transform(F.array(tokens(t)), tok_stats)[0]
+    ls = F.transform(F.array(F.split(t, r"\n")), line_stats)[0]
+    # total word length = chars minus whitespace (exact, no per-word loop)
+    sum_len = F.length(F.regexp_replace(F.trim(t), r"\s+", "")).cast("long")
+    n_sym = (
+        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    d = df.select(
+        F.col(id_col),
+        *[c for c in df.columns if c != id_col and c != text_col],
+        ts["n_words"].alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        ts["n_alpha"].alias("n_alpha_words"),
+        n_sym.alias("n_symbols"),
+        ts["n_stop"].alias("n_stopwords"),
+        ls["n_lines"].alias("n_lines"),
+        ls["n_bullet"].alias("n_bullet_lines"),
+        ls["n_ell"].alias("n_ellipsis_lines"),
+    )
+    nw = F.col("n_words")
+    rules = {
+        # word count within [min_words, max_words]
+        "r_word_count": (nw >= min_words) & (nw <= max_words),
+        # mean word length in [3, 10]: 3n <= sum_len <= 10n
+        "r_mean_word_len": (F.col("sum_word_len") >= 3 * nw)
+        & (F.col("sum_word_len") <= 10 * nw),
+        # symbol-to-word ratio <= 0.1: 10*symbols <= words
+        "r_symbol_ratio": F.lit(10) * F.col("n_symbols") <= nw,
+        # >= 80% of words contain an alphabetic char: 5*alpha >= 4*words
+        "r_alpha_words": F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * nw,
+        # >= 2 of the 8 required stopwords present
+        "r_stopwords": F.col("n_stopwords") >= 2,
+        # < 90% of lines start with a bullet: 10*bullet < 9*lines
+        "r_bullet_lines": F.lit(10) * F.col("n_bullet_lines")
+        < F.lit(9) * F.col("n_lines"),
+        # < 30% of lines end with an ellipsis: 10*ell < 3*lines
+        "r_ellipsis_lines": F.lit(10) * F.col("n_ellipsis_lines")
+        < F.lit(3) * F.col("n_lines"),
+    }
+    return d.select(
+        "*",
+        *[cond.alias(name) for name, cond in rules.items()],
+        # conjunction inlined (not an F.aggregate fold over an array
+        # of booleans — the fold alone roughly doubled codegen time)
+        (
+            rules["r_word_count"]
+            & rules["r_mean_word_len"]
+            & rules["r_symbol_ratio"]
+            & rules["r_alpha_words"]
+            & rules["r_stopwords"]
+            & rules["r_bullet_lines"]
+            & rules["r_ellipsis_lines"]
+        ).alias("pass_all"),
+    )
+
+
+# --- integer-exact bigram language-model quality score ----------------
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram LM likelihood score, the
+    classic LM-based quality filter (docs whose bigrams are improbable
+    under a corpus-trained model are gibberish/OCR noise; docs scoring
+    very high are boilerplate).
+
+    Instead of summing float log-probs (non-associative; the sum
+    order differs between engines, so the rounded result can flip),
+    each bigram contributes an INTEGER parts-per-million probability
+
+        ppm(w1 w2) = (1_000_000 * (c(w1,w2) + 1)) DIV (c(w1) + V)
+
+    where c() are corpus counts and V the unigram vocabulary size.
+    Integer division is exact in every engine, integer sums are
+    associative, so (doc_id, n_bigrams, score_sum, avg_ppm) hash-gates
+    cross-engine. Monotonicity in the true smoothed probability is
+    preserved per bigram, which is all a threshold filter consumes.
+
+    Scale shape: the model IS two aggregations of the corpus itself
+    (bigram counts + unigram counts, each one shuffle with map-side
+    combine over Zipf-collapsed keys); scoring pre-aggregates
+    per-(doc, bigram) multiplicities before the model join (one
+    shuffle on the bigram key, AQE skew-split handles stop-bigram
+    heads), then one final per-doc agg. Nothing is collected; the
+    vocabulary-size scalar joins as a broadcast literal row."""
+    w = tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    def build(warr: Column) -> Column:
+        n = F.size(warr)
+
+        def bg(i: Column) -> Column:
+            return F.concat_ws(" ", F.element_at(warr, i), F.element_at(warr, i + 1))
+
+        return F.when(
+            n >= 2, F.transform(F.sequence(F.lit(1), n - 1), bg)
+        ).otherwise(F.array().cast("array<string>"))
+
+    # bind the token array once (SCALE.md pitfall 1)
+    bigrams = F.transform(F.array(w), build)[0]
+
+    toks = df.select(F.explode(w).alias("tok"))
+    unigram = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = unigram.agg(F.count(F.lit(1)).alias("v"))
+
+    doc_bg = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    model = (
+        df.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    scored = (
+        doc_bg.join(model, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(unigram.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "ppm",
+            F.expr("CAST((1000000 * (c12 + 1)) DIV (c1 + v) AS BIGINT)"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("mult").alias("n_bigrams"),
+            F.sum(F.col("ppm") * F.col("mult")).alias("score_sum"),
+        )
+        .withColumn(
+            "avg_ppm", F.expr("CAST(score_sum DIV n_bigrams AS BIGINT)")
+        )
+    )

@@ -4816,6 +4816,241 @@ def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Round 6: Gopher rule battery, bigram-LM quality, Z-order layout,
+# BPE pair counts
+# --------------------------------------------------------------------
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)"
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@_register(
+    "gopher_rules",
+    rf"""
+    -- Gopher/MassiveText filter battery; every threshold is an
+    -- integer cross-multiplication (3 <= mean_word_len <= 10 becomes
+    -- 3n <= sum_len <= 10n) so the flags are engine-exact.
+    WITH d AS (
+        SELECT doc_id, source,
+               {_TOKENS_SQL} AS w,
+               length(regexp_replace(trim(text), '\s+', '', 'g'))
+                   AS sum_len,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+               regexp_split_to_array(text, '\n') AS lines
+        FROM documents
+    ), f AS (
+        SELECT doc_id, source,
+               len(w) AS n_words, sum_len, n_sym,
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               {_GOPHER_STOP_SQL} AS n_stop,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   x -> regexp_matches(x, '^\s*[-*•]'))) AS n_bullet,
+               len(list_filter(lines,
+                   x -> regexp_matches(x, '\.\.\.\s*$'))) AS n_ell
+        FROM d
+    ), r AS (
+        SELECT source,
+               (n_words >= 50 AND n_words <= 100000) AS r1,
+               (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS r2,
+               (10 * n_sym <= n_words) AS r3,
+               (5 * n_alpha >= 4 * n_words) AS r4,
+               (n_stop >= 2) AS r5,
+               (10 * n_bullet < 9 * n_lines) AS r6,
+               (10 * n_ell < 3 * n_lines) AS r7
+        FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_word_count,
+           CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_mean_word_len,
+           CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_alpha_words,
+           CAST(sum(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stopwords,
+           CAST(sum(CASE WHEN NOT r6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_bullet_lines,
+           CAST(sum(CASE WHEN NOT r7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_ellipsis_lines,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+                         AND r7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all
+    FROM r GROUP BY source
+    """,
+    "north star: Gopher/MassiveText quality-rule battery (word-count "
+    "/ mean-word-length / symbol-ratio / alpha-word / stopword / "
+    "bullet / ellipsis rules as integer-exact flags; one scan, one "
+    "tiny agg)",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import gopher_quality_flags
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    flags = gopher_quality_flags(d)
+    fail = lambda r: F.sum((~F.col(r)).cast("long"))  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        fail("r_word_count").alias("fail_word_count"),
+        fail("r_mean_word_len").alias("fail_mean_word_len"),
+        fail("r_symbol_ratio").alias("fail_symbol_ratio"),
+        fail("r_alpha_words").alias("fail_alpha_words"),
+        fail("r_stopwords").alias("fail_stopwords"),
+        fail("r_bullet_lines").alias("fail_bullet_lines"),
+        fail("r_ellipsis_lines").alias("fail_ellipsis_lines"),
+        F.sum(F.col("pass_all").cast("long")).alias("n_pass_all"),
+    )
+
+
+@_register(
+    "bigram_lm_quality",
+    rf"""
+    -- add-one-smoothed bigram LM likelihood per document. Each
+    -- bigram contributes integer ppm = (1e6*(c12+1)) // (c1+V):
+    -- integer division + integer sums are associative and exact, so
+    -- the LM filter hash-gates cross-engine (float log-prob sums
+    -- would not — order-dependent rounding).
+    WITH d AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), uni AS (
+        SELECT tok, count(*) AS c1
+        FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok
+    ), vs AS (
+        SELECT count(*) AS v FROM uni
+    ), bg AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1]
+                       FOR i IN generate_series(1, len(w) - 1)]) AS bg
+        FROM d
+    ), doc_bg AS (
+        SELECT doc_id, bg, count(*) AS mult FROM bg GROUP BY doc_id, bg
+    ), model AS (
+        SELECT bg, count(*) AS c12 FROM bg GROUP BY bg
+    ), scored AS (
+        SELECT doc_bg.doc_id, doc_bg.mult,
+               (1000000 * (model.c12 + 1)) // (uni.c1 + vs.v) AS ppm
+        FROM doc_bg
+        JOIN model USING (bg)
+        JOIN uni ON uni.tok = string_split(doc_bg.bg, ' ')[1]
+        CROSS JOIN vs
+    )
+    SELECT doc_id,
+           CAST(sum(mult) AS BIGINT) AS n_bigrams,
+           CAST(sum(ppm * mult) AS BIGINT) AS score_sum,
+           CAST(sum(ppm * mult) // sum(mult) AS BIGINT) AS avg_ppm
+    FROM scored GROUP BY doc_id
+    """,
+    "north star: corpus-trained bigram-LM quality score "
+    "(integer-exact ppm probabilities; model = two Zipf-collapsed "
+    "aggregations of the corpus itself, scoring = one keyed join)",
+)
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_lm_scores
+
+    d = load_table(spark, "documents", sf_dir)
+    return bigram_lm_scores(d)
+
+
+@_register(
+    "zorder_bucket_stats",
+    """
+    -- Morton (Z-order) clustering key over (event_id mod 1024,
+    -- user_id mod 1024): output bit 2i carries bit i of x, bit 2i+1
+    -- carries bit i of y. Bit extraction as (v // 2^i) % 2 — integer
+    -- arithmetic, engine-exact. The gate aggregates the curve into
+    -- range buckets (the write path sorts by the same key; see
+    -- write_zordered).
+    WITH z AS (
+        SELECT event_id,
+               (""" + " + ".join(
+        f"(((event_id % 1024) // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + (((user_id % 1024) // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(10)
+    ) + """) AS zkey
+        FROM events
+    )
+    SELECT CAST(zkey // 65536 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(min(zkey) AS BIGINT) AS min_zkey,
+           CAST(max(zkey) AS BIGINT) AS max_zkey
+    FROM z GROUP BY 1
+    """,
+    "lakehouse layout: Z-order/Morton clustering key (Delta OPTIMIZE "
+    "ZORDER analog — multi-column data skipping; pure projection, "
+    "engine-exact bit interleave)",
+)
+def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.zorder import zorder_key
+
+    ev = load_table(spark, "events", sf_dir)
+    z = zorder_key(
+        [F.col("event_id") % 1024, F.col("user_id") % 1024], bits=10
+    )
+    return (
+        ev.select("event_id", z.alias("zkey"))
+        .groupBy(F.expr("CAST(zkey DIV 65536 AS BIGINT)").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+    )
+
+
+@_register(
+    "bpe_pair_counts",
+    rf"""
+    -- the first BPE training step: frequency-weighted adjacent
+    -- character-pair counts over the word-TYPE table (the corpus
+    -- collapses to its vocabulary first — the property that makes
+    -- tokenizer training tractable at 100 TB). Top 50 with a total
+    -- deterministic order.
+    WITH wt AS (
+        SELECT tok AS word, count(*) AS freq
+        FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+        WHERE tok != '' GROUP BY tok
+    ), pairs AS (
+        SELECT unnest([substr(word, i, 2)
+                       FOR i IN generate_series(1, length(word) - 1)])
+                   AS pair,
+               freq
+        FROM wt
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+    "north star: BPE tokenizer training (pair-count step oracle-"
+    "gated; the full iterative merge loop is learn_bpe_merges, "
+    "parity-tested against a pure-Python reference)",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import pair_counts, word_types, _chars
+
+    d = load_table(spark, "documents", sf_dir)
+    syms = word_types(d).select(
+        "word", "freq", _chars(F.col("word")).alias("syms")
+    )
+    return (
+        pair_counts(syms)
+        .select(F.concat(F.col("a"), F.col("b")).alias("pair"), F.col("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
@@ -4914,10 +5149,26 @@ _TAIL: tuple[str, ...] = (
 )
 
 
+# Queries pulled to the FRONT of the ordering regardless of file
+# position: new gates register at the end of the module, but the
+# driver's correctness window is the first 50 entries — promotion is
+# how a NEW query lands inside it (the _TAIL demotions below fund the
+# slots).
+_PROMOTE: tuple[str, ...] = (
+    "gopher_rules",
+    "bigram_lm_quality",
+    "zorder_bucket_stats",
+    "bpe_pair_counts",
+)
+
+
 def _ordered() -> list[QuerySpec]:
-    head = [s for s in _SPECS if s.name not in _TAIL]
+    front = [s for s in _SPECS if s.name in _PROMOTE]
+    head = [
+        s for s in _SPECS if s.name not in _TAIL and s.name not in _PROMOTE
+    ]
     tail = [s for s in _SPECS if s.name in _TAIL]
-    return head + tail
+    return front + head + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,219 @@
+"""Round-6 operators: Gopher rule battery, bigram-LM quality,
+Z-order layout, BPE merge training."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lofar_bf_pulsar_scripts_spark.operators.bpe import (
+    learn_bpe_merges,
+    learn_bpe_merges_local,
+)
+from lofar_bf_pulsar_scripts_spark.operators.text import (
+    bigram_lm_scores,
+    gopher_quality_flags,
+)
+from lofar_bf_pulsar_scripts_spark.operators.zorder import (
+    write_zordered,
+    zorder_key,
+)
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    return gopher_quality_flags(df).first()
+
+
+def test_gopher_rules_spot_checks(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigour"] * 6
+    )
+    r = _flags(spark, good)
+    assert r["n_words"] == 66
+    assert r["r_word_count"] and r["r_mean_word_len"] and r["r_alpha_words"]
+    assert r["r_stopwords"]  # has 'the', 'that', 'with'
+    assert r["pass_all"]
+
+    # too short
+    assert not _flags(spark, "only four tiny words")["r_word_count"]
+
+    # mean word length out of [3, 10]: fifty 1-char words
+    short = " ".join(["a"] * 50)
+    r = _flags(spark, short)
+    assert r["r_word_count"] and not r["r_mean_word_len"]
+
+    # symbol-heavy: > 1 symbol per 10 words
+    sym = " ".join(["word### more..."] * 30)
+    r = _flags(spark, sym)
+    assert r["n_symbols"] == 120 and not r["r_symbol_ratio"]
+
+    # numeric words fail the alpha rule
+    nums = " ".join(["1234 5678 999 word"] * 15)
+    r = _flags(spark, nums)
+    assert r["n_alpha_words"] == 15 and not r["r_alpha_words"]
+
+    # no required stopwords
+    r = _flags(spark, " ".join(["zip zap zoom"] * 20))
+    assert r["n_stopwords"] == 0 and not r["r_stopwords"]
+
+    # bullet lines: 10 lines, 9+ start with '-'
+    bullets = "\n".join(["- item one here"] * 10)
+    r = _flags(spark, bullets)
+    assert r["n_lines"] == 10 and r["n_bullet_lines"] == 10
+    assert not r["r_bullet_lines"]
+
+    # ellipsis line endings: 10 lines, 4 end with '...'
+    ell = "\n".join(["truncated line..."] * 4 + ["a normal line here"] * 6)
+    r = _flags(spark, ell)
+    assert r["n_ellipsis_lines"] == 4 and not r["r_ellipsis_lines"]
+
+    # NULL text behaves as empty
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = gopher_quality_flags(df).first()
+    assert r["n_words"] == 1 and not r["pass_all"]
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    # corpus: "a b a b" and "a b c". unigrams: a:3 b:3 c:1 -> V=3
+    # bigrams: (a b):3, (b a):1, (b c):1
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b a b"), Row(doc_id=1, text="a b c")]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # doc 0: bigrams a-b (x2), b-a (x1)
+    #   ppm(a b) = 1e6 * (3+1) // (c(a)=3 + 3) = 666666
+    #   ppm(b a) = 1e6 * (1+1) // (c(b)=3 + 3) = 333333
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["score_sum"] == 2 * 666666 + 333333
+    assert out[0]["avg_ppm"] == (2 * 666666 + 333333) // 3
+    # doc 1: a-b and b-c; ppm(b c) = 1e6*2 // 6 = 333333
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["score_sum"] == 666666 + 333333
+    # single-token docs produce no row
+    df2 = spark.createDataFrame([Row(doc_id=9, text="lonely")])
+    assert bigram_lm_scores(df2).count() == 0
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    def py_z(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(3, 5), (0, 0), (1023, 1023), (17, 512), (700, 33)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=10).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == py_z(r["x"], r["y"]), (r["x"], r["y"])
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")])
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+
+
+def test_zorder_layout_shrinks_file_footprints(spark, tmp_path):
+    """Data-skipping evidence: with a Z-ordered layout, each file's
+    (x-range * y-range) footprint covers a small tile of the key
+    space; an x-sorted layout leaves y unconstrained per file. A
+    point/range predicate on y therefore skips most z-ordered files
+    but NO x-sorted ones (footer min/max pruning)."""
+    import pyarrow.parquet as pq
+
+    n, side = 1 << 14, 1 << 7  # 128x128 grid, one row per cell
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(df, zpath, ["x", "y"], bits=7, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xpath)
+    )
+
+    def footprints(path):
+        import glob
+
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.read_metadata(f)
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins:
+                        st = col.statistics
+                        mins[name] = (
+                            st.min
+                            if mins[name] is None
+                            else min(mins[name], st.min)
+                        )
+                        maxs[name] = (
+                            st.max
+                            if maxs[name] is None
+                            else max(maxs[name], st.max)
+                        )
+            out.append(
+                (mins["x"], maxs["x"], mins["y"], maxs["y"])
+            )
+        return out
+
+    z_fp, x_fp = footprints(zpath), footprints(xpath)
+    # the Z-order trade: the x-sorted layout skips perfectly on x and
+    # NOT AT ALL on y (every file spans the full y range); the
+    # Z-ordered layout skips well on BOTH dimensions. Quantified as
+    # files touched by a point predicate on each dimension alone:
+    y_probe, x_probe = 5, 5
+    z_hit_y = sum(1 for _, _, y0, y1 in z_fp if y0 <= y_probe <= y1)
+    x_hit_y = sum(1 for _, _, y0, y1 in x_fp if y0 <= y_probe <= y1)
+    assert x_hit_y == len(x_fp)  # x-sort: zero y skipping
+    assert z_hit_y <= len(z_fp) // 2  # z-order: y predicate skips >= half
+    z_hit_x = sum(1 for x0, x1, _, _ in z_fp if x0 <= x_probe <= x1)
+    assert z_hit_x <= len(z_fp) // 2  # ... and x predicate also skips
+    # every z file's y-span is a bounded tile, not the full range
+    assert max(y1 - y0 for _, _, y0, y1 in z_fp) <= 64
+    # round-trip: clustering must not lose or duplicate rows
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_bpe_merges_match_pure_python(spark):
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "the new low the new wide",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(corpus)])
+    merges, segs = learn_bpe_merges(df, n_merges=8)
+    assert merges == learn_bpe_merges_local(corpus, 8)
+    # the learned segmentation applies every merge greedily
+    seg = {r["word"]: r["syms"] for r in segs.collect()}
+    for w, syms in seg.items():
+        assert "".join(syms) == w
+    # determinism under different partitioning
+    merges2, _ = learn_bpe_merges(df.repartition(7), n_merges=8)
+    assert merges2 == merges
+
+
+def test_bpe_merge_greedy_left_to_right(spark):
+    # 'aaa' with top pair (a,a) must segment as ['aa','a'], not ['a','aa']
+    df = spark.createDataFrame([Row(doc_id=0, text="aaa aaa")])
+    merges, segs = learn_bpe_merges(df, n_merges=1)
+    assert merges == [("a", "a")]
+    seg = segs.filter(F.col("word") == "aaa").first()["syms"]
+    assert seg == ["aa", "a"]
+    with pytest.raises(ValueError):
+        learn_bpe_merges(df, n_merges=-1)
+
+
+def test_bpe_stops_when_no_pairs_left(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="ab ab")])
+    merges, _ = learn_bpe_merges(df, n_merges=10)
+    # after ('a','b') every word is one symbol; training stops early
+    assert merges == [("a", "b")]
