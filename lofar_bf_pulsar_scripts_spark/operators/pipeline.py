@@ -511,3 +511,85 @@ def pack_sequences(
             "bucket long, pack_id string, pack_tokens long"
         ),
     )
+
+
+# --- DSIR-style hashed importance weighting ---------------------------
+
+def dsir_importance(
+    df: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (hashed n-gram
+    variant): score every document by how much more likely its tokens
+    are under the TARGET distribution (rows where ``is_target``) than
+    under the full-corpus source distribution, using hashed unigram
+    buckets as the feature space.
+
+    Exactness: the per-bucket add-one-smoothed rates are integer ppm
+
+        ppm_t(b) = (1e6 * (c_t(b)+1)) DIV (N_t + B)
+        ppm_s(b) = (1e6 * (c_s(b)+1)) DIV (N_s + B)
+
+    and a document's weight is the integer sum over its tokens of
+    ppm_t - ppm_s (a linear-domain surrogate for the DSIR log-ratio:
+    same sign structure, deterministic in every engine — float
+    log sums are not). Positive = target-like, negative = generic.
+
+    Scale shape: the corpus is exploded and hashed ONCE, into the
+    per-(doc, bucket) multiplicity table; the B-bucket model is then
+    DERIVED from that table (a second tiny aggregation over
+    docs x B rows, never the raw tokens), broadcast back, and one
+    per-doc aggregation finishes. The md5-nibble bucket hash is the
+    same engine-portable construction as the minhash/Bloom family."""
+    from .dedup import _md5_int28
+
+    if n_buckets < 1 or n_buckets > (1 << 28):
+        raise ValueError("n_buckets must be in [1, 2^28]")
+    from .text import tokens
+
+    doc_b = (
+        df.select(
+            F.col(id_col),
+            is_target.cast("long").alias("__t"),
+            F.explode(
+                tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("tok"),
+        )
+        .withColumn(
+            "bucket", F.pmod(_md5_int28(F.col("tok")), F.lit(n_buckets))
+        )
+        .groupBy(id_col, "__t", "bucket")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    model = doc_b.groupBy("bucket").agg(
+        F.sum(F.col("mult") * F.col("__t")).alias("ct"),
+        F.sum("mult").alias("cs"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
+    )
+    rates = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST((1000000 * (ct + 1)) DIV (nt + {n_buckets}) AS BIGINT)"
+            ).alias("ppm_t"),
+            F.expr(
+                f"CAST((1000000 * (cs + 1)) DIV (ns + {n_buckets}) AS BIGINT)"
+            ).alias("ppm_s"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(rates), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("mult").alias("n_tokens"),
+            F.sum(
+                F.col("mult") * (F.col("ppm_t") - F.col("ppm_s"))
+            ).alias("weight_ppm"),
+        )
+    )

@@ -5050,6 +5050,94 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKET_SQL = f"({_minhash_x_sql('tok')}) % 256"
+
+
+@_register(
+    "dsir_importance",
+    rf"""
+    -- DSIR (hashed unigram variant): per-document importance weight
+    -- of the lang='en' target vs the full corpus. Per-bucket add-one
+    -- rates in integer ppm; doc weight = sum of (ppm_t - ppm_s) over
+    -- its tokens — integer-exact, engine-portable md5 buckets.
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+               unnest({_TOKENS_SQL}) AS tok
+        FROM documents
+    ), b AS (
+        SELECT doc_id, t, {_DSIR_BUCKET_SQL} AS bucket FROM toks
+    ), model AS (
+        SELECT bucket, sum(t) AS ct, count(*) AS cs FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT sum(ct) AS nt, sum(cs) AS ns FROM model
+    ), rates AS (
+        SELECT bucket,
+               (1000000 * (ct + 1)) // (nt + 256) AS ppm_t,
+               (1000000 * (cs + 1)) // (ns + 256) AS ppm_s
+        FROM model CROSS JOIN tot
+    ), doc_b AS (
+        SELECT doc_id, bucket, count(*) AS mult FROM b
+        GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(sum(mult) AS BIGINT) AS n_tokens,
+           CAST(sum(mult * (ppm_t - ppm_s)) AS BIGINT) AS weight_ppm
+    FROM doc_b JOIN rates USING (bucket)
+    GROUP BY doc_id
+    """,
+    "north star: DSIR importance resampling (hashed unigram feature "
+    "space, one conditional-agg model pass, broadcast model join; "
+    "integer-ppm rates keep the weight engine-exact)",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import dsir_importance
+
+    d = load_table(spark, "documents", sf_dir)
+    return dsir_importance(d, is_target=F.col("lang") == "en")
+
+
+@_register(
+    "json_props_stats",
+    r"""
+    -- semi-structured extraction: pull the integer k out of the JSON
+    -- props payload, aggregate per event_type. The oracle states the
+    -- extraction as a regexp (no JSON extension dependency); Spark
+    -- uses real JSON-path extraction — equivalence for this payload
+    -- shape is what the gate checks.
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(nullif(regexp_extract(props,
+                   '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT) AS k
+        FROM events
+    ) GROUP BY event_type
+    """,
+    "semi-structured JSON payload extraction (get_json_object path "
+    "projection + typed aggregation — the log/event-pipeline staple)",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5159,6 +5247,8 @@ _PROMOTE: tuple[str, ...] = (
     "bigram_lm_quality",
     "zorder_bucket_stats",
     "bpe_pair_counts",
+    "dsir_importance",
+    "json_props_stats",
 )
 
 

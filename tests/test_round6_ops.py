@@ -217,3 +217,66 @@ def test_bpe_stops_when_no_pairs_left(spark):
     merges, _ = learn_bpe_merges(df, n_merges=10)
     # after ('a','b') every word is one symbol; training stops early
     assert merges == [("a", "b")]
+
+
+def test_dsir_importance_hand_computed(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import dsir_importance
+
+    # 1-bucket degenerate case: every token maps to bucket 0, so
+    # ppm_t and ppm_s are fully determined by the token totals:
+    # target (en) tokens Nt=2, source total Ns=4, B=1
+    #   ppm_t = 1e6*(2+1)//(2+1) = 1_000_000
+    #   ppm_s = 1e6*(4+1)//(4+1) = 1_000_000  -> every weight 0
+    df = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "c d", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, F.col("lang") == "en", n_buckets=1
+        ).collect()
+    }
+    assert out[0]["n_tokens"] == 2 and out[0]["weight_ppm"] == 0
+    assert out[1]["n_tokens"] == 2 and out[1]["weight_ppm"] == 0
+
+    # target-heavy vs source-only tokens separate in sign with real
+    # buckets: doc 0's tokens are ALL target tokens, doc 1's appear
+    # only in the source half -> weight(doc0) > weight(doc1)
+    df2 = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta", "en"),
+            (1, "gamma delta gamma delta", "de"),
+            (2, "alpha beta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    w = {
+        r["doc_id"]: r["weight_ppm"]
+        for r in dsir_importance(
+            df2, F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert w[0] > 0 > w[1]
+    with pytest.raises(ValueError):
+        dsir_importance(df2, F.col("lang") == "en", n_buckets=0)
+
+
+def test_dsir_importance_partition_invariant(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import dsir_importance
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word", "en" if i % 2 else "de")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(map(tuple, dsir_importance(df, F.col("lang") == "en").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_importance(
+                df.repartition(13), F.col("lang") == "en"
+            ).collect(),
+        )
+    )
+    assert a == b
