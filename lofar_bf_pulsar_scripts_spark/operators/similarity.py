@@ -1016,6 +1016,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     centroid_id_col: str = "cid",
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """The composed modern ANN stack: IVF decides WHICH partitions a
     probe scans (nprobe nearest centroids — at rest the corpus is
@@ -1024,12 +1025,24 @@ def ivf_pq_topk(
     query's precomputed ADC table instead of a 64-dim float dot).
     Returns (qid, vec_id, adc_dist), ties to the smaller id,
     exact-integer scoring throughout — hash-gateable like its two
-    component tiers."""
-    enc = corpus_assigned.select(
-        F.col(id_col),
-        F.col(centroid_id_col),
-        pq_encode(F.col(vec_col), dims, m_sub, k_codes).alias("__codes"),
-    )
+    component tiers.
+
+    ``codes_df`` (columns: id_col, centroid_id_col, codes) supplies
+    PRECOMPUTED PQ codes — the at-rest compressed tier
+    (plans/lake.write_pq_codes): production probes never touch the
+    float vectors of the corpus at all, only the code store."""
+    if codes_df is not None:
+        enc = codes_df.select(
+            F.col(id_col),
+            F.col(centroid_id_col),
+            F.col("codes").alias("__codes"),
+        )
+    else:
+        enc = corpus_assigned.select(
+            F.col(id_col),
+            F.col(centroid_id_col),
+            pq_encode(F.col(vec_col), dims, m_sub, k_codes).alias("__codes"),
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("__cid"),

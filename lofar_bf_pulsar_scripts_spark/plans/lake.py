@@ -138,6 +138,52 @@ def ensure_lsh_signatures(
     return path
 
 
+def write_pq_codes(
+    assigned: DataFrame,
+    path: str,
+    dims: int,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "cid",
+) -> None:
+    """At-rest compressed ANN tier: (id, cid, codes) with the PQ
+    encode paid ONCE at ingest, Hive-partitioned by centroid — an
+    nprobe-pruned ADC probe is a partition-pruned scan of a few-bytes-
+    per-vector store, never the float corpus. This is the layout that
+    turns the IVF+PQ stack's per-probe cost into ~(corpus/nlist) *
+    m_sub byte lookups."""
+    from ..operators.similarity import pq_encode
+
+    enc = assigned.select(
+        F.col(id_col),
+        F.col(centroid_col),
+        pq_encode(F.col(vec_col), dims, m_sub, k_codes).alias("codes"),
+    )
+    enc.write.mode("overwrite").partitionBy(centroid_col).parquet(path)
+
+
+def ensure_pq_codes(
+    assigned: DataFrame,
+    path: str,
+    **kwargs,
+) -> str:
+    """Build the at-rest PQ code store once (atomic tmp+rename, same
+    protocol as ensure_lsh_signatures); later calls are a no-op."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        write_pq_codes(assigned, tmp, **kwargs)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    return path
+
+
 def lsh_ann_topk_stored(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2165,9 +2165,10 @@ def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries.select("qid", "embedding"), dims=64)
 
 
-@_register(
-    "ivf_pq_top3",
-    f"""
+# shared by ivf_pq_top3 (inline encode) and ivf_pq_stored_top3 (the
+# at-rest code store): identical semantics, one SQL definition so the
+# two gates cannot drift.
+_IVF_PQ_TOP3_SQL = f"""
     -- the composed ANN stack: IVF coarse assignment + nprobe=2 probe
     -- (the ivf_topk pipeline) restricts the candidate set; PQ ADC
     -- (the pq_adc_top3 pipeline) scores it with exact-integer L2 to
@@ -2216,7 +2217,12 @@ def q_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT qid, vec_id, CAST(adist AS BIGINT) AS adc_dist
     FROM ranked WHERE rk <= 3
-    """,
+    """
+
+
+@_register(
+    "ivf_pq_top3",
+    _IVF_PQ_TOP3_SQL,
     "composed IVF+PQ ANN stack (north star: IVF partition pruning "
     "decides WHICH rows a probe scans, PQ ADC decides how cheap each "
     "row is; both tiers exact-integer, the composition hash-gated)",
@@ -5138,6 +5144,35 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ivf_pq_stored_top3",
+    _IVF_PQ_TOP3_SQL,
+    "IVF+PQ ANN probing the at-rest cid-partitioned PQ-code store "
+    "(plans/lake.write_pq_codes): the encode is paid once at ingest, "
+    "a probe is a partition-prunable scan of integer codes — the "
+    "100 TB serving shape of ivf_pq_top3, parity-gated with the SAME "
+    "oracle SQL",
+)
+def q_ivf_pq_stored_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, ivf_pq_topk
+    from .plans.lake import ensure_pq_codes
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = ivf_assign(e, cent)
+    store = _lsh_store_path(sf_dir, kind="pq", dims=64, m_sub=4, k_codes=16)
+    ensure_pq_codes(corpus, store, dims=64, m_sub=4, k_codes=16)
+    codes = spark.read.parquet(store)
+    queries_df = e.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivf_pq_topk(
+        corpus, queries_df, cent, dims=64, k=3, nprobe=2, codes_df=codes
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5249,6 +5284,7 @@ _PROMOTE: tuple[str, ...] = (
     "bpe_pair_counts",
     "dsir_importance",
     "json_props_stats",
+    "ivf_pq_stored_top3",
 )
 
 
