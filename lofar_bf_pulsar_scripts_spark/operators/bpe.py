@@ -159,3 +159,62 @@ def learn_bpe_merges_local(
                     out.append(x)
             segs[w] = out
     return merges
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment a corpus with a learned merge list: per document,
+    (doc_id, n_words, n_bpe_tokens) — the token-budget counter under
+    the trained tokenizer.
+
+    Scale shape: the merge application runs over the DISTINCT word
+    table (vocabulary-bounded — the same collapse that makes training
+    tractable), as one Arrow-batched mapInPandas whose inner loop is
+    the reference apply; the corpus itself only pays a broadcast-ish
+    join of its (doc, word) multiplicities against that segmented
+    vocabulary. 100 TB of text never runs Python row-by-row — the
+    vocabulary does."""
+    import pandas as pd
+
+    doc_words = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    vocab = doc_words.select("word").distinct()
+
+    def seg_len(batches):
+        for pdf in batches:
+            counts = []
+            for w in pdf["word"]:
+                syms = list(w)
+                for a, b in merges:
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    syms = out
+                counts.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "n_sym": counts})
+
+    segmented = vocab.mapInPandas(seg_len, "word string, n_sym int")
+    return (
+        doc_words.join(segmented, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("mult").alias("n_words"),
+            F.sum(F.col("mult") * F.col("n_sym")).alias("n_bpe_tokens"),
+        )
+    )

@@ -280,3 +280,39 @@ def test_dsir_importance_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_apply_bpe_merges_counts(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+        learn_bpe_merges_local,
+    )
+
+    corpus = ["low low lower", "newest newest new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges, _ = learn_bpe_merges(df, n_merges=4)
+    out = {r["doc_id"]: r for r in apply_bpe_merges(df, merges).collect()}
+
+    # reference: segment each word locally with the same merges
+    def seg(word):
+        syms = list(word)
+        for a, b in merges:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            syms = acc
+        return syms
+
+    for i, text in enumerate(corpus):
+        words = text.split()
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_bpe_tokens"] == sum(len(seg(w)) for w in words)
+    # zero merges degenerates to character count
+    out0 = {r["doc_id"]: r for r in apply_bpe_merges(df, []).collect()}
+    assert out0[0]["n_bpe_tokens"] == sum(len(w) for w in corpus[0].split())
