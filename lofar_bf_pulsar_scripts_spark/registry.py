@@ -1977,17 +1977,22 @@ def q_lsh_ann_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact cosine baseline (north star)",
 )
 def q_lsh_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import (
-        ann_recall,
-        brute_force_topk,
-        lsh_ann_topk,
-    )
+    from .operators.similarity import ann_recall, brute_force_topk
+    from .plans.lake import ensure_lsh_signatures, lsh_ann_topk_stored
 
     e = load_table(spark, "embeddings", sf_dir)
     queries_df = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    approx = lsh_ann_topk(e, queries_df, k=5, n_tables=4, n_bits=6, dims=64)
+    # the approximate side probes the at-rest signature store (same
+    # buckets/results as the inline lsh_ann_topk, parity-pinned) —
+    # the recall harness measures the PRODUCTION probe path and skips
+    # the inline form's one-time multi-second signature codegen
+    store = _lsh_store_path(sf_dir, n_tables=4, n_bits=6, dims=64)
+    ensure_lsh_signatures(e, store, n_tables=4, n_bits=6, dims=64)
+    approx = lsh_ann_topk_stored(
+        e, queries_df, store, k=5, n_tables=4, n_bits=6, dims=64
+    )
     exact = brute_force_topk(e, queries_df, k=5)
     out = ann_recall(approx, exact, k=5)
     return out.select("qid", F.round("recall", 6).alias("recall"))
