@@ -530,3 +530,52 @@ def bigram_lm_scores(
             "avg_ppm", F.expr("CAST(score_sum DIV n_bigrams AS BIGINT)")
         )
     )
+
+
+def remove_shared_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style boilerplate REMOVAL: drop every non-overlapping
+    ``chunk_tokens``-token chunk that also occurs in another document
+    (navigation bars, cookie banners, licence footers) and reassemble
+    the surviving chunks in document order. Returns (id, n_kept_chunks,
+    n_tokens_kept, cleaned_text) — the cleaning counterpart of the
+    chunk_dedup_stats diagnostic.
+
+    Scale shape: one shuffle on chunk_md5 for the frequency table,
+    one join back, one per-doc agg whose collect_list is bounded by
+    the document's own chunk count (array_sort on (chunk_idx, text)
+    structs makes the reassembly order deterministic regardless of
+    partitioning). Docs whose every chunk is shared survive with
+    empty cleaned text (left join from the id universe)."""
+    ch = chunk_documents(
+        df, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+        id_col=id_col, text_col=text_col,
+    )
+    freq = ch.groupBy("chunk_md5").agg(
+        F.count_distinct(id_col).alias("__n_docs")
+    )
+    kept = ch.join(freq, on="chunk_md5").filter(F.col("__n_docs") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept_chunks"),
+        F.sum("chunk_len").alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

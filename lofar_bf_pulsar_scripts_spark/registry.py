@@ -5178,6 +5178,71 @@ def q_ivf_pq_stored_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "boilerplate_removal",
+    r"""
+    -- CCNet-style boilerplate REMOVAL (the cleaning counterpart of
+    -- chunk_dedup_stats): drop every non-overlapping 16-token chunk
+    -- that occurs in another document, reassemble the survivors in
+    -- document order; docs that were ALL boilerplate survive empty.
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM d
+    ), ch AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, greatest(n - 1, 0), 16))
+                   AS chunk_start
+        FROM s
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(chunk_start // 16 AS INTEGER) AS chunk_idx,
+               least(16, n - chunk_start) AS chunk_len,
+               array_to_string(list_slice(toks, chunk_start + 1,
+                   chunk_start + least(16, n - chunk_start)), ' ')
+                   AS chunk_text
+        FROM ch
+    ), freq AS (
+        SELECT md5(chunk_text) AS h, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1
+    ), kept AS (
+        SELECT c.* FROM chunks c
+        JOIN freq f ON f.h = md5(c.chunk_text)
+        WHERE f.n_docs = 1
+    ), rebuilt AS (
+        SELECT doc_id,
+               count(*) AS n_kept_chunks,
+               sum(chunk_len) AS n_tokens_kept,
+               md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx))
+                   AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_kept_chunks, 0) AS BIGINT) AS n_kept_chunks,
+           CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           coalesce(r.cleaned_md5, md5('')) AS cleaned_md5
+    FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "north star: CCNet boilerplate removal — shared chunks dropped, "
+    "cleaned text reassembled deterministically (array_sort on "
+    "(chunk_idx, text) structs); one chunk_md5 shuffle + one per-doc "
+    "agg",
+)
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import remove_shared_chunks
+
+    d = load_table(spark, "documents", sf_dir)
+    out = remove_shared_chunks(d, chunk_tokens=16)
+    return out.select(
+        "doc_id",
+        "n_kept_chunks",
+        "n_tokens_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5290,6 +5355,7 @@ _PROMOTE: tuple[str, ...] = (
     "dsir_importance",
     "json_props_stats",
     "ivf_pq_stored_top3",
+    "boilerplate_removal",
 )
 
 

@@ -316,3 +316,36 @@ def test_apply_bpe_merges_counts(spark):
     # zero merges degenerates to character count
     out0 = {r["doc_id"]: r for r in apply_bpe_merges(df, []).collect()}
     assert out0[0]["n_bpe_tokens"] == sum(len(w) for w in corpus[0].split())
+
+
+def test_remove_shared_chunks(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.text import (
+        remove_shared_chunks,
+    )
+
+    boiler = " ".join(f"nav{i}" for i in range(16))  # one full chunk
+    uniq0 = " ".join(f"alpha{i}" for i in range(16))
+    uniq1 = " ".join(f"beta{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq0),
+            (1, boiler + " " + uniq1),
+            (2, boiler),  # all boilerplate -> survives empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_shared_chunks(df, 16).collect()}
+    assert out[0]["n_kept_chunks"] == 1 and out[0]["cleaned_text"] == uniq0
+    assert out[1]["n_kept_chunks"] == 1 and out[1]["cleaned_text"] == uniq1
+    assert out[2]["n_kept_chunks"] == 0 and out[2]["cleaned_text"] == ""
+    assert out[0]["n_tokens_kept"] == 16
+
+    # multi-chunk docs reassemble in order regardless of partitioning
+    long0 = " ".join(f"w{i}" for i in range(64))
+    df2 = spark.createDataFrame(
+        [(0, long0), (1, "something else entirely here")],
+        "doc_id long, text string",
+    ).repartition(5)
+    r0 = remove_shared_chunks(df2, 16).filter(F.col("doc_id") == 0).first()
+    assert r0["cleaned_text"] == long0
+    assert r0["n_kept_chunks"] == 4 and r0["n_tokens_kept"] == 64
