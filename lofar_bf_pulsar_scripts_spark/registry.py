@@ -5243,6 +5243,125 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bm25_search",
+    rf"""
+    -- exact-integer BM25-shaped retrieval (k1=6/5, b=3/4 folded into
+    -- integer constants; idf log replaced by its exact rational
+    -- argument — monotone-equivalent per term). Top 10, ties to the
+    -- smaller doc id.
+    WITH d AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), dl AS (
+        SELECT doc_id, len(w) AS dl FROM d
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM dl
+    ), post AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+        WHERE tok IN ('merge', 'scan', 'table')
+        GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, count(*) AS df_t FROM post GROUP BY tok
+    ), scored AS (
+        SELECT doc_id,
+               (1000000 * (2 * n_docs - 2 * df_t + 1)) // (2 * df_t + 1)
+                   AS idf_x1e6,
+               (CAST(1000000 AS HUGEINT) * 22 * t_tokens * tf)
+               // (CAST(10 AS HUGEINT) * t_tokens * tf + 3 * t_tokens
+                   + 9 * dl * n_docs) AS tf_ppm
+        FROM post
+        JOIN dfreq USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit_terms,
+           CAST(sum((CAST(idf_x1e6 AS HUGEINT) * tf_ppm) // 1000000)
+               AS BIGINT) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "full-text retrieval: BM25-shaped top-k made engine-exact by "
+    "integer cross-multiplication (posting scan filters to query "
+    "terms map-side; corpus stats broadcast)",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import bm25_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    return bm25_topk(d, ["table", "scan", "merge"], k=10)
+
+
+@_register(
+    "event_funnel",
+    """
+    -- strictly-ordered conversion funnel view -> click -> purchase:
+    -- a user reaches step i+1 only with an event strictly after
+    -- their earliest completion of step i.
+    WITH ev AS (
+        SELECT user_id, event_type AS ty, epoch(ts) AS t FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), u0 AS (
+        SELECT user_id, min(t) AS t0 FROM ev WHERE ty = 'view'
+        GROUP BY user_id
+    ), u1 AS (
+        SELECT e.user_id, min(e.t) AS t1 FROM ev e
+        JOIN u0 USING (user_id)
+        WHERE e.ty = 'click' AND e.t > u0.t0 GROUP BY e.user_id
+    ), u2 AS (
+        SELECT e.user_id, min(e.t) AS t2 FROM ev e
+        JOIN u1 USING (user_id)
+        WHERE e.ty = 'purchase' AND e.t > u1.t1 GROUP BY e.user_id
+    )
+    SELECT 0 AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id FROM u0
+    UNION ALL
+    SELECT 1, 'click', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT) FROM u1
+    UNION ALL
+    SELECT 2, 'purchase', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT) FROM u2
+    """,
+    "ordered-sequence analytics: conversion funnel (per-step "
+    "conditional-min joins on the shrinking reached-user set; no "
+    "per-user arrays, heavy users cost scan not memory)",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.funnel import funnel_reach
+
+    ev = _events_t(spark, sf_dir)
+    return funnel_reach(ev, ["view", "click", "purchase"])
+
+
+@_register(
+    "cohort_retention",
+    """
+    -- day-cohort retention triangle on integer epoch days
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+        FROM events
+    ), first AS (
+        SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+    )
+    SELECT cohort_day, (day - cohort_day) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id
+    FROM act JOIN first USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+    "ordered-sequence analytics: cohort retention (per-(user, day) "
+    "distinct + per-user min + one count; three narrow key shuffles)",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.funnel import cohort_retention
+
+    ev = _events_t(spark, sf_dir)
+    return cohort_retention(ev)
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5356,6 +5475,9 @@ _PROMOTE: tuple[str, ...] = (
     "json_props_stats",
     "ivf_pq_stored_top3",
     "boilerplate_removal",
+    "bm25_search",
+    "event_funnel",
+    "cohort_retention",
 )
 
 

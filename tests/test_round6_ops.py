@@ -349,3 +349,78 @@ def test_remove_shared_chunks(spark):
     r0 = remove_shared_chunks(df2, 16).filter(F.col("doc_id") == 0).first()
     assert r0["cleaned_text"] == long0
     assert r0["n_kept_chunks"] == 4 and r0["n_tokens_kept"] == 64
+
+
+def test_funnel_strict_ordering(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.funnel import funnel_reach
+
+    rows = [
+        # user 0: full ordered funnel
+        (0, "view", 1.0), (0, "click", 2.0), (0, "purchase", 3.0),
+        # user 1: clicked BEFORE viewing -> stops at view
+        (1, "click", 1.0), (1, "view", 2.0),
+        # user 2: view+click, purchase before click -> stops at click
+        (2, "view", 1.0), (2, "purchase", 1.5), (2, "click", 2.0),
+        # user 3: never viewed
+        (3, "purchase", 1.0),
+        # user 4: simultaneous view/click (strict >) -> stops at view
+        (4, "view", 5.0), (4, "click", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, t double")
+    out = {r["step"]: r for r in funnel_reach(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 4  # users 0,1,2,4
+    assert out["view"]["sum_user_id"] == 0 + 1 + 2 + 4
+    assert out["click"]["n_users"] == 2  # users 0,2
+    assert out["click"]["sum_user_id"] == 2
+    assert out["purchase"]["n_users"] == 1 and out["purchase"]["sum_user_id"] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel_reach(ev, [])
+
+
+def test_cohort_retention_hand_case(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.funnel import cohort_retention
+
+    day = 86400.0
+    rows = [
+        (0, 0.5 * day), (0, 1.2 * day), (0, 3.9 * day),
+        (1, 1.1 * day), (1, 1.9 * day),  # two same-day events dedupe
+        (2, 0.1 * day), (2, 1.5 * day),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, t double")
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_users"], r["sum_user_id"])
+        for r in cohort_retention(ev).collect()
+    }
+    assert got[(0, 0)] == (2, 2)   # users 0 and 2 start day 0
+    assert got[(0, 1)] == (2, 2)   # both active day 1
+    assert got[(0, 3)] == (1, 0)   # only user 0 on day 3
+    assert got[(1, 0)] == (1, 1)   # user 1's cohort is day 1
+    assert (1, 1) not in got
+
+
+def test_bm25_ranks_rare_term_docs_first(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.retrieval import bm25_topk
+
+    filler = " ".join(["common word here"] * 10)
+    df = spark.createDataFrame(
+        [
+            (0, "zebra " + filler),          # rare term once
+            (1, "zebra zebra " + filler),    # rare term twice
+            (2, filler),                      # no hit
+            (3, "common " + filler),          # frequent term only
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["zebra", "common"], k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc 2 has no 'zebra' but has 'common' -> appears, ranked last of hits
+    assert set(ids) == {0, 1, 2, 3}
+    # doc 1 (rare term, higher tf) outranks doc 0, which outranks
+    # common-only docs
+    assert ids.index(1) < ids.index(0) < ids.index(2)
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert r1["n_hit_terms"] == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_topk(df, [], k=3)
