@@ -5362,6 +5362,128 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+@_register(
+    "scd2_user_values",
+    """
+    -- type-2 SCD build from the event change stream: each (user, t)
+    -- change opens a version valid until the next change; exact
+    -- (user, t) duplicates keep the max value deterministically.
+    WITH chg AS (
+        SELECT user_id, epoch(ts) AS t, max(value) AS value
+        FROM events WHERE event_type = 'signup' OR event_type = 'view'
+        GROUP BY user_id, epoch(ts)
+    )
+    SELECT user_id, value,
+           t AS valid_from,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to,
+           (lead(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL)
+               AS is_current
+    FROM chg
+    """,
+    "lakehouse table maintenance: SCD type-2 dimension build from an "
+    "append-only change log (one window over the entity key — the "
+    "MERGE-free CDC rebuild)",
+)
+def q_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import scd2_history
+
+    ev = _events_t(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "view")
+    )
+    return scd2_history(ev, key_col="user_id", time_col="t")
+
+
+@_register(
+    "resample_hourly_ffill",
+    """
+    -- regularize each user's purchase stream onto an hourly grid,
+    -- forward-filling the last observed value; slots are integer
+    -- epoch hours, per-slot last value is the (t, value) struct max.
+    WITH e AS (
+        SELECT user_id, epoch(ts) AS t, value FROM events
+        WHERE event_type = 'purchase'
+    ), per_slot AS (
+        SELECT user_id,
+               CAST(floor(t / 3600.0) AS BIGINT) AS slot,
+               (max(struct_pack(t := t, v := value))).v AS v
+        FROM e GROUP BY user_id, CAST(floor(t / 3600.0) AS BIGINT)
+    ), span AS (
+        SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM per_slot
+        GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM span
+    )
+    SELECT g.user_id, g.slot,
+           round(last_value(p.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) + 0.0 AS value_ffill
+    FROM grid g LEFT JOIN per_slot p USING (user_id, slot)
+    """,
+    "time-series regularization: fixed-grid resample + forward fill "
+    "(per-slot struct-max pre-agg, data-proportional grid explode, "
+    "one window per entity key)",
+)
+def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import resample_ffill
+
+    ev = _events_t(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = resample_ffill(ev, step=3600)
+    return out.select(
+        "user_id", "slot", F.round("value_ffill", 6).alias("value_ffill")
+    )
+
+
+@_register(
+    "dq_profile_events",
+    """
+    -- data-quality profile of the events table in ONE conditional-
+    -- aggregation scan: row/null counts, value range, time range,
+    -- type cardinality — the expectation-check primitive a pipeline
+    -- runs before promoting a batch.
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_event_id,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_user_id,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_event_type,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_value,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_props,
+           CAST(count(DISTINCT event_type) AS BIGINT)
+               AS n_event_types,
+           round(min(value), 6) + 0.0 AS min_value,
+           round(max(value), 6) + 0.0 AS max_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative_value
+    FROM events
+    """,
+    "data-quality profiling: one-scan expectation check (null rates, "
+    "ranges, cardinality) — the pre-promotion batch gate",
+)
+def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    nul = lambda c: F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")  # noqa: E731
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nul("event_id"),
+        nul("user_id"),
+        nul("event_type"),
+        nul("value"),
+        nul("props"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.expr("CAST(min(ts) div 1000 AS BIGINT)").alias("min_ts_us"),
+        F.expr("CAST(max(ts) div 1000 AS BIGINT)").alias("max_ts_us"),
+        F.sum((F.col("value") < 0).cast("long")).alias("n_negative_value"),
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5478,6 +5600,9 @@ _PROMOTE: tuple[str, ...] = (
     "bm25_search",
     "event_funnel",
     "cohort_retention",
+    "scd2_user_values",
+    "resample_hourly_ffill",
+    "dq_profile_events",
 )
 
 

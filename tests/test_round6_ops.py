@@ -424,3 +424,48 @@ def test_bm25_ranks_rare_term_docs_first(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         bm25_topk(df, [], k=3)
+
+
+def test_scd2_history_versions(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.history import scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            (0, 1.0, 10.0), (0, 3.0, 30.0), (0, 2.0, 20.0),
+            (0, 3.0, 25.0),  # duplicate (key, t): max value kept
+            (1, 5.0, 50.0),
+        ],
+        "user_id long, t double, value double",
+    )
+    rows = scd2_history(ev).orderBy("user_id", "valid_from").collect()
+    u0 = [r for r in rows if r["user_id"] == 0]
+    assert [(r["valid_from"], r["valid_to"], r["value"]) for r in u0] == [
+        (1.0, 2.0, 10.0), (2.0, 3.0, 20.0), (3.0, None, 30.0)
+    ]
+    assert [r["is_current"] for r in u0] == [False, False, True]
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 1 and u1[0]["is_current"]
+
+
+def test_resample_ffill_grid(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.history import resample_ffill
+
+    h = 3600.0
+    ev = spark.createDataFrame(
+        [
+            (0, 0.5 * h, 1.0),   # slot 0
+            (0, 0.9 * h, 2.0),   # slot 0, later -> wins
+            (0, 3.5 * h, 9.0),   # slot 3; slots 1, 2 forward-fill 2.0
+            (1, 10.2 * h, 7.0),  # single slot
+        ],
+        "user_id long, t double, value double",
+    )
+    got = {
+        (r["user_id"], r["slot"]): r["value_ffill"]
+        for r in resample_ffill(ev, step=3600).collect()
+    }
+    assert got[(0, 0)] == 2.0
+    assert got[(0, 1)] == 2.0 and got[(0, 2)] == 2.0
+    assert got[(0, 3)] == 9.0
+    assert got[(1, 10)] == 7.0
+    assert len(got) == 5  # no slots outside each user's span
