@@ -59,3 +59,46 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
     )
     return f.join(d, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """The decide-whether-to-salt diagnostic: exact key-frequency
+    skew statistics for a prospective join/aggregation key. ONE row:
+    n_rows, n_keys, max/min per-key count, the exact mean bound
+    (n_rows DIV n_keys), and the combined share of the ``top_k``
+    hottest keys in parts-per-million — everything integer-exact.
+
+    A max_count near n_rows/shuffle-partitions (or hot_share_ppm in
+    the hundreds of thousands) says AQE's skew split will struggle
+    and ``salted_join`` (or a broadcast) is the move. Plan: one
+    count-per-key aggregation (map-side combined) + one tiny rollup —
+    never more than |distinct keys| rows after the first shuffle."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    topk = (
+        counts.orderBy(F.desc("__c"), F.asc(key_col))
+        .limit(int(top_k))
+        .agg(F.sum("__c").alias("__top"))
+    )
+    return (
+        counts.agg(
+            F.sum("__c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("__c").alias("max_count"),
+            F.min("__c").alias("min_count"),
+        )
+        .crossJoin(F.broadcast(topk))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_count",
+            "min_count",
+            F.expr("CAST(n_rows DIV n_keys AS BIGINT)").alias("mean_count"),
+            F.expr(
+                "CAST((1000000 * __top) DIV n_rows AS BIGINT)"
+            ).alias("hot_share_ppm"),
+        )
+    )

@@ -5484,6 +5484,39 @@ def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "key_skew_report",
+    """
+    -- exact key-frequency skew diagnostic for a prospective join/agg
+    -- key (decide-whether-to-salt): top-5 hottest keys' combined
+    -- share in ppm, integer-exact throughout.
+    WITH counts AS (
+        SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1
+    ), tk AS (
+        SELECT sum(c) AS top FROM (
+            SELECT c FROM counts ORDER BY c DESC, k ASC LIMIT 5
+        )
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_count,
+           CAST(min(c) AS BIGINT) AS min_count,
+           CAST(sum(c) // count(*) AS BIGINT) AS mean_count,
+           CAST((1000000 * (SELECT top FROM tk)) // sum(c) AS BIGINT)
+               AS hot_share_ppm
+    FROM counts
+    """,
+    "skew diagnostic pairing salted_join: exact per-key frequency "
+    "stats + hot-key ppm share (one map-side-combined count + a tiny "
+    "rollup)",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import key_skew_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return key_skew_report(ev, "event_type", top_k=5)
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5603,6 +5636,7 @@ _PROMOTE: tuple[str, ...] = (
     "scd2_user_values",
     "resample_hourly_ffill",
     "dq_profile_events",
+    "key_skew_report",
 )
 
 
