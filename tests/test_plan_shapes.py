@@ -92,3 +92,98 @@ def test_repetition_stats_plan(spark):
     # exactly one tokenizer invocation in the plan: the split() that
     # feeds the shingle transform appears once, inside the Generate
     assert plan.count("split(") <= 2  # Generate input + requiredChildOutput echo
+
+
+# --- round-6 gate plans ----------------------------------------------
+
+
+def test_gopher_rules_plan(spark):
+    """One scan into a tiny per-source agg: map-side partials, no
+    joins at all, no window."""
+    plan = _plan(spark, "gopher_rules")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_bigram_lm_quality_plan(spark):
+    """Model joins are keyed (shuffle or broadcast hash), never a
+    cartesian; the scalar vocab count enters as a broadcast."""
+    plan = _plan(spark, "bigram_lm_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_dsir_importance_plan(spark):
+    """The 256-bucket model broadcast-joins back to the per-(doc,
+    bucket) table; the exploded corpus is never on the build side."""
+    plan = _plan(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_search_plan(spark):
+    """The posting scan filters to the query terms BEFORE any
+    exchange (map-side IN filter on the exploded tokens), corpus
+    stats enter broadcast, and no global window ranks documents."""
+    plan = _plan(spark, "bm25_search")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    low = plan.lower()
+    assert ("merge" in low and "scan" in low and "table" in low), "IN-list filter should appear in the plan"
+
+
+def test_event_funnel_plan(spark):
+    """Per-step joins are keyed on user (hash joins), no per-user
+    collect_list aggregate (the OOM shape), no window."""
+    plan = _plan(spark, "event_funnel")
+    assert "collect_list" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_plan_single_window_exchange(spark):
+    """SCD2 is one window over the entity key: exactly one exchange
+    feeds the sort+window (plus AQE read nodes), never a global
+    (empty-key) window."""
+    plan = _plan(spark, "scd2_user_values")
+    assert "Window" in plan
+    # a global window shows as 'Window [...], []' (empty partition spec)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+        raise AssertionError(f"global window found: {m.group(0)[:80]}")
+
+
+def test_ivf_pq_stored_plan_partition_pruned(spark, tmp_path):
+    """A probe of the at-rest PQ code store prunes to the probed
+    centroid partitions (PartitionFilters on cid)."""
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.plans.lake import ensure_pq_codes
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import ivf_assign
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", SF)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = ivf_assign(e, cent)
+    store = str(tmp_path / "pq_store")
+    ensure_pq_codes(corpus, store, dims=64, m_sub=4, k_codes=16)
+    codes = spark.read.parquet(store)
+    pruned = codes.filter(F.col("cid").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_resample_ffill_window_is_keyed(spark):
+    """The forward-fill window partitions by the entity key — no
+    global single-partition window."""
+    plan = _plan(spark, "resample_hourly_ffill")
+    import re
+
+    assert "Window" in plan
+    for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
+        raise AssertionError(f"global window found: {m.group(0)[:80]}")
