@@ -5517,6 +5517,95 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, "event_type", top_k=5)
 
 
+@_register(
+    "top_session_paths",
+    """
+    -- top event-type paths per session (first 5 events of each
+    -- 1-hour-gap session, integer-microsecond axis, deterministic
+    -- (ts, event_id) ordering): the product-analytics path report.
+    WITH trunc AS (
+        SELECT user_id, event_id, event_type,
+               datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 3600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM trunc
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list_transform(list_slice(
+                   list_sort(list(struct_pack(a := ts_us, b := event_id,
+                                              c := event_type))),
+                   1, 5), x -> x.c), '>') AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    "ordered-sequence analytics: top session paths (gap "
+    "sessionization + per-session ordered path assembly + top-k; "
+    "struct-sorted collect bounded by the 5-event prefix)",
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.session import sessionize_by_gap
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    sess = sessionize_by_gap(
+        ev, ["user_id"], "ts_us", 3600000000, tiebreak_col="event_id"
+    )
+    # cap each session to its 5-event prefix BEFORE the collect: the
+    # aggregate state is then <= 5 structs per session even for a
+    # bot session with millions of events (the sessionize window
+    # already sorts on the same key, so this adds no exchange)
+    from pyspark.sql import Window as _W
+
+    w5 = _W.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    sess = sess.withColumn("__rn", F.row_number().over(w5)).filter(
+        F.col("__rn") <= 5
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    5,
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5637,6 +5726,7 @@ _PROMOTE: tuple[str, ...] = (
     "resample_hourly_ffill",
     "dq_profile_events",
     "key_skew_report",
+    "top_session_paths",
 )
 
 
