@@ -5606,6 +5606,75 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_funnel_exact",
+    """
+    -- batch dual of the stateful streaming funnel tracker
+    -- (applyInPandasWithState, §2.9): strict-order min-chain on the
+    -- integer-microsecond axis — identical to event_funnel semantics
+    -- at microsecond resolution.
+    WITH ev AS (
+        SELECT user_id, event_type AS ty,
+               datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+              AND ts IS NOT NULL
+    ), u0 AS (
+        SELECT user_id, min(t) AS t0 FROM ev WHERE ty = 'view'
+        GROUP BY user_id
+    ), u1 AS (
+        SELECT e.user_id, min(e.t) AS t1 FROM ev e
+        JOIN u0 USING (user_id)
+        WHERE e.ty = 'click' AND e.t > u0.t0 GROUP BY e.user_id
+    ), u2 AS (
+        SELECT e.user_id, min(e.t) AS t2 FROM ev e
+        JOIN u1 USING (user_id)
+        WHERE e.ty = 'purchase' AND e.t > u1.t1 GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id FROM u0
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), 'click', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT) FROM u1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'purchase', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT) FROM u2
+    """,
+    "§2.9 stateful streaming funnel, hash-gated: the "
+    "applyInPandasWithState step tracker over a bounded replay "
+    "matches the batch strict-order min-chain exactly (two-integer "
+    "state per user, dead after the last step)",
+)
+def q_streaming_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.funnel_stream import streaming_funnel
+    from .tables import stream_events
+
+    stage = _stage_events_dir(sf_dir)
+    stream = stream_events(spark, stage).filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    ev = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    tr = streaming_funnel(
+        ev, ["view", "click", "purchase"], ts_col="ts_us"
+    )
+    out = _run_bounded_to_memory(
+        spark, tr, "q_stream_funnel_exact", mode="append"
+    )
+    return out.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("user").alias("sum_user_id"),
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5727,6 +5796,7 @@ _PROMOTE: tuple[str, ...] = (
     "dq_profile_events",
     "key_skew_report",
     "top_session_paths",
+    "streaming_funnel_exact",
 )
 
 

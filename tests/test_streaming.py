@@ -595,3 +595,84 @@ def test_streaming_bloom_dedup_bounded_state(spark):
         assert len(st.get[0]) == (1 << 10) // 8  # fixed, forever
     with pytest.raises(ValueError):
         make_bloom_dedup_fn(m_bits=1001)
+
+
+def test_streaming_funnel_equals_batch_across_batches(spark, tmp_path):
+    """Stateful streaming funnel: the (stage, t_reached) state carries
+    across micro-batches, and in-order replay equals the batch
+    strict-order min-chain."""
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.operators.funnel import funnel_reach
+    from lofar_bf_pulsar_scripts_spark.streaming.funnel_stream import (
+        streaming_funnel,
+    )
+
+    schema = "user_id long, ts_us long, event_type string, event_id long"
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: user 0 views+clicks; user 1 clicks before viewing;
+    # user 2 views only; simultaneous view/click for user 3 (strict >)
+    write([
+        (0, 10, "view", 1), (0, 20, "click", 2),
+        (1, 5, "click", 3), (1, 8, "view", 4),
+        (2, 9, "view", 5),
+        (3, 7, "view", 6), (3, 7, "click", 7),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_funnel(
+        stream, ["view", "click", "purchase"], ts_col="ts_us"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("funnel_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 (event-time later than batch 1, the in-order
+        # contract): user 0 purchases (completes); user 1 clicks
+        # after their view -> reaches click; user 3 clicks again
+        # later -> now strictly after the view
+        write([
+            (0, 30, "purchase", 8),
+            (1, 12, "click", 9),
+            (3, 15, "click", 10),
+            (2, 40, "purchase", 11),  # skips click: must NOT advance
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user"], r["step_idx"]): r["t"]
+        for r in spark.table("funnel_stream").collect()
+    }
+    assert got == {
+        (0, 0): 10, (0, 1): 20, (0, 2): 30,
+        (1, 0): 8, (1, 1): 12,
+        (2, 0): 9,
+        (3, 0): 7, (3, 1): 15,
+    }
+    # aggregate parity with the batch funnel on the full data
+    full = spark.read.parquet(src).withColumnRenamed("ts_us", "t")
+    b = {
+        r["step"]: (r["n_users"], r["sum_user_id"])
+        for r in funnel_reach(
+            full, ["view", "click", "purchase"], time_col="t"
+        ).collect()
+    }
+    import collections
+
+    s_counts = collections.Counter()
+    s_sums = collections.Counter()
+    for (user, idx), _t in got.items():
+        s_counts[idx] += 1
+        s_sums[idx] += user
+    assert b["view"] == (s_counts[0], s_sums[0])
+    assert b["click"] == (s_counts[1], s_sums[1])
+    assert b["purchase"] == (s_counts[2], s_sums[2])
