@@ -109,3 +109,62 @@ def rotate(df: DataFrame, shift: int, nbins: int, bin_col: str = "bin") -> DataF
     return df.withColumn(
         bin_col, F.pmod(F.col(bin_col) + F.lit(int(shift)), F.lit(int(nbins))).cast("int")
     )
+
+
+def period_search(
+    df: DataFrame,
+    trial_periods_us: list[int],
+    nbins: int = 16,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Trial-period search by epoch folding (the prepfold/PRESTO
+    candidate-scoring core the A4/A5 folds feed): fold the event
+    times at every trial period, score each fold's deviation from a
+    flat profile, return one row per trial period with the
+    engine-exact score ingredients.
+
+    The classical chi^2 statistic against uniformity is
+    sum_b (O_b - n/nbins)^2 / (n/nbins) = (nbins/n) sum_b O_b^2 - n —
+    for a FIXED event count n this is a monotone function of
+    sum_b O_b^2 alone, so the search ranks trial periods by the
+    integer ``sum_sq`` exactly (no float chi^2 needed; the caller can
+    derive the chi^2 value from (sum_sq, n, nbins) if wanted).
+
+    Everything is integer arithmetic: the phase bin is
+    ``((ts mod p) * nbins) DIV p`` (exact for ts, p in microseconds),
+    and sum of squared counts is widened to DECIMAL(38,0) (a 100 TB
+    corpus puts per-bin counts near 2^36, whose square overflows
+    int64 — SCALE.md pitfall 9).
+
+    Scale shape: the trial grid is a constant-array explode (|trials|
+    fan-out) feeding a (period, bin) aggregation whose key space is
+    |trials| x nbins — partial aggregation collapses it map-side, so
+    the shuffle carries a few hundred rows regardless of corpus
+    size."""
+    if not trial_periods_us:
+        raise ValueError("trial_periods_us must be non-empty")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    periods = F.array(*[F.lit(int(p)).cast("long") for p in trial_periods_us])
+    ts = F.col(ts_col).cast("long")
+    binned = df.select(ts.alias("__ts")).select(
+        "__ts", F.explode(periods).alias("period_us")
+    ).select(
+        "period_us",
+        F.expr(
+            f"CAST((pmod(__ts, period_us) * {int(nbins)}) "
+            "DIV period_us AS INT)"
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("period_us", "bin").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    return per_bin.groupBy("period_us").agg(
+        F.sum("__o").alias("n_events"),
+        # stays decimal(38,0) end-to-end (DuckDB mirror: HUGEINT) —
+        # the comparison layer normalizes Decimal vs int
+        F.sum(
+            F.col("__o").cast("decimal(38,0)") * F.col("__o")
+        ).cast("decimal(38,0)").alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_occupied_bins"),
+    )

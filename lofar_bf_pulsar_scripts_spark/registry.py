@@ -5675,6 +5675,58 @@ def q_streaming_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSEARCH_PERIODS = [3_600_000_000 + k * 7_000_000 for k in range(-8, 9)]
+
+
+@_register(
+    "period_search",
+    f"""
+    -- trial-period search by epoch folding (the prepfold/PRESTO
+    -- candidate-scoring core): fold event micro-times at each trial
+    -- period, rank by the exact-integer sum of squared bin counts
+    -- (monotone in the chi^2-against-flat for fixed n). Bin =
+    -- ((ts mod p) * nbins) // p — integer arithmetic end-to-end;
+    -- sum_sq HUGEINT-widened (pitfall 9).
+    WITH t AS (
+        SELECT datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE ts IS NOT NULL
+    ), trials AS (
+        SELECT unnest([{", ".join(str(p) for p in _PSEARCH_PERIODS)}])
+            AS period_us
+    ), binned AS (
+        SELECT period_us,
+               ((ts_us % period_us) * 16) // period_us AS bin
+        FROM t CROSS JOIN trials
+    ), per_bin AS (
+        SELECT period_us, bin, count(*) AS o
+        FROM binned GROUP BY period_us, bin
+    )
+    SELECT period_us,
+           CAST(sum(o) AS BIGINT) AS n_events,
+           CAST(sum(CAST(o AS HUGEINT) * o) AS BIGINT) AS sum_sq,
+           CAST(count(*) AS BIGINT) AS n_occupied_bins
+    FROM per_bin GROUP BY period_us
+    """,
+    "A4-family trial-period search (prepfold dual): constant-grid "
+    "explode into a (period, bin) aggregation — |trials| x nbins "
+    "keys collapse map-side, shuffle carries a few hundred rows at "
+    "any corpus size; score exact-integer",
+)
+def q_period_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import period_search
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us"))
+    out = period_search(ev, _PSEARCH_PERIODS, nbins=16)
+    # the operator returns sum_sq as decimal(38,0) (overflow-safe at
+    # any corpus size); the gate narrows to BIGINT for the type-tagged
+    # cross-engine compare — exact at every test SF
+    return out.withColumn("sum_sq", F.col("sum_sq").cast("long"))
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -5797,6 +5849,7 @@ _PROMOTE: tuple[str, ...] = (
     "key_skew_report",
     "top_session_paths",
     "streaming_funnel_exact",
+    "period_search",
 )
 
 

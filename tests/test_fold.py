@@ -99,3 +99,31 @@ def test_rotate_shifts_peak(spark):
     prof = rotate(fold(df, P, NBINS), 5, NBINS)
     top = prof.orderBy(F.desc("profile")).first()
     assert top["bin"] == (7 + 5) % NBINS
+
+
+def test_period_search_finds_planted_period(spark):
+    """Events planted strictly periodic at P concentrate in one phase
+    bin, so sum_sq peaks at P among the trials; a uniform scatter
+    scores near the flat-profile floor n^2/nbins."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.operators.fold import period_search
+
+    P = 1_000_000  # 1 s in us
+    n = 400
+    planted = spark.range(n).select((F.col("id") * P + 123).alias("ts_us"))
+    trials = [P - 2_000, P - 1_000, P, P + 1_000, P + 2_000]
+    out = {r["period_us"]: r for r in period_search(planted, trials, nbins=16).collect()}
+    # at the true period every event lands in ONE bin: sum_sq = n^2
+    assert int(out[P]["sum_sq"]) == n * n
+    assert out[P]["n_occupied_bins"] == 1
+    # every detuned trial spreads the events (smaller sum_sq)
+    for p in trials:
+        if p != P:
+            assert int(out[p]["sum_sq"]) < n * n
+        assert out[p]["n_events"] == n
+    with pytest.raises(ValueError):
+        period_search(planted, [], nbins=16)
+    with pytest.raises(ValueError):
+        period_search(planted, trials, nbins=1)
