@@ -191,9 +191,11 @@ def attach_casa_beamcorr(
     frequency comb; that assumption is CHECKED, not trusted: a
     dimension-only probe (the beamcorr table is broadcast-scale by
     contract, so this is a sub-millisecond job at plan-build time)
-    measures the worst spacing deviation per station, and any station
-    with fewer than 2 rows or spacing deviating from uniform by more
-    than delta/4 routes the whole call through the O(grid)
+    measures each station's worst POSITIONAL deviation from the ideal
+    comb (max_j |g[j] - (f0 + j*delta)| — cumulative, not per-step,
+    so drift cannot accumulate past the probe's idx±1 window), and
+    any station with fewer than 2 rows or a deviation above delta/4
+    routes the whole call through the O(grid)
     ``F.aggregate`` nearest-fold instead — same semantics (nearest,
     ties toward the lower table frequency), no wrong-row risk on
     non-comb tables, no 0/0 NaN on degenerate single-row grids.
@@ -208,46 +210,53 @@ def attach_casa_beamcorr(
     )
     comb_ok = _COMB_OK_CACHE.get(probe_key)
     if comb_ok is None:
+        # CUMULATIVE check, not per-step: bounding only consecutive
+        # spacing deviation lets positional drift accumulate to
+        # (n-1)*tol and the index probe's idx±1 window miss the true
+        # nearest row by many positions. What the O(1) probe actually
+        # needs is that every grid point sits within delta/4 of its
+        # ideal comb position f0 + j*delta — then round() lands
+        # within one slot of the true index for any query frequency.
         comb_ok = all(
-        r["n"] >= 2 and r["dev"] is not None and r["dev"] <= 0.25
-        for r in (
-            beamcorr.groupBy("station")
-            .agg(
-                F.count("*").cast("int").alias("n"),
-                F.array_sort(F.collect_list("freq_mhz")).alias("g"),
-            )
-            .select(
-                "n",
-                # max |consecutive spacing - uniform delta| / delta
-                F.when(
-                    F.col("n") >= 2,
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col("g"), 2, F.greatest(F.col("n") - 1, F.lit(1))),
-                            F.slice(F.col("g"), 1, F.greatest(F.col("n") - 1, F.lit(1))),
-                            lambda hi, lo: hi - lo,
+            r["n"] >= 2 and r["dev"] is not None and r["dev"] <= 0.25
+            for r in (
+                beamcorr.groupBy("station")
+                .agg(
+                    F.count("*").cast("int").alias("n"),
+                    F.array_sort(F.collect_list("freq_mhz")).alias("g"),
+                )
+                .select(
+                    "n",
+                    # max_j |g[j] - (f0 + j*delta)| / delta over the
+                    # whole grid (0-based j; transform exposes the
+                    # element index)
+                    F.when(
+                        F.col("n") >= 2,
+                        F.array_max(
+                            F.transform(
+                                F.col("g"),
+                                lambda x, i: F.abs(
+                                    x
+                                    - (
+                                        F.col("g")[0]
+                                        + i.cast("double")
+                                        * (
+                                            F.element_at(F.col("g"), F.col("n"))
+                                            - F.col("g")[0]
+                                        )
+                                        / (F.col("n") - 1)
+                                    )
+                                ),
+                            )
+                        )
+                        / F.abs(
+                            (F.element_at(F.col("g"), F.col("n")) - F.col("g")[0])
+                            / (F.col("n") - 1)
                         ),
-                        F.lit(0.0),
-                        lambda acc, d: F.greatest(
-                            acc,
-                            F.abs(
-                                d
-                                - (
-                                    F.element_at(F.col("g"), F.col("n"))
-                                    - F.col("g")[0]
-                                )
-                                / (F.col("n") - 1)
-                            ),
-                        ),
-                    )
-                    / F.abs(
-                        (F.element_at(F.col("g"), F.col("n")) - F.col("g")[0])
-                        / (F.col("n") - 1)
-                    ),
-                ).alias("dev"),
+                    ).alias("dev"),
+                )
+                .collect()
             )
-            .collect()
-        )
         )
         _COMB_OK_CACHE[probe_key] = comb_ok
     grid = F.broadcast(

@@ -210,11 +210,21 @@ def apply_bpe_merges(
             yield pd.DataFrame({"word": pdf["word"], "n_sym": counts})
 
     segmented = vocab.mapInPandas(seg_len, "word string, n_sym int")
-    return (
+    counted = (
         doc_words.join(segmented, "word")
         .groupBy(id_col)
         .agg(
             F.sum("mult").alias("n_words"),
             F.sum(F.col("mult") * F.col("n_sym")).alias("n_bpe_tokens"),
         )
+    )
+    # empty/whitespace-only docs have no words and would vanish from
+    # the inner pipeline — restore them as (id, 0, 0) so the token
+    # budget covers the whole corpus (same id-universe left join as
+    # remove_shared_chunks)
+    ids = df.select(id_col).distinct()
+    return ids.join(counted, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
     )

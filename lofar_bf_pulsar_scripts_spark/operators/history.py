@@ -30,9 +30,17 @@ def scd2_history(
     on the entity key; at 100 TB this is the standard MERGE-free CDC
     rebuild (append-only change log in, versioned dim out)."""
     value_cols = value_cols or ["value"]
-    # dedupe exact (key, t) collisions deterministically
-    agg = changes.groupBy(key_col, time_col).agg(
-        *[F.max(c).alias(c) for c in value_cols]
+    # dedupe exact (key, t) collisions deterministically by the
+    # ROW-WISE tuple max (one struct max, unpacked) — independent
+    # per-column maxes would fabricate a version matching neither
+    # source row when value_cols has more than one column
+    tup = changes.groupBy(key_col, time_col).agg(
+        F.max(F.struct(*value_cols)).alias("__v")
+    )
+    agg = tup.select(
+        key_col,
+        time_col,
+        *[F.col("__v")[c].alias(c) for c in value_cols],
     )
     w = Window.partitionBy(key_col).orderBy(time_col)
     out = agg.select(

@@ -505,11 +505,10 @@ def bigram_lm_scores(
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("mult"))
     )
-    model = (
-        df.select(F.explode(bigrams).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
+    # the bigram model is DERIVED from the per-(doc, bigram) table —
+    # c12 = sum(mult) — never a second explode+tokenize scan of the
+    # raw corpus (the same derivation dsir_importance uses)
+    model = doc_bg.groupBy("bg").agg(F.sum("mult").alias("c12"))
     scored = (
         doc_bg.join(model, "bg")
         .withColumn("w1", F.split(F.col("bg"), " ")[0])

@@ -41,16 +41,32 @@ _SPECS: list[QuerySpec] = []
 
 
 def _lsh_store_path(sf_dir: str, **params) -> str:
-    """Deterministic per-(sf_dir, params) location for the at-rest LSH
-    signature store — under the system tempdir so repeated gate/bench
-    runs in one container reuse the build (the data is driver-
-    generated and immutable per sf_dir)."""
+    """Deterministic per-(source data, params) location for an
+    at-rest derived store (LSH signatures / PQ codes) under the
+    system tempdir, so repeated gate/bench runs in one container
+    reuse the build. The key includes the source parquet's (size,
+    mtime) fingerprint: regenerating the data IN PLACE at the same
+    sf_dir moves the key, so a cached store built from old data can
+    never be silently probed against new data (the same
+    stale-artifact hazard caldata's sha256 manifest guards)."""
     import hashlib
     import os
     import tempfile
 
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fingerprint = "absent"
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + repr(sorted(params.items()))).encode()
+        (
+            os.path.abspath(sf_dir)
+            + "|"
+            + fingerprint
+            + "|"
+            + repr(sorted(params.items()))
+        ).encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"lofar_spark_lsh_{key}")
 
@@ -4844,6 +4860,10 @@ _GOPHER_STOP_SQL = " + ".join(
     -- integer cross-multiplication (3 <= mean_word_len <= 10 becomes
     -- 3n <= sum_len <= 10n) so the flags are engine-exact.
     WITH d AS (
+        -- NULL text counts as empty (matching the Spark side's
+        -- coalesce): without it every rule flag would go NULL and a
+        -- NULL-text doc would silently fall out of the fail_*/pass
+        -- counts while staying in n_docs
         SELECT doc_id, source,
                {_TOKENS_SQL} AS w,
                length(regexp_replace(trim(text), '\s+', '', 'g'))
@@ -4851,7 +4871,8 @@ _GOPHER_STOP_SQL = " + ".join(
                len(regexp_extract_all(text, '#'))
                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
                regexp_split_to_array(text, '\n') AS lines
-        FROM documents
+        FROM (SELECT doc_id, source, coalesce(text, '') AS text
+              FROM documents)
     ), f AS (
         SELECT doc_id, source,
                len(w) AS n_words, sum_len, n_sym,
@@ -5585,14 +5606,13 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ">",
             F.transform(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("ts_us", "event_id", "event_type")
-                        )
-                    ),
-                    1,
-                    5,
+                # the __rn <= 5 filter above already bounds the
+                # collected array to the 5-event prefix — sorting the
+                # <=5 structs is the whole reassembly
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
                 ),
                 lambda s: s["event_type"],
             ),

@@ -469,3 +469,50 @@ def test_resample_ffill_grid(spark):
     assert got[(0, 3)] == 9.0
     assert got[(1, 10)] == 7.0
     assert len(got) == 5  # no slots outside each user's span
+
+
+def test_scd2_tuple_max_multi_value_columns(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.history import scd2_history
+
+    # duplicate (key, t) with conflicting rows: the ROW-WISE tuple max
+    # (a=2, b=0) must win — per-column maxes would fabricate (2, 9)
+    ev = spark.createDataFrame(
+        [(1, 5.0, 1.0, 9.0), (1, 5.0, 2.0, 0.0)],
+        "user_id long, t double, a double, b double",
+    )
+    rows = scd2_history(ev, value_cols=["a", "b"]).collect()
+    assert len(rows) == 1
+    assert (rows[0]["a"], rows[0]["b"]) == (2.0, 0.0)
+
+
+def test_apply_bpe_merges_keeps_empty_docs(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "some words"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_bpe_merges(df, []).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for i in (1, 2, 3):
+        assert out[i]["n_words"] == 0 and out[i]["n_bpe_tokens"] == 0
+
+
+def test_casa_comb_probe_rejects_cumulative_drift(spark):
+    """Per-step deviations of delta/4 can accumulate into multi-slot
+    positional drift; the probe must reject such a grid (routing to
+    the exact fold) so the query at an exact grid point still gets
+    its own row."""
+    from pyspark.sql import Row
+
+    from lofar_bf_pulsar_scripts_spark import caldata
+
+    freqs = [i * 1.25 for i in range(9)] + [10.0 + 0.75 * i for i in range(1, 9)]
+    bc = spark.createDataFrame(
+        [Row(station="XX001", freq_mhz=f, factor=100.0 + i)
+         for i, f in enumerate(freqs)]
+    )
+    df = spark.createDataFrame([Row(station="XX001", freq_mhz=10.0)])
+    got = caldata.attach_casa_beamcorr(df, bc).first()
+    # 10.0 is an exact grid point (index 8): its factor is 108
+    assert got["casa_factor"] == 108.0
