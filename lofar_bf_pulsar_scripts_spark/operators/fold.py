@@ -168,3 +168,56 @@ def period_search(
         ).cast("decimal(38,0)").alias("sum_sq"),
         F.count(F.lit(1)).alias("n_occupied_bins"),
     )
+
+
+def harmonic_sum(
+    periodogram: DataFrame,
+    nharm: int = 4,
+    period_col: str = "period_us",
+    score_col: str = "sum_sq",
+) -> DataFrame:
+    """Incoherent harmonic summing over a trial-period periodogram
+    (the accelsearch-style booster applied after ``period_search``):
+    a pulsar with a narrow duty cycle spreads power into harmonics,
+    so the score of fundamental P is strengthened by adding the
+    scores of P/2, P/3, ... when those periods are in the trial grid.
+
+    Harmonic matching is exact-integer: trial q is the h-th harmonic
+    of fundamental p iff ``p % h == 0 and q == p div h`` — grids
+    meant for summing should therefore contain exact integer
+    sub-multiples of their fundamentals.  Returns one row per
+    fundamental: (period_us, n_harm_present, hsum) where hsum is the
+    DECIMAL(38,0) sum of the matched harmonics' scores (h=1, the
+    fundamental itself, always matches).
+
+    Scale shape: the periodogram is |trials| rows — constant-size
+    regardless of the corpus that produced it — so the harmonic join
+    is a broadcast equi-join between two constant-size relations; the
+    corpus is never touched again.
+    """
+    if nharm < 1:
+        raise ValueError("nharm must be >= 1")
+    p = F.col(period_col).cast("long")
+    wanted = (
+        periodogram.select(p.alias("__p"))
+        .withColumn(
+            "__h", F.explode(F.array(*[F.lit(h) for h in range(1, nharm + 1)]))
+        )
+        .filter(F.pmod(F.col("__p"), F.col("__h")) == 0)
+        .select(
+            "__p",
+            F.expr("__p div __h").alias("__hp"),
+        )
+    )
+    scores = periodogram.select(
+        p.alias("__hp"),
+        F.col(score_col).cast("decimal(38,0)").alias("__s"),
+    )
+    return (
+        wanted.join(F.broadcast(scores), "__hp")
+        .groupBy(F.col("__p").alias(period_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_harm_present"),
+            F.sum("__s").cast("decimal(38,0)").alias("hsum"),
+        )
+    )

@@ -5748,6 +5748,250 @@ def q_period_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Sky cross-match: cone-search join via neighbor-cell bucketing
+# --------------------------------------------------------------------
+#
+# Catalog positions are a pure integer-hash function of user_id; probe
+# positions jitter around the probe's own user inside a ±4e6 mas box
+# (so ~20% of probes land inside the 2e6 mas radius, and RA wrap /
+# dec clamp paths are exercised).  The oracle states the NAIVE
+# all-pairs definition; the Spark side runs the bucketed 3x3
+# neighbor-cell equi-join — the gate proves the bucketed plan is
+# bit-identical to the all-pairs semantics.
+_SKY_R_MAS = 2_000_000
+_SKY_RA_K = 2_654_435_761
+_SKY_DEC_K = 2_246_822_519
+_SKY_JR_K = 97_003
+_SKY_JD_K = 89_009
+
+
+@_register(
+    "sky_crossmatch",
+    f"""
+    -- cone-search cross-match, naive all-pairs definition: integer-mas
+    -- coordinates, exact-integer cylindrical metric with RA wrap
+    -- (min(|dra|, 1_296_000_000-|dra|)^2 + ddec^2 <= R^2).  The Spark
+    -- side computes the SAME pairs via the neighbor-cell bucketed
+    -- equi-join (operators/spatial.py) — never |probes| x |catalog|.
+    WITH users AS (
+        SELECT DISTINCT user_id,
+            (user_id * {_SKY_RA_K}) % 1296000000 AS ra_u,
+            (user_id * {_SKY_DEC_K}) % 648000001 - 324000000 AS dec_u
+        FROM events WHERE user_id IS NOT NULL
+    ), probes AS (
+        SELECT event_id,
+            ((((user_id * {_SKY_RA_K}) % 1296000000
+               + (event_id * {_SKY_JR_K}) % 8000001 - 4000000)
+              % 1296000000) + 1296000000) % 1296000000 AS ra_p,
+            greatest(-324000000, least(324000000,
+                (user_id * {_SKY_DEC_K}) % 648000001 - 324000000
+                + (event_id * {_SKY_JD_K}) % 8000001 - 4000000)) AS dec_p
+        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    ), pairs AS (
+        SELECT p.event_id, u.user_id,
+               least(abs(p.ra_p - u.ra_u),
+                     1296000000 - abs(p.ra_p - u.ra_u))
+               * least(abs(p.ra_p - u.ra_u),
+                       1296000000 - abs(p.ra_p - u.ra_u))
+               + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u) AS sep_sq
+        FROM probes p, users u
+        WHERE least(abs(p.ra_p - u.ra_u),
+                    1296000000 - abs(p.ra_p - u.ra_u))
+              * least(abs(p.ra_p - u.ra_u),
+                      1296000000 - abs(p.ra_p - u.ra_u))
+              + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u)
+              <= {_SKY_R_MAS}::BIGINT * {_SKY_R_MAS}
+    )
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_probes,
+           CAST(sum(CAST(sep_sq AS HUGEINT)) AS BIGINT) AS sum_sep_sq,
+           CAST(min(sep_sq) AS BIGINT) AS min_sep_sq
+    FROM pairs GROUP BY bucket
+    """,
+    "J-family spatial join: cone cross-match by neighbor-cell "
+    "bucketing — probe side explodes 3x3 cells, equi-join on the "
+    "cell key, exact-integer separation predicate; candidates "
+    "bounded by cell occupancy, no cross join at any corpus size",
+)
+def q_sky_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial import crossmatch_cone
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    ra_u = f"(user_id * {_SKY_RA_K}) % 1296000000"
+    dec_u = f"(user_id * {_SKY_DEC_K}) % 648000001 - 324000000"
+    catalog = (
+        ev.select("user_id").distinct().select(
+            "user_id",
+            F.expr(ra_u).cast("long").alias("ra_mas"),
+            F.expr(dec_u).cast("long").alias("dec_mas"),
+        )
+    )
+    probes = ev.select(
+        "event_id",
+        F.expr(
+            f"pmod({ra_u} + (event_id * {_SKY_JR_K}) % 8000001 - 4000000, "
+            "1296000000)"
+        ).cast("long").alias("ra_mas"),
+        F.expr(
+            f"greatest(-324000000L, least(324000000L, {dec_u} "
+            f"+ (event_id * {_SKY_JD_K}) % 8000001 - 4000000))"
+        ).cast("long").alias("dec_mas"),
+    )
+    pairs = crossmatch_cone(probes, catalog, _SKY_R_MAS)
+    return (
+        pairs.groupBy(
+            F.pmod(F.col("user_id_cat"), F.lit(8)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_probes"),
+            F.sum(F.col("sep_sq_mas2").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sum_sep_sq"),
+            F.min("sep_sq_mas2").alias("min_sep_sq"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Harmonic summing over the trial-period periodogram
+# --------------------------------------------------------------------
+
+# fundamentals divisible by 12 so the h=2,3,4 sub-multiples are exact
+# integers present in the grid
+_HARM_BASE = [3_600_000_000 + k * 60_000_000 for k in range(-2, 3)]
+_HARM_GRID = sorted({p // h for p in _HARM_BASE for h in (1, 2, 3, 4)})
+
+
+@_register(
+    "harmonic_periodogram",
+    f"""
+    -- accelsearch-style incoherent harmonic summing: fold at every
+    -- grid period (period_search CTE), then boost each fundamental by
+    -- the scores of its exact integer sub-multiple periods present in
+    -- the grid.  All-integer matching (p % h = 0, q = p // h); hsum
+    -- HUGEINT-widened then narrowed for the compare.
+    WITH t AS (
+        SELECT datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE ts IS NOT NULL
+    ), trials AS (
+        SELECT unnest([{", ".join(str(p) for p in _HARM_GRID)}])
+            AS period_us
+    ), per_bin AS (
+        SELECT period_us, ((ts_us % period_us) * 16) // period_us AS bin,
+               count(*) AS o
+        FROM t CROSS JOIN trials GROUP BY 1, 2
+    ), scores AS (
+        SELECT period_us, sum(CAST(o AS HUGEINT) * o) AS sum_sq
+        FROM per_bin GROUP BY period_us
+    ), wanted AS (
+        SELECT s.period_us, s.period_us // h.h AS hp
+        FROM scores s CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS h) h
+        WHERE s.period_us % h.h = 0
+    )
+    SELECT w.period_us,
+           CAST(count(*) AS BIGINT) AS n_harm_present,
+           CAST(sum(s2.sum_sq) AS BIGINT) AS hsum
+    FROM wanted w JOIN scores s2 ON s2.period_us = w.hp
+    GROUP BY w.period_us
+    """,
+    "A4/W-family harmonic summing: periodogram is constant-size, so "
+    "the harmonic match is a broadcast equi-join between two "
+    "constant relations — the corpus is folded once and never "
+    "touched again",
+)
+def q_harmonic_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import harmonic_sum, period_search
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us"))
+    gram = period_search(ev, _HARM_GRID, nbins=16)
+    out = harmonic_sum(gram, nharm=4)
+    return out.withColumn("hsum", F.col("hsum").cast("long"))
+
+
+# --------------------------------------------------------------------
+# Trial-DM dedispersion search
+# --------------------------------------------------------------------
+
+_DM_TRIALS = [40 * k for k in range(8)]  # 0..280 pc/cm^3
+_DM_NCHAN = 32
+_DM_F_LO = 119.0  # MHz (HBA-low-ish band)
+_DM_BW = 0.625  # MHz/channel -> 119..139 MHz
+_DM_PERIOD_US = 60_000_000  # 60 s fold
+
+
+def _dm_delay_rows() -> list[tuple[int, int, int]]:
+    from .operators.dedisperse import dispersion_delay_table
+
+    return dispersion_delay_table(_DM_TRIALS, _DM_NCHAN, _DM_F_LO, _DM_BW)
+
+
+def _dm_delay_values_sql() -> str:
+    return ", ".join(
+        f"({d}, {c}, {u})" for d, c, u in _dm_delay_rows()
+    )
+
+
+@_register(
+    "dm_search",
+    f"""
+    -- trial-DM dedispersion search (prepsubband/DDplan stage):
+    -- subtract each channel's dispersion delay for every trial DM,
+    -- fold at the known 60 s period, score by exact-integer sum of
+    -- squared bin counts.  The (dm, chan) -> delay_us table below is
+    -- the SAME integer literal set the Spark side broadcasts
+    -- (computed once driver-side; no cross-engine float rounding);
+    -- the + period before %% keeps DuckDB's sign-of-dividend modulo
+    -- on the phase circle for negative dedispersed times.
+    WITH t AS (
+        SELECT datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us,
+               event_id % {_DM_NCHAN} AS chan
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ), d(dm, chan, delay_us) AS (
+        SELECT * FROM (VALUES {{values}}) v
+    ), per_bin AS (
+        SELECT dm,
+               ((((ts_us - delay_us) % {_DM_PERIOD_US} + {_DM_PERIOD_US})
+                 % {_DM_PERIOD_US}) * 16) // {_DM_PERIOD_US} AS bin,
+               count(*) AS o
+        FROM t JOIN d USING (chan) GROUP BY 1, 2
+    )
+    SELECT dm,
+           CAST(sum(o) AS BIGINT) AS n_events,
+           CAST(sum(CAST(o AS HUGEINT) * o) AS BIGINT) AS sum_sq,
+           CAST(count(*) AS BIGINT) AS n_occupied_bins
+    FROM per_bin GROUP BY dm
+    """.replace("{values}", _dm_delay_values_sql()),
+    "S11/A4-family dedispersion search: driver-computed (trial, "
+    "chan) delay table broadcast to the corpus, one equi-join on "
+    "chan (|trials| fan-out), (dm, bin) aggregation collapses "
+    "map-side — shuffle carries |trials| x nbins rows at any scale",
+)
+def q_dm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedisperse import dm_search
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.expr("ts div 1000").alias("ts_us"),
+        F.pmod(F.col("event_id"), F.lit(_DM_NCHAN)).alias("chan"),
+    )
+    out = dm_search(
+        ev, _dm_delay_rows(), _DM_PERIOD_US, nbins=16
+    )
+    return out.withColumn("sum_sq", F.col("sum_sq").cast("long"))
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
@@ -5870,6 +6114,9 @@ _PROMOTE: tuple[str, ...] = (
     "top_session_paths",
     "streaming_funnel_exact",
     "period_search",
+    "sky_crossmatch",
+    "harmonic_periodogram",
+    "dm_search",
 )
 
 

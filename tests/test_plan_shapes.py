@@ -187,3 +187,31 @@ def test_resample_ffill_window_is_keyed(spark):
     assert "Window" in plan
     for m in re.finditer(r"Window \[[^\]]*\], \[\]", plan):
         raise AssertionError(f"global window found: {m.group(0)[:80]}")
+
+
+def test_sky_crossmatch_plan(spark):
+    """The cone cross-match is the bucketed cell equi-join: the tiny
+    catalog side broadcasts, and no cross/nested-loop join appears
+    anywhere — candidates are cell-bounded at any corpus size."""
+    plan = _plan(spark, "sky_crossmatch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dm_search_plan(spark):
+    """The (trial, chan) delay table joins broadcast — the corpus is
+    scanned once, never shuffled before the tiny (dm, bin) agg."""
+    plan = _plan(spark, "dm_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_harmonic_periodogram_plan(spark):
+    """Harmonic matching happens on the constant-size periodogram:
+    the events scan feeds only the fold aggregation, and the harmonic
+    join is broadcast."""
+    plan = _plan(spark, "harmonic_periodogram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,165 @@
+"""Sky cross-match, harmonic summing, and trial-DM dedispersion.
+
+The cross-match tests prove the neighbor-cell bucketed join is
+bit-identical to the naive all-pairs definition (including the RA
+wrap seam and the dec clamp); the dedispersion test proves dm_search
+recovers an injected DM from dispersed pulse arrival times.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.operators.dedisperse import (
+    dispersion_delay_table,
+    dm_search,
+)
+from lofar_bf_pulsar_scripts_spark.operators.fold import (
+    harmonic_sum,
+    period_search,
+)
+from lofar_bf_pulsar_scripts_spark.operators.spatial import (
+    DEC_HALF_MAS,
+    RA_WRAP_MAS,
+    crossmatch_cone,
+)
+
+R = 2_000_000  # radius under test, mas
+
+
+def _naive_pairs(probes, catalog, radius):
+    out = []
+    for pid, pra, pdec in probes:
+        for cid, cra, cdec in catalog:
+            dra = abs(pra - cra)
+            dra = min(dra, RA_WRAP_MAS - dra)
+            dd = pdec - cdec
+            s = dra * dra + dd * dd
+            if s <= radius * radius:
+                out.append((pid, cid, s))
+    return sorted(out)
+
+
+def test_crossmatch_matches_naive_all_pairs(spark):
+    rng = random.Random(7)
+    catalog = [
+        (i, rng.randrange(RA_WRAP_MAS), rng.randrange(-DEC_HALF_MAS, DEC_HALF_MAS + 1))
+        for i in range(120)
+    ]
+    probes = []
+    for i in range(800):
+        cid, cra, cdec = catalog[rng.randrange(len(catalog))]
+        pra = (cra + rng.randrange(-2 * R, 2 * R + 1)) % RA_WRAP_MAS
+        pdec = max(-DEC_HALF_MAS, min(DEC_HALF_MAS, cdec + rng.randrange(-2 * R, 2 * R + 1)))
+        probes.append((i, pra, pdec))
+    # RA seam: a pair straddling 0/360 that only wrap-aware matching finds
+    probes += [(9001, 100, 0), (9002, RA_WRAP_MAS - 100, 0)]
+    catalog += [(9101, RA_WRAP_MAS - 50, 0)]
+    pdf = spark.createDataFrame(probes, "probe_id long, ra_mas long, dec_mas long")
+    cdf = spark.createDataFrame(catalog, "cat_id long, ra_mas long, dec_mas long")
+    got = sorted(
+        (r.probe_id, r.cat_id_cat, r.sep_sq_mas2)
+        for r in crossmatch_cone(pdf, cdf, R).collect()
+    )
+    assert got == _naive_pairs(probes, catalog, R)
+    # the seam pair was actually exercised
+    assert any(p == 9001 and c == 9101 for p, c, _ in got)
+
+
+def test_crossmatch_validates_cell_size(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id long, ra_mas long, dec_mas long")
+    with pytest.raises(ValueError):
+        crossmatch_cone(df, df, radius_mas=5_000_000, cell_mas=3_600_000)
+    with pytest.raises(ValueError):
+        crossmatch_cone(df, df, radius_mas=1_000, cell_mas=7)  # no divide
+
+
+def test_crossmatch_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 5_000_000, 5_000_000)],
+        "id long, ra_mas long, dec_mas long",
+    )
+    plan = crossmatch_cone(df, df, R)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_harmonic_sum_hand_case(spark):
+    # grid: 1200 with harmonics 600 (h=2), 400 (h=3), 300 (h=4) all
+    # present; 700 has only itself (h=2..4 sub-multiples absent)
+    gram = spark.createDataFrame(
+        [(1200, 10), (600, 20), (400, 30), (300, 40), (700, 5)],
+        "period_us long, sum_sq long",
+    )
+    rows = {
+        r.period_us: (r.n_harm_present, int(r.hsum))
+        for r in harmonic_sum(gram, nharm=4).collect()
+    }
+    assert rows[1200] == (4, 10 + 20 + 30 + 40)
+    assert rows[700] == (1, 5)
+    # 600's h=2 is 300 (present), h=3 -> 200 absent, h=4 -> 150 absent
+    assert rows[600] == (2, 20 + 40)
+
+
+def test_harmonic_sum_skips_non_divisible(spark):
+    gram = spark.createDataFrame(
+        [(1001, 7), (500, 3)], "period_us long, sum_sq long"
+    )
+    rows = {r.period_us: r.n_harm_present for r in harmonic_sum(gram, 4).collect()}
+    assert rows[1001] == 1  # 1001 % 2, % 3, % 4 all nonzero
+    assert rows[500] == 1  # 250 and 125 not in the grid -> only h=1
+
+
+def test_delay_table_shape_and_monotonicity():
+    rows = dispersion_delay_table([0, 100], nchan=16, f_lo_mhz=119.0, chan_bw_mhz=0.625)
+    assert len(rows) == 32
+    by = {(d, c): u for d, c, u in rows}
+    assert all(by[(0, c)] == 0 for c in range(16))  # DM 0: no delay
+    assert by[(100, 15)] == 0  # top channel is the alignment reference
+    # lower channels are delayed more
+    delays = [by[(100, c)] for c in range(16)]
+    assert delays == sorted(delays, reverse=True)
+    assert delays[0] > 0
+
+
+def test_dm_search_recovers_injected_dm(spark):
+    nchan, p_us, dm_true = 8, 1_000_000, 120
+    table = dispersion_delay_table(
+        [0, 60, 120, 180], nchan, f_lo_mhz=119.0, chan_bw_mhz=2.5
+    )
+    delay_true = {c: u for d, c, u in table if d == dm_true}
+    rng = random.Random(3)
+    rows = []
+    for i in range(4000):
+        chan = rng.randrange(nchan)
+        # narrow pulse: emitted phase in the first 1/10 of the period
+        t_emit = (i % 400) * p_us + rng.randrange(p_us // 10)
+        rows.append((t_emit + delay_true[chan], chan))  # dispersed arrival
+    df = spark.createDataFrame(rows, "ts_us long, chan long")
+    scored = {
+        r.dm: int(r.sum_sq)
+        for r in dm_search(df, table, p_us, nbins=10).collect()
+    }
+    assert max(scored, key=scored.get) == dm_true
+
+
+def test_dm_search_validates(spark):
+    df = spark.createDataFrame([(0, 0)], "ts_us long, chan long")
+    with pytest.raises(ValueError):
+        dm_search(df, [(0, 0, 0)], period_us=0)
+    with pytest.raises(ValueError):
+        dispersion_delay_table([], 8, 119.0, 0.625)
+
+
+def test_period_search_feeds_harmonic_sum(spark):
+    # end-to-end: strong signal at P=1200 with 25% duty cycle puts
+    # power into its harmonics; harmonic summing ranks it above a
+    # flat-noise trial
+    rng = random.Random(11)
+    rows = [((i * 1200) + rng.randrange(300),) for i in range(2000)]
+    df = spark.createDataFrame(rows, "ts_us long")
+    grid = [1200, 600, 400, 300, 1100]
+    hs = harmonic_sum(period_search(df, grid, nbins=12), nharm=4)
+    got = {r.period_us: int(r.hsum) for r in hs.collect()}
+    assert got[1200] > got[1100]
