@@ -1146,3 +1146,69 @@ def ivf_pq_rerank_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def semantic_dedup(
+    corpus_assigned: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cid",
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup (Abbas et al.
+    2023): pairwise cosine comparison happens only WITHIN each coarse
+    cluster of an ``ivf_assign`` pass, and a vector is dropped iff a
+    lower-id vector in its cluster is more similar than ``tau`` — the
+    deterministic single-pass edge rule (the min-id endpoint of every
+    over-threshold edge is the kept representative).
+
+    Returns per-cluster stats: (cid, n_vectors, n_dropped, n_kept,
+    sum_dropped_ids) — the id sum pins WHICH vectors were dropped,
+    not just how many.
+
+    Scale shape: the corpus is never compared all-pairs — the
+    self-join is an equi-join on the cluster id, so candidate pairs
+    are bounded by per-cluster occupancy.  The caller's contract is
+    to size the codebook so occupancy stays roughly CONSTANT as the
+    corpus grows (k proportional to N, e.g. a kmeans_fit codebook
+    with N/k ~ a few hundred): pair work is then N x occupancy —
+    linear — and the shuffle is one cluster-keyed exchange plus an
+    aggregation.  A fixed small k would make pair work quadratic;
+    that is a mis-sized codebook, not a property of the operator.
+    """
+    a = corpus_assigned.select(
+        F.col(cluster_col).alias("__cid"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__ea"),
+    )
+    b = corpus_assigned.select(
+        F.col(cluster_col).alias("__cid"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__eb"),
+    )
+    dropped = (
+        a.join(b, "__cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__ea"), F.col("__eb")) > F.lit(float(tau)))
+        .select("__cid", "__idb")
+        .distinct()
+    )
+    per_cluster = corpus_assigned.groupBy(
+        F.col(cluster_col).alias("__cid")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+    drop_stats = dropped.groupBy("__cid").agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.sum("__idb").alias("sum_dropped_ids"),
+    )
+    return (
+        per_cluster.join(drop_stats, "__cid", "left")
+        .select(
+            F.col("__cid").alias(cluster_col),
+            "n_vectors",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))
+            ).alias("n_kept"),
+            F.coalesce("sum_dropped_ids", F.lit(0)).alias("sum_dropped_ids"),
+        )
+    )

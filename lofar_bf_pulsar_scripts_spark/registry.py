@@ -5992,6 +5992,79 @@ def q_dm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic dedup over embeddings
+# --------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.4
+
+
+@_register(
+    "semantic_dedup_stats",
+    f"""
+    -- SemDeDup (Abbas et al. 2023): coarse-cluster the embeddings
+    -- (same centroid assignment as ivf_topk), then compare pairs only
+    -- WITHIN a cluster; a vector is dropped iff a lower-id cluster
+    -- neighbor exceeds cos {_SEMDEDUP_TAU}.  sum_dropped_ids pins the
+    -- dropped SET, not just the count.  The gate demonstrates on a
+    -- capped corpus (vec_id < 2000 = full at every committed SF) with
+    -- 8 centroids; production sizes the codebook so cluster occupancy
+    -- stays CONSTANT (k grows with N), keeping pair work linear.
+    WITH e2 AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+    ), cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM e2
+        WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_COS_DOT.format(a='e.embedding', b='c.ce')}
+                           DESC, c.cid ASC
+                   ) AS rn
+            FROM e2 e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.cid, b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_COS_DOT.format(a='a.embedding', b='b.embedding')}
+              / ({_COS_NORM.format(a='a.embedding')}
+                 * {_COS_NORM.format(a='b.embedding')}) > {_SEMDEDUP_TAU}
+    ), per_cluster AS (
+        SELECT cid, count(*) AS n_vectors FROM assigned GROUP BY cid
+    ), drop_stats AS (
+        SELECT cid, count(*) AS n_dropped, sum(vec_id) AS s
+        FROM dropped GROUP BY cid
+    )
+    SELECT p.cid,
+           CAST(p.n_vectors AS BIGINT) AS n_vectors,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(p.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(d.s, 0) AS BIGINT) AS sum_dropped_ids
+    FROM per_cluster p LEFT JOIN drop_stats d USING (cid)
+    """,
+    "A10-family semantic dedup: pairwise cosine bounded to coarse "
+    "clusters (equi-join on the ivf_assign cid — never all-pairs); "
+    "one cluster-keyed shuffle + one aggregation at any corpus size",
+)
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, semantic_dedup
+
+    # capped demonstration corpus (= full corpus at every committed
+    # SF); production pairs semantic_dedup with a codebook sized so
+    # cluster occupancy is constant — see the operator docstring
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 2000)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = ivf_assign(e, cent)
+    return semantic_dedup(corpus, _SEMDEDUP_TAU)
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
@@ -6117,6 +6190,7 @@ _PROMOTE: tuple[str, ...] = (
     "sky_crossmatch",
     "harmonic_periodogram",
     "dm_search",
+    "semantic_dedup_stats",
 )
 
 

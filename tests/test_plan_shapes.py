@@ -215,3 +215,15 @@ def test_harmonic_periodogram_plan(spark):
     plan = _plan(spark, "harmonic_periodogram")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_stats_plan(spark):
+    """Pairwise comparison is the cid equi-join (cluster-bounded) —
+    no cartesian anywhere.  BroadcastNestedLoopJoin instances are the
+    centroid-assignment crossJoins against the BROADCAST k-row
+    centroid set (bounded fan-out by construction); at production
+    scale the assignment is materialized once to an at-rest store
+    rather than recomputed per branch."""
+    plan = _plan(spark, "semantic_dedup_stats")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)

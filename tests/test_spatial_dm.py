@@ -163,3 +163,38 @@ def test_period_search_feeds_harmonic_sum(spark):
     hs = harmonic_sum(period_search(df, grid, nbins=12), nharm=4)
     got = {r.period_us: int(r.hsum) for r in hs.collect()}
     assert got[1200] > got[1100]
+
+
+def test_semantic_dedup_drops_min_id_neighbors(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # cluster 0: vectors 10, 11 identical (11 dropped), 12 orthogonal;
+    # cluster 1: 20 alone
+    rows = [
+        (10, [1.0, 0.0, 0.0], 0),
+        (11, [1.0, 0.0, 0.0], 0),
+        (12, [0.0, 1.0, 0.0], 0),
+        (20, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cid long"
+    )
+    got = {r.cid: r for r in semantic_dedup(df, 0.9).collect()}
+    assert (got[0].n_vectors, got[0].n_dropped, got[0].n_kept) == (3, 1, 2)
+    assert got[0].sum_dropped_ids == 11
+    assert (got[1].n_vectors, got[1].n_dropped) == (1, 0)
+
+
+def test_semantic_dedup_never_compares_across_clusters(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # identical vectors in DIFFERENT clusters are both kept
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cid long"
+    )
+    assert sum(r.n_dropped for r in semantic_dedup(df, 0.5).collect()) == 0
