@@ -121,3 +121,52 @@ def crossmatch_cone(
         .filter(F.col("sep_sq_mas2") <= F.lit(radius_mas * radius_mas))
         .select(*keep, "sep_sq_mas2")
     )
+
+
+def crossmatch_nearest(
+    probes: DataFrame,
+    catalog: DataFrame,
+    radius_mas: int,
+    probe_id_col: str,
+    cell_mas: int = 3_600_000,
+    ra_col: str = "ra_mas",
+    dec_col: str = "dec_mas",
+) -> DataFrame:
+    """Best-match cross-match: each probe keeps only its NEAREST
+    in-radius catalog entry (the usual catalog-association semantics;
+    ties broken by the smallest catalog coordinates, deterministic).
+
+    Built on ``crossmatch_cone`` — same cell-bounded candidate set —
+    followed by a per-probe struct-min (the A13 argmax pattern: a
+    partial-aggregating hash agg, no window, no sort), so the
+    reduction collapses map-side and the shuffle carries one row per
+    matched probe.
+    """
+    pairs = crossmatch_cone(
+        probes, catalog, radius_mas, cell_mas, ra_col, dec_col
+    )
+    payload = [c for c in pairs.columns if c != probe_id_col]
+    best = pairs.groupBy(probe_id_col).agg(
+        F.min(
+            F.struct(
+                F.col("sep_sq_mas2"),
+                F.col(f"{ra_col}_cat"),
+                F.col(f"{dec_col}_cat"),
+                *[
+                    F.col(c)
+                    for c in payload
+                    if c
+                    not in ("sep_sq_mas2", f"{ra_col}_cat", f"{dec_col}_cat")
+                ],
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        probe_id_col,
+        *[F.col(f"__b.{c}").alias(c) for c in ("sep_sq_mas2",)],
+        *[
+            F.col(f"__b.{c}").alias(c)
+            for c in payload
+            if c != "sep_sq_mas2"
+        ],
+    )

@@ -6064,6 +6064,101 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, _SEMDEDUP_TAU)
 
 
+@_register(
+    "nearest_sky_match",
+    f"""
+    -- best-match cross-match: each probe keeps only its nearest
+    -- in-radius catalog entry (ties: smallest catalog ra, dec, id —
+    -- mirrored by the Spark struct-min field order).  Same naive
+    -- all-pairs oracle definition as sky_crossmatch; the Spark side
+    -- is the cell-bounded join + per-probe struct-min (no window).
+    WITH users AS (
+        SELECT DISTINCT user_id,
+            (user_id * {_SKY_RA_K}) % 1296000000 AS ra_u,
+            (user_id * {_SKY_DEC_K}) % 648000001 - 324000000 AS dec_u
+        FROM events WHERE user_id IS NOT NULL
+    ), probes AS (
+        SELECT event_id,
+            ((((user_id * {_SKY_RA_K}) % 1296000000
+               + (event_id * {_SKY_JR_K}) % 8000001 - 4000000)
+              % 1296000000) + 1296000000) % 1296000000 AS ra_p,
+            greatest(-324000000, least(324000000,
+                (user_id * {_SKY_DEC_K}) % 648000001 - 324000000
+                + (event_id * {_SKY_JD_K}) % 8000001 - 4000000)) AS dec_p
+        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    ), pairs AS (
+        SELECT p.event_id, u.user_id, u.ra_u, u.dec_u,
+               least(abs(p.ra_p - u.ra_u),
+                     1296000000 - abs(p.ra_p - u.ra_u))
+               * least(abs(p.ra_p - u.ra_u),
+                       1296000000 - abs(p.ra_p - u.ra_u))
+               + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u) AS sep_sq
+        FROM probes p, users u
+        WHERE least(abs(p.ra_p - u.ra_u),
+                    1296000000 - abs(p.ra_p - u.ra_u))
+              * least(abs(p.ra_p - u.ra_u),
+                      1296000000 - abs(p.ra_p - u.ra_u))
+              + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u)
+              <= {_SKY_R_MAS}::BIGINT * {_SKY_R_MAS}
+    ), best AS (
+        SELECT event_id, user_id, sep_sq FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_id
+                ORDER BY sep_sq, ra_u, dec_u, user_id
+            ) AS rn FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CAST(sep_sq AS HUGEINT)) AS BIGINT) AS sum_min_sep,
+           CAST(min(sep_sq) AS BIGINT) AS min_min_sep
+    FROM best GROUP BY bucket
+    """,
+    "J/A13-family best-match cross-match: cell-bounded candidates + "
+    "per-probe struct-min (partial-aggregating hash agg, no window, "
+    "no sort) — one matched row per probe at any corpus size",
+)
+def q_nearest_sky_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial import crossmatch_nearest
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    ra_u = f"(user_id * {_SKY_RA_K}) % 1296000000"
+    dec_u = f"(user_id * {_SKY_DEC_K}) % 648000001 - 324000000"
+    catalog = (
+        ev.select("user_id").distinct().select(
+            "user_id",
+            F.expr(ra_u).cast("long").alias("ra_mas"),
+            F.expr(dec_u).cast("long").alias("dec_mas"),
+        )
+    )
+    probes = ev.select(
+        "event_id",
+        F.expr(
+            f"pmod({ra_u} + (event_id * {_SKY_JR_K}) % 8000001 - 4000000, "
+            "1296000000)"
+        ).cast("long").alias("ra_mas"),
+        F.expr(
+            f"greatest(-324000000L, least(324000000L, {dec_u} "
+            f"+ (event_id * {_SKY_JD_K}) % 8000001 - 4000000))"
+        ).cast("long").alias("dec_mas"),
+    )
+    best = crossmatch_nearest(probes, catalog, _SKY_R_MAS, "event_id")
+    return (
+        best.groupBy(
+            F.pmod(F.col("user_id_cat"), F.lit(8)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("sep_sq_mas2").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sum_min_sep"),
+            F.min("sep_sq_mas2").alias("min_min_sep"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -6191,6 +6286,7 @@ _PROMOTE: tuple[str, ...] = (
     "harmonic_periodogram",
     "dm_search",
     "semantic_dedup_stats",
+    "nearest_sky_match",
 )
 
 

@@ -227,3 +227,13 @@ def test_semantic_dedup_stats_plan(spark):
     plan = _plan(spark, "semantic_dedup_stats")
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_nearest_sky_match_plan(spark):
+    """Best-match reduction is the struct-min hash aggregation — no
+    window, no global sort, no cartesian; candidates stay
+    cell-bounded."""
+    plan = _plan(spark, "nearest_sky_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -198,3 +198,35 @@ def test_semantic_dedup_never_compares_across_clusters(spark):
         rows, "vec_id long, embedding array<float>, cid long"
     )
     assert sum(r.n_dropped for r in semantic_dedup(df, 0.5).collect()) == 0
+
+
+def test_crossmatch_nearest_picks_minimum(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.spatial import (
+        crossmatch_nearest,
+    )
+
+    catalog = [(1, 1000, 0), (2, 2000, 0), (3, 10_000_000, 0)]
+    probes = [(100, 1400, 0), (101, 1900, 0), (102, 500_000_000, 0)]
+    pdf = spark.createDataFrame(probes, "pid long, ra_mas long, dec_mas long")
+    cdf = spark.createDataFrame(catalog, "cat_id long, ra_mas long, dec_mas long")
+    got = {
+        r.pid: (r.cat_id_cat, r.sep_sq_mas2)
+        for r in crossmatch_nearest(pdf, cdf, R, "pid").collect()
+    }
+    assert got[100] == (1, 400 * 400)   # 1400 is closer to 1000 than 2000
+    assert got[101] == (2, 100 * 100)
+    assert 102 not in got               # no catalog entry within radius
+
+
+def test_crossmatch_nearest_tie_breaks_on_catalog_coords(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.spatial import (
+        crossmatch_nearest,
+    )
+
+    # two catalog entries exactly equidistant: keep the smaller ra
+    catalog = [(7, 900, 0), (8, 1100, 0)]
+    probes = [(1, 1000, 0)]
+    pdf = spark.createDataFrame(probes, "pid long, ra_mas long, dec_mas long")
+    cdf = spark.createDataFrame(catalog, "cat_id long, ra_mas long, dec_mas long")
+    row = crossmatch_nearest(pdf, cdf, R, "pid").collect()[0]
+    assert (row.cat_id_cat, row.sep_sq_mas2) == (7, 100 * 100)
