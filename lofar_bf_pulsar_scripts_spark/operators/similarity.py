@@ -1176,20 +1176,28 @@ def semantic_dedup(
     aggregation.  A fixed small k would make pair work quadratic;
     that is a mis-sized codebook, not a property of the operator.
     """
+    # norms are computed once per VECTOR (not once per pair), so the
+    # pair predicate pays only the dot product; dot > tau*|a|*|b| is
+    # the same comparison as cos > tau with both sides' norms positive
     a = corpus_assigned.select(
         F.col(cluster_col).alias("__cid"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__ea"),
+        norm(F.col(vec_col)).alias("__na"),
     )
     b = corpus_assigned.select(
         F.col(cluster_col).alias("__cid"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__eb"),
+        norm(F.col(vec_col)).alias("__nb"),
     )
     dropped = (
         a.join(b, "__cid")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__ea"), F.col("__eb")) > F.lit(float(tau)))
+        .filter(
+            dot(F.col("__ea"), F.col("__eb"))
+            > F.lit(float(tau)) * F.col("__na") * F.col("__nb")
+        )
         .select("__cid", "__idb")
         .distinct()
     )

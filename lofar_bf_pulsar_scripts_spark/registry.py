@@ -6024,13 +6024,19 @@ _SEMDEDUP_TAU = 0.4
                    ) AS rn
             FROM e2 e CROSS JOIN cent c
         ) WHERE rn = 1
+    ), normed AS (
+        SELECT vec_id, embedding, cid,
+               {_COS_NORM.format(a='embedding')} AS nrm
+        FROM assigned
     ), dropped AS (
+        -- dot > tau * |a| * |b| == cos > tau (norms positive); the
+        -- rearranged comparison is the SAME expression the Spark
+        -- side evaluates, so borderline pairs agree bit-for-bit
         SELECT DISTINCT a.cid, b.vec_id
-        FROM assigned a JOIN assigned b
+        FROM normed a JOIN normed b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
         WHERE {_COS_DOT.format(a='a.embedding', b='b.embedding')}
-              / ({_COS_NORM.format(a='a.embedding')}
-                 * {_COS_NORM.format(a='b.embedding')}) > {_SEMDEDUP_TAU}
+              > {_SEMDEDUP_TAU} * a.nrm * b.nrm
     ), per_cluster AS (
         SELECT cid, count(*) AS n_vectors FROM assigned GROUP BY cid
     ), drop_stats AS (
@@ -6060,7 +6066,12 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    corpus = ivf_assign(e, cent)
+    # materialize the assignment once (bounded: the capped corpus) —
+    # semantic_dedup references it three times (both pair sides +
+    # per-cluster counts) and would otherwise re-plan and re-execute
+    # the centroid-assign subtree per branch; production writes the
+    # assignment to an at-rest store (PQ/LSH precedent) instead
+    corpus = ivf_assign(e, cent).localCheckpoint(eager=True)
     return semantic_dedup(corpus, _SEMDEDUP_TAU)
 
 
