@@ -676,3 +676,61 @@ def test_streaming_funnel_equals_batch_across_batches(spark, tmp_path):
     assert b["view"] == (s_counts[0], s_sums[0])
     assert b["click"] == (s_counts[1], s_sums[1])
     assert b["purchase"] == (s_counts[2], s_sums[2])
+
+
+def test_streaming_crossmatch_two_batches_equals_batch(spark, tmp_path):
+    """Stream-static cross-match (§2.9 stream-static broadcast join):
+    probes replayed over TWO micro-batches against a static catalog
+    produce exactly the batch crossmatch aggregate — per-bucket
+    counts/sums combine associatively across batch boundaries."""
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.operators.spatial import (
+        crossmatch_cone,
+    )
+
+    src = str(tmp_path / "xm_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "pid long, ra_mas long, dec_mas long"
+    catalog = spark.createDataFrame(
+        [(1, 1_000_000, 0), (2, 500_000_000, -10_000_000)],
+        "cat_id long, ra_mas long, dec_mas long",
+    )
+    b1 = [(10, 1_200_000, 100), (11, 499_900_000, -10_000_500)]
+    b2 = [(12, 1_100_000, -50), (13, 900_000_000, 0)]  # 13 matches nothing
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        crossmatch_cone(stream, catalog, 2_000_000)
+        .groupBy("cat_id_cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sep_sq_mas2").alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("xm_two_batches")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.cat_id_cat: (r.n, r.s)
+        for r in spark.table("xm_two_batches").collect()
+    }
+    batch = (
+        crossmatch_cone(
+            spark.createDataFrame(b1 + b2, schema), catalog, 2_000_000
+        )
+        .groupBy("cat_id_cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sep_sq_mas2").alias("s"))
+    )
+    want = {r.cat_id_cat: (r.n, r.s) for r in batch.collect()}
+    assert got == want
+    assert set(got) == {1, 2}
