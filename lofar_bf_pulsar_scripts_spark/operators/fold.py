@@ -221,3 +221,86 @@ def harmonic_sum(
             F.sum("__s").cast("decimal(38,0)").alias("hsum"),
         )
     )
+
+
+def accel_shift_table(
+    trial_accs_us_per_day2: list[int],
+    n_chunks: int,
+    chunk_us: int = 86_400_000_000,
+) -> list[tuple[int, int, int]]:
+    """(acc, chunk, shift_us) rows for a piecewise-constant
+    acceleration search: a linear period drift shifts arrival times
+    quadratically, shift(t) = acc/2 * t_days^2, approximated as
+    constant within each time chunk (the reference's per-block period
+    update, pulsestack.py:155 'period is updated for every block',
+    generalized to a TRIAL grid like prepfold's pdot axis).
+
+    Computed driver-side (|trials| x n_chunks integers) so Spark and
+    any SQL oracle consume identical literals — the same recipe as
+    ``dedisperse.dispersion_delay_table``.
+    """
+    if not trial_accs_us_per_day2:
+        raise ValueError("trial_accs_us_per_day2 must be non-empty")
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    day_us = 86_400_000_000
+    rows = []
+    for acc in trial_accs_us_per_day2:
+        for k in range(n_chunks):
+            t_mid_days = (k + 0.5) * (chunk_us / day_us)
+            rows.append(
+                (int(acc), int(k), int(round(0.5 * acc * t_mid_days**2)))
+            )
+    return rows
+
+
+def accel_search(
+    df: DataFrame,
+    shift_rows: list[tuple[int, int, int]],
+    period_us: int,
+    nbins: int = 16,
+    ts_col: str = "ts_us",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Score every trial acceleration by epoch-folding drift-corrected
+    event times: subtract the trial's per-chunk shift, fold at the
+    base period, score by the exact-integer sum of squared bin counts
+    (period_search's statistic).  Returns one row per trial:
+    (acc, n_events, sum_sq DECIMAL(38,0), n_occupied_bins).
+
+    Scale shape identical to ``dm_search``: the shift table
+    broadcasts, the corpus pays one equi-join on its chunk id
+    (|trials| fan-out), and the (acc, bin) aggregation collapses
+    map-side to |trials| x nbins rows.
+    """
+    from pyspark.sql import SparkSession
+
+    period_us = int(period_us)
+    if period_us <= 0:
+        raise ValueError("period_us must be positive")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    shifts = spark.createDataFrame(
+        [(int(a), int(k), int(s)) for a, k, s in shift_rows],
+        "acc long, __chunk long, shift_us long",
+    )
+    shifted = df.select(
+        F.col(chunk_col).cast("long").alias("__chunk"),
+        F.col(ts_col).cast("long").alias("__ts"),
+    ).join(F.broadcast(shifts), "__chunk")
+    binned = shifted.select(
+        "acc",
+        F.expr(
+            f"CAST((pmod(__ts - shift_us, {period_us}) * {int(nbins)}) "
+            f"DIV {period_us} AS INT)"
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("acc", "bin").agg(F.count(F.lit(1)).alias("__o"))
+    return per_bin.groupBy("acc").agg(
+        F.sum("__o").alias("n_events"),
+        F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_occupied_bins"),
+    )

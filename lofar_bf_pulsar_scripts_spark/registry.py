@@ -6175,6 +6175,86 @@ def q_streaming_crossmatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Acceleration search: trial period-drift grid over per-chunk shifts
+# --------------------------------------------------------------------
+
+_ACC_T0_US = 1_704_067_200_000_000  # 2024-01-01 epoch (events span Jan 2024)
+_ACC_CHUNK_US = 86_400_000_000  # 1-day chunks
+_ACC_NCHUNKS = 32
+_ACC_TRIALS = [2_000_000 * k for k in range(-2, 3)]  # µs/day^2
+_ACC_PERIOD_US = 3_600_000_000  # 1 h base fold
+
+
+def _acc_shift_rows() -> list[tuple[int, int, int]]:
+    from .operators.fold import accel_shift_table
+
+    return accel_shift_table(_ACC_TRIALS, _ACC_NCHUNKS, _ACC_CHUNK_US)
+
+
+def _acc_shift_values_sql() -> str:
+    return ", ".join(f"({a}, {k}, {s})" for a, k, s in _acc_shift_rows())
+
+
+@_register(
+    "accel_search",
+    f"""
+    -- acceleration search (prepfold pdot-axis analog): a linear
+    -- period drift shifts arrivals quadratically; approximate the
+    -- shift as constant per 1-day chunk (the reference's per-block
+    -- period update, pulsestack.py:155, as a TRIAL grid), subtract,
+    -- fold at the 1 h base period, score exact-integer.  The
+    -- (acc, chunk) -> shift_us table is the SAME literal set the
+    -- Spark side broadcasts.
+    WITH t AS (
+        SELECT datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE ts IS NOT NULL
+    ), t2 AS (
+        SELECT ts_us, (ts_us - {_ACC_T0_US}) // {_ACC_CHUNK_US} AS chunk
+        FROM t WHERE ts_us >= {_ACC_T0_US}
+          AND ts_us < {_ACC_T0_US} + {_ACC_NCHUNKS}::BIGINT * {_ACC_CHUNK_US}
+    ), s(acc, chunk, shift_us) AS (
+        SELECT * FROM (VALUES {{values}}) v
+    ), per_bin AS (
+        SELECT acc,
+               ((((ts_us - shift_us) % {_ACC_PERIOD_US} + {_ACC_PERIOD_US})
+                 % {_ACC_PERIOD_US}) * 16) // {_ACC_PERIOD_US} AS bin,
+               count(*) AS o
+        FROM t2 JOIN s USING (chunk) GROUP BY 1, 2
+    )
+    SELECT acc,
+           CAST(sum(o) AS BIGINT) AS n_events,
+           CAST(sum(CAST(o AS HUGEINT) * o) AS BIGINT) AS sum_sq,
+           CAST(count(*) AS BIGINT) AS n_occupied_bins
+    FROM per_bin GROUP BY acc
+    """.replace("{values}", _acc_shift_values_sql()),
+    "A4-family acceleration search: per-chunk shift table broadcast, "
+    "one equi-join on the chunk id (|trials| fan-out), (acc, bin) "
+    "aggregation collapses map-side — constant shuffle at any scale",
+)
+def q_accel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import accel_search
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us")).filter(
+        (F.col("ts_us") >= F.lit(_ACC_T0_US))
+        & (
+            F.col("ts_us")
+            < F.lit(_ACC_T0_US + _ACC_NCHUNKS * _ACC_CHUNK_US)
+        )
+    ).select(
+        "ts_us",
+        F.expr(
+            f"(ts_us - {_ACC_T0_US}) div {_ACC_CHUNK_US}"
+        ).alias("chunk"),
+    )
+    out = accel_search(ev, _acc_shift_rows(), _ACC_PERIOD_US, nbins=16)
+    return out.withColumn("sum_sq", F.col("sum_sq").cast("long"))
+
+
 @_register(
     "nearest_sky_match",
     f"""
@@ -6325,10 +6405,11 @@ _TAIL: tuple[str, ...] = (
     "local_supplier_volume",
     # r5-green and byte-identical since r5; demoted in the round-6
     # continuation so the changed ivf_pq_top3 (shared-oracle pair of
-    # ivf_pq_stored_top3) stays inside the head-50 next to the six
-    # new gates (sky_crossmatch family, dm_search, harmonics,
-    # semantic dedup, streaming cross-match)
+    # ivf_pq_stored_top3) stays inside the head-50 next to the seven
+    # new gates (sky_crossmatch family + streaming cross-match,
+    # dm_search, accel_search, harmonics, semantic dedup)
     "embedding_quantize",
+    "pq_code_histogram",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
@@ -6405,6 +6486,7 @@ _PROMOTE: tuple[str, ...] = (
     "semantic_dedup_stats",
     "nearest_sky_match",
     "streaming_crossmatch_exact",
+    "accel_search",
 )
 
 

@@ -237,3 +237,12 @@ def test_nearest_sky_match_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_accel_search_plan(spark):
+    """Shift table broadcasts; the corpus is scanned once into the
+    tiny (acc, bin) aggregation — no shuffle-side join."""
+    plan = _plan(spark, "accel_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

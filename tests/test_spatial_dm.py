@@ -230,3 +230,47 @@ def test_crossmatch_nearest_tie_breaks_on_catalog_coords(spark):
     cdf = spark.createDataFrame(catalog, "cat_id long, ra_mas long, dec_mas long")
     row = crossmatch_nearest(pdf, cdf, R, "pid").collect()[0]
     assert (row.cat_id_cat, row.sep_sq_mas2) == (7, 100 * 100)
+
+
+def test_accel_search_recovers_injected_drift(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.fold import (
+        accel_search,
+        accel_shift_table,
+    )
+
+    # pulses drift quadratically with acc_true; the matching trial
+    # un-shifts them into a narrow phase bump
+    p_us, acc_true = 1_000_000, 400_000  # µs/day^2
+    chunk_us = 43_200_000_000  # half-day chunks
+    table = accel_shift_table(
+        [-400_000, 0, 400_000, 800_000], n_chunks=60, chunk_us=chunk_us
+    )
+    shift_true = {k: s for a, k, s in table if a == acc_true}
+    rng = random.Random(5)
+    rows = []
+    for i in range(6000):
+        t_emit = rng.randrange(60 * chunk_us)
+        chunk = t_emit // chunk_us
+        # narrow duty cycle at emission, shifted by the true drift
+        t_phase = (t_emit // p_us) * p_us + rng.randrange(p_us // 10)
+        rows.append((t_phase + shift_true[chunk], chunk))
+    df = spark.createDataFrame(rows, "ts_us long, chunk long")
+    scored = {
+        r.acc: int(r.sum_sq)
+        for r in accel_search(df, table, p_us, nbins=10).collect()
+    }
+    assert max(scored, key=scored.get) == acc_true
+
+
+def test_accel_shift_table_quadratic():
+    from lofar_bf_pulsar_scripts_spark.operators.fold import (
+        accel_shift_table,
+    )
+
+    rows = accel_shift_table([1000], n_chunks=4, chunk_us=86_400_000_000)
+    by = {k: s for _, k, s in rows}
+    # shift(chunk mid t) = 0.5 * acc * t_days^2 at t = 0.5, 1.5, 2.5, 3.5
+    assert by[0] == round(0.5 * 1000 * 0.5**2)
+    assert by[3] == round(0.5 * 1000 * 3.5**2)
+    # zero acceleration -> all-zero shifts
+    assert all(s == 0 for _, _, s in accel_shift_table([0], 4))
