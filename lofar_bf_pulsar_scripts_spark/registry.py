@@ -6255,6 +6255,94 @@ def q_accel_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_sq", F.col("sum_sq").cast("long"))
 
 
+# --------------------------------------------------------------------
+# Exact-integer PageRank over a derived document link graph
+# --------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITER = 3
+
+
+def _pagerank_oracle_sql() -> str:
+    """Chained-CTE mirror of pagerank_iterations: r0 -> r1 -> ... with
+    the identical integer fixed-point arithmetic (every division an
+    integer floor, so the two engines agree bit-for-bit)."""
+    tele = f"(SELECT (15 * {_PR_SCALE}::BIGINT) // (100 * c) FROM nn)"
+    parts = [
+        "WITH nn AS (SELECT count(*) AS c FROM documents),",
+        "edges AS (",
+        "    SELECT doc_id AS src,",
+        "           (doc_id * 1000003 + j * 7919)",
+        "               % (SELECT c FROM nn) AS dst",
+        "    FROM documents",
+        "    CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) jj",
+        "),",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),",
+        f"r0 AS (SELECT doc_id AS v, {_PR_SCALE} // "
+        "(SELECT c FROM nn) AS rank FROM documents),",
+    ]
+    for t in range(1, _PR_ITER + 1):
+        parts += [
+            f"r{t} AS (",
+            f"    SELECT n.doc_id AS v, {tele} + coalesce(s.m, 0) AS rank",
+            "    FROM documents n LEFT JOIN (",
+            "        SELECT e.dst AS v,",
+            "               sum((r.rank * 85) // (100 * d.d)) AS m",
+            "        FROM edges e JOIN deg d ON e.src = d.src",
+            f"        JOIN r{t - 1} r ON r.v = e.src",
+            "        GROUP BY e.dst) s ON s.v = n.doc_id",
+            "),",
+        ]
+    parts += [
+        "final AS (SELECT * FROM r%d)" % _PR_ITER,
+        "SELECT CAST(v % 8 AS BIGINT) AS bucket,",
+        "       CAST(count(*) AS BIGINT) AS n_docs,",
+        "       CAST(sum(CAST(rank AS HUGEINT)) AS BIGINT) AS sum_rank,",
+        "       CAST(max(rank) AS BIGINT) AS max_rank,",
+        "       CAST(min(rank) AS BIGINT) AS min_rank",
+        "FROM final GROUP BY bucket",
+    ]
+    return "\n".join(parts)
+
+
+@_register(
+    "pagerank_buckets",
+    _pagerank_oracle_sql(),
+    "iterative fixed-point PageRank (dup_clusters' CC dual): "
+    "exact-integer damped mass, one src equi-join + one dst-keyed "
+    "aggregation per iteration, nothing driver-side; link-graph "
+    "centrality is the standard web-curation quality signal",
+)
+def q_pagerank_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_iterations
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()  # bounded scalar (node count)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(f"(src * 1000003 + j * 7919) % {n}").alias("dst"),
+    )
+    ranks = pagerank_iterations(
+        docs.select(F.col("doc_id").alias("node")),
+        edges,
+        n_iter=_PR_ITER,
+        scale=_PR_SCALE,
+    )
+    return ranks.groupBy(
+        F.pmod(F.col("node"), F.lit(8)).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("rank").cast("decimal(38,0)")).cast("long").alias(
+            "sum_rank"
+        ),
+        F.max("rank").alias("max_rank"),
+        F.min("rank").alias("min_rank"),
+    )
+
+
 @_register(
     "nearest_sky_match",
     f"""
@@ -6410,6 +6498,7 @@ _TAIL: tuple[str, ...] = (
     # dm_search, accel_search, harmonics, semantic dedup)
     "embedding_quantize",
     "pq_code_histogram",
+    "pq_adc_top3",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
@@ -6487,6 +6576,7 @@ _PROMOTE: tuple[str, ...] = (
     "nearest_sky_match",
     "streaming_crossmatch_exact",
     "accel_search",
+    "pagerank_buckets",
 )
 
 

@@ -246,3 +246,12 @@ def test_accel_search_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_buckets_plan(spark):
+    """Each iteration is an equi-join + keyed aggregation — no
+    cartesian, no window, no global sort anywhere in the loop."""
+    plan = _plan(spark, "pagerank_buckets")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -274,3 +274,58 @@ def test_accel_shift_table_quadratic():
     assert by[3] == round(0.5 * 1000 * 3.5**2)
     # zero acceleration -> all-zero shifts
     assert all(s == 0 for _, _, s in accel_shift_table([0], 4))
+
+
+def test_pagerank_hand_case(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.graph import (
+        pagerank_iterations,
+    )
+
+    # 3-node chain with a cycle: 0->1, 1->2, 2->0; every node has
+    # in/out degree 1, so ranks stay uniform at every iteration
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    scale = 10**9
+    got = {r.node: r.rank for r in pagerank_iterations(nodes, edges, 2, scale).collect()}
+    # r0 = scale//3; r1 = 15*scale//300 + (85*r0)//100 — uniform again
+    r0 = scale // 3
+    r1 = (15 * scale) // (100 * 3) + (85 * r0) // 100
+    r2 = (15 * scale) // (100 * 3) + (85 * r1) // 100
+    assert got == {0: r2, 1: r2, 2: r2}
+
+
+def test_pagerank_sink_and_source(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.graph import (
+        pagerank_iterations,
+    )
+
+    # 0 -> 1, 1 dangling (leaks), 2 isolated (teleport only)
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    scale = 10**9
+    got = {r.node: r.rank for r in pagerank_iterations(nodes, edges, 1, scale).collect()}
+    tele = (15 * scale) // (100 * 3)
+    r0 = scale // 3
+    assert got[0] == tele                      # no in-edges
+    assert got[1] == tele + (85 * r0) // 100   # receives 0's mass
+    assert got[2] == tele                      # isolated
+    # total mass never exceeds the initial scale (damped leak)
+    assert sum(got.values()) <= scale
+
+
+def test_pagerank_partition_invariant(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.graph import (
+        pagerank_iterations,
+    )
+    import random as _r
+
+    rng = _r.Random(13)
+    nodes = spark.createDataFrame([(i,) for i in range(50)], "node long")
+    e = [(rng.randrange(50), rng.randrange(50)) for _ in range(200)]
+    base = spark.createDataFrame(e, "src long, dst long")
+    a = {r.node: r.rank for r in pagerank_iterations(nodes, base, 3).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank_iterations(nodes, base.repartition(7), 3).collect()
+    }
+    assert a == b
