@@ -60,6 +60,64 @@ def dispersion_delay_table(
     return rows
 
 
+def shifted_fold_search(
+    df: DataFrame,
+    shift_rows: list[tuple[int, int, int]],
+    period_us: int,
+    nbins: int,
+    ts_col: str,
+    key_col: str,
+    trial_col: str,
+) -> DataFrame:
+    """Shared core of ``dm_search`` and ``fold.accel_search``: a
+    driver-computed (trial, key, shift_us) table broadcasts, the
+    corpus pays one equi-join on its key column (|trials| fan-out),
+    each event time is shifted by -shift_us and folded at
+    ``period_us`` (pmod keeps negative shifted times on the phase
+    circle), and trials are scored by the exact-integer sum of
+    squared bin counts — monotone in the chi^2-against-flat for
+    fixed n, as in ``period_search``.  Returns one row per trial:
+    (trial_col, n_events, sum_sq DECIMAL(38,0), n_occupied_bins).
+
+    Scale shape: the (trial, bin) aggregation key space is
+    |trials| x nbins — partial aggregation collapses it map-side, so
+    the shuffle carries a few hundred rows at any corpus size.
+    """
+    period_us = int(period_us)
+    if period_us <= 0:
+        raise ValueError("period_us must be positive")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    spark = (
+        SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    )
+    shifts = spark.createDataFrame(
+        [(int(t), int(k), int(s)) for t, k, s in shift_rows],
+        f"{trial_col} long, __key long, shift_us long",
+    )
+    shifted = df.select(
+        F.col(key_col).cast("long").alias("__key"),
+        F.col(ts_col).cast("long").alias("__ts"),
+    ).join(F.broadcast(shifts), "__key")
+    binned = shifted.select(
+        trial_col,
+        F.expr(
+            f"CAST((pmod(__ts - shift_us, {period_us}) * {int(nbins)}) "
+            f"DIV {period_us} AS INT)"
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy(trial_col, "bin").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    return per_bin.groupBy(trial_col).agg(
+        F.sum("__o").alias("n_events"),
+        F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_occupied_bins"),
+    )
+
+
 def dm_search(
     df: DataFrame,
     delay_rows: list[tuple[int, int, int]],
@@ -72,40 +130,10 @@ def dm_search(
 
     ``delay_rows`` is the ``dispersion_delay_table`` output.  For each
     trial DM the channel's dispersion delay is subtracted from the
-    event time (aligning all channels to the top of the band), the
-    result folded at the known ``period_us`` (pmod keeps negative
-    dedispersed times on the phase circle), and scored by the
-    exact-integer sum of
-    squared bin counts — monotone in the chi^2-against-flat for fixed
-    n, as in ``period_search``.  Returns one row per trial:
-    (dm, n_events, sum_sq DECIMAL(38,0), n_occupied_bins).
+    event time (aligning all channels to the top of the band), then
+    fold + score via ``shifted_fold_search``.  Returns one row per
+    trial: (dm, n_events, sum_sq DECIMAL(38,0), n_occupied_bins).
     """
-    period_us = int(period_us)
-    if period_us <= 0:
-        raise ValueError("period_us must be positive")
-    if nbins < 2:
-        raise ValueError("nbins must be >= 2")
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-    delays = spark.createDataFrame(
-        [(int(d), int(c), int(u)) for d, c, u in delay_rows],
-        "dm long, __chan long, delay_us long",
-    )
-    shifted = df.select(
-        F.col(chan_col).cast("long").alias("__chan"),
-        F.col(ts_col).cast("long").alias("__ts"),
-    ).join(F.broadcast(delays), "__chan")
-    binned = shifted.select(
-        "dm",
-        F.expr(
-            f"CAST((pmod(__ts - delay_us, {period_us}) * {int(nbins)}) "
-            f"DIV {period_us} AS INT)"
-        ).alias("bin"),
-    )
-    per_bin = binned.groupBy("dm", "bin").agg(F.count(F.lit(1)).alias("__o"))
-    return per_bin.groupBy("dm").agg(
-        F.sum("__o").alias("n_events"),
-        F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
-        .cast("decimal(38,0)")
-        .alias("sum_sq"),
-        F.count(F.lit(1)).alias("n_occupied_bins"),
+    return shifted_fold_search(
+        df, delay_rows, period_us, nbins, ts_col, chan_col, "dm"
     )

@@ -268,39 +268,12 @@ def accel_search(
     (period_search's statistic).  Returns one row per trial:
     (acc, n_events, sum_sq DECIMAL(38,0), n_occupied_bins).
 
-    Scale shape identical to ``dm_search``: the shift table
-    broadcasts, the corpus pays one equi-join on its chunk id
-    (|trials| fan-out), and the (acc, bin) aggregation collapses
-    map-side to |trials| x nbins rows.
+    Scale shape identical to ``dm_search`` — both delegate to
+    ``dedisperse.shifted_fold_search`` (one broadcast shift table,
+    one corpus equi-join, map-side-collapsing (trial, bin) agg).
     """
-    from pyspark.sql import SparkSession
+    from .dedisperse import shifted_fold_search
 
-    period_us = int(period_us)
-    if period_us <= 0:
-        raise ValueError("period_us must be positive")
-    if nbins < 2:
-        raise ValueError("nbins must be >= 2")
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-    shifts = spark.createDataFrame(
-        [(int(a), int(k), int(s)) for a, k, s in shift_rows],
-        "acc long, __chunk long, shift_us long",
-    )
-    shifted = df.select(
-        F.col(chunk_col).cast("long").alias("__chunk"),
-        F.col(ts_col).cast("long").alias("__ts"),
-    ).join(F.broadcast(shifts), "__chunk")
-    binned = shifted.select(
-        "acc",
-        F.expr(
-            f"CAST((pmod(__ts - shift_us, {period_us}) * {int(nbins)}) "
-            f"DIV {period_us} AS INT)"
-        ).alias("bin"),
-    )
-    per_bin = binned.groupBy("acc", "bin").agg(F.count(F.lit(1)).alias("__o"))
-    return per_bin.groupBy("acc").agg(
-        F.sum("__o").alias("n_events"),
-        F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
-        .cast("decimal(38,0)")
-        .alias("sum_sq"),
-        F.count(F.lit(1)).alias("n_occupied_bins"),
+    return shifted_fold_search(
+        df, shift_rows, period_us, nbins, ts_col, chunk_col, "acc"
     )

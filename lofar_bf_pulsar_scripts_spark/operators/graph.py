@@ -30,6 +30,7 @@ def pagerank_iterations(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Run ``n_iter`` synchronous PageRank iterations and return
     (node, rank) with integer fixed-point ranks.
@@ -56,7 +57,10 @@ def pagerank_iterations(
         raise ValueError("n_iter must be >= 1")
     if scale < 10**6:
         raise ValueError("scale too small for meaningful fixed-point ranks")
-    n = nodes.count()  # bounded: one scalar, the node count
+    # bounded: one scalar; callers that already know |V| (e.g. they
+    # derived the edge modulus from it) pass n_nodes to avoid a
+    # second count job over the node table
+    n = int(n_nodes) if n_nodes is not None else nodes.count()
     if n == 0:
         raise ValueError("empty node set")
     teleport = (15 * scale) // (100 * n)

@@ -54,14 +54,21 @@ def crossmatch_cone(
     cell is narrower than the radius and a +-1 neighborhood can miss
     across the 0/360 boundary).
 
-    Scale shape: probe side explodes 9x into its neighbor cells, the
-    catalog keeps one row per entry, and the join is a plain equi-join
-    on (cell_ra, cell_dec) — shuffle keyed by cell, candidate pairs
-    bounded by per-cell occupancy.  Each matching pair meets in
-    exactly one cell (the catalog entry's home cell), so no
-    post-join dedup is needed.  For a small catalog Spark broadcasts
-    the un-exploded side; for two large sides this is a sort-merge
-    join on a uniformly-hashed key.
+    Scale shape: the CATALOG side explodes 9x into its neighbor
+    cells, the probe side keeps one row per entry — the 9x fan-out
+    lands on the (typically far smaller, often broadcast) catalog
+    while the corpus-sized probe stream stays at one row per
+    detection.  The join is a plain equi-join on (cell_ra, cell_dec):
+    shuffle keyed by cell, candidate pairs bounded by per-cell
+    occupancy.  Each matching pair meets in exactly one cell (the
+    probe's home cell — the catalog's 9 exploded cells are distinct),
+    so no post-join dedup is needed.
+
+    RA is pmod-normalized into [0, wrap) before cell and separation
+    arithmetic, so any real-valued RA convention works; dec outside
+    [-DEC_HALF_MAS, DEC_HALF_MAS] is not meaningful on a sphere but
+    still matches consistently under the documented cylindrical
+    metric (cells extend, the metric stays exact).
     """
     radius_mas = int(radius_mas)
     cell_mas = int(cell_mas)
@@ -75,41 +82,45 @@ def crossmatch_cone(
     if n_ra_cells < 3:
         raise ValueError("cell_mas too large: need >= 3 RA cells for ±1 wrap")
 
-    # ra in [0, wrap), dec+OFF in [0, 2*OFF] — both non-negative, so
-    # integer DIV is the floor
-    def cell_ra_expr() -> Column:
-        return F.expr(f"CAST({ra_col} AS BIGINT) div {cell_mas}")
+    # pmod-normalized ra in [0, wrap), dec+OFF shifted non-negative
+    # for in-domain dec — integer DIV after pmod is the floor cell
+    def norm_ra(col: str) -> Column:
+        return F.pmod(F.col(col).cast("long"), F.lit(RA_WRAP_MAS))
 
-    def cell_dec_expr() -> Column:
+    def cell_ra_expr(col: str) -> Column:
         return F.expr(
-            f"(CAST({dec_col} AS BIGINT) + {DEC_HALF_MAS}) div {cell_mas}"
+            f"pmod(CAST({col} AS BIGINT), {RA_WRAP_MAS}) div {cell_mas}"
         )
 
-    p_cra, p_cdec = cell_ra_expr(), cell_dec_expr()
+    def cell_dec_expr(col: str) -> Column:
+        return F.expr(
+            f"(CAST({col} AS BIGINT) + {DEC_HALF_MAS}) div {cell_mas}"
+        )
+
+    pro = probes.select(
+        *probes.columns,
+        cell_ra_expr(ra_col).alias("__cell_ra"),
+        cell_dec_expr(dec_col).alias("__cell_dec"),
+    )
     deltas = F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    exploded = (
-        probes.withColumn("__cra0", p_cra)
-        .withColumn("__cdec0", p_cdec)
+    cat = (
+        catalog.select(
+            *[F.col(c).alias(f"{c}_cat") for c in catalog.columns],
+            cell_ra_expr(f"{ra_col}").alias("__cra0"),
+            cell_dec_expr(f"{dec_col}").alias("__cdec0"),
+        )
         .withColumn("__dra", F.explode(deltas))
         .withColumn("__ddec", F.explode(deltas))
         .select(
-            *probes.columns,
+            *[f"{c}_cat" for c in catalog.columns],
             F.pmod(F.col("__cra0") + F.col("__dra"), F.lit(n_ra_cells)).alias(
                 "__cell_ra"
             ),
             (F.col("__cdec0") + F.col("__ddec")).alias("__cell_dec"),
         )
     )
-    c_cra, c_cdec = cell_ra_expr(), cell_dec_expr()
-    cat = catalog.select(
-        *[F.col(c).alias(f"{c}_cat") for c in catalog.columns],
-        c_cra.alias("__cell_ra"),
-        c_cdec.alias("__cell_dec"),
-    )
-    joined = exploded.join(cat, ["__cell_ra", "__cell_dec"])
-    dra_raw = F.abs(
-        F.col(ra_col).cast("long") - F.col(f"{ra_col}_cat").cast("long")
-    )
+    joined = pro.join(cat, ["__cell_ra", "__cell_dec"])
+    dra_raw = F.abs(norm_ra(ra_col) - norm_ra(f"{ra_col}_cat"))
     dra = F.least(dra_raw, F.lit(RA_WRAP_MAS) - dra_raw)
     ddec = F.col(dec_col).cast("long") - F.col(f"{dec_col}_cat").cast("long")
     sep_sq = dra * dra + ddec * ddec

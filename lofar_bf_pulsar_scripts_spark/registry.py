@@ -5754,26 +5754,23 @@ def q_period_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalog positions are a pure integer-hash function of user_id; probe
 # positions jitter around the probe's own user inside a ±4e6 mas box
 # (so ~20% of probes land inside the 2e6 mas radius, and RA wrap /
-# dec clamp paths are exercised).  The oracle states the NAIVE
+# dec clamp paths are exercised).  The oracles state the NAIVE
 # all-pairs definition; the Spark side runs the bucketed 3x3
-# neighbor-cell equi-join — the gate proves the bucketed plan is
-# bit-identical to the all-pairs semantics.
+# neighbor-cell equi-join — the gates prove the bucketed plan is
+# bit-identical to the all-pairs semantics.  The CTE text and the
+# Spark catalog/probe construction are shared by all three sky gates
+# (batch, nearest, streaming) so the probe universe cannot drift
+# between them.
 _SKY_R_MAS = 2_000_000
 _SKY_RA_K = 2_654_435_761
 _SKY_DEC_K = 2_246_822_519
 _SKY_JR_K = 97_003
 _SKY_JD_K = 89_009
 
-
-@_register(
-    "sky_crossmatch",
-    f"""
-    -- cone-search cross-match, naive all-pairs definition: integer-mas
-    -- coordinates, exact-integer cylindrical metric with RA wrap
-    -- (min(|dra|, 1_296_000_000-|dra|)^2 + ddec^2 <= R^2).  The Spark
-    -- side computes the SAME pairs via the neighbor-cell bucketed
-    -- equi-join (operators/spatial.py) — never |probes| x |catalog|.
-    WITH users AS (
+# shared oracle CTE block: users, probes, pairs (pairs carries the
+# catalog coordinates so the nearest gate can tie-break on them)
+_SKY_SQL_CTES = f"""
+    users AS (
         SELECT DISTINCT user_id,
             (user_id * {_SKY_RA_K}) % 1296000000 AS ra_u,
             (user_id * {_SKY_DEC_K}) % 648000001 - 324000000 AS dec_u
@@ -5788,7 +5785,7 @@ _SKY_JD_K = 89_009
                 + (event_id * {_SKY_JD_K}) % 8000001 - 4000000)) AS dec_p
         FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
     ), pairs AS (
-        SELECT p.event_id, u.user_id,
+        SELECT p.event_id, u.user_id, u.ra_u, u.dec_u,
                least(abs(p.ra_p - u.ra_u),
                      1296000000 - abs(p.ra_p - u.ra_u))
                * least(abs(p.ra_p - u.ra_u),
@@ -5801,25 +5798,14 @@ _SKY_JD_K = 89_009
                       1296000000 - abs(p.ra_p - u.ra_u))
               + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u)
               <= {_SKY_R_MAS}::BIGINT * {_SKY_R_MAS}
-    )
-    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT event_id) AS BIGINT) AS n_probes,
-           CAST(sum(CAST(sep_sq AS HUGEINT)) AS BIGINT) AS sum_sep_sq,
-           CAST(min(sep_sq) AS BIGINT) AS min_sep_sq
-    FROM pairs GROUP BY bucket
-    """,
-    "J-family spatial join: cone cross-match by neighbor-cell "
-    "bucketing — probe side explodes 3x3 cells, equi-join on the "
-    "cell key, exact-integer separation predicate; candidates "
-    "bounded by cell occupancy, no cross join at any corpus size",
-)
-def q_sky_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.spatial import crossmatch_cone
+    )"""
 
-    ev = load_table(spark, "events", sf_dir).filter(
-        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
-    )
+
+def _sky_catalog_probes(ev):
+    """Shared Spark construction of the (catalog, probes) pair used
+    by the batch, nearest and streaming sky gates — one definition so
+    the probe universe cannot drift between them.  ``ev`` must carry
+    non-NULL user_id and event_id."""
     ra_u = f"(user_id * {_SKY_RA_K}) % 1296000000"
     dec_u = f"(user_id * {_SKY_DEC_K}) % 648000001 - 324000000"
     catalog = (
@@ -5840,6 +5826,37 @@ def q_sky_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"+ (event_id * {_SKY_JD_K}) % 8000001 - 4000000))"
         ).cast("long").alias("dec_mas"),
     )
+    return catalog, probes
+
+
+@_register(
+    "sky_crossmatch",
+    f"""
+    -- cone-search cross-match, naive all-pairs definition: integer-mas
+    -- coordinates, exact-integer cylindrical metric with RA wrap
+    -- (min(|dra|, 1_296_000_000-|dra|)^2 + ddec^2 <= R^2).  The Spark
+    -- side computes the SAME pairs via the neighbor-cell bucketed
+    -- equi-join (operators/spatial.py) — never |probes| x |catalog|.
+    WITH {_SKY_SQL_CTES}
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_probes,
+           CAST(sum(CAST(sep_sq AS HUGEINT)) AS BIGINT) AS sum_sep_sq,
+           CAST(min(sep_sq) AS BIGINT) AS min_sep_sq
+    FROM pairs GROUP BY bucket
+    """,
+    "J-family spatial join: cone cross-match by neighbor-cell "
+    "bucketing — probe side explodes 3x3 cells, equi-join on the "
+    "cell key, exact-integer separation predicate; candidates "
+    "bounded by cell occupancy, no cross join at any corpus size",
+)
+def q_sky_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial import crossmatch_cone
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    catalog, probes = _sky_catalog_probes(ev)
     pairs = crossmatch_cone(probes, catalog, _SKY_R_MAS)
     return (
         pairs.groupBy(
@@ -6085,35 +6102,7 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- all-pairs semantics as the batch gate, so the replayed stream
     -- must reproduce this batch answer bit-for-bit (n_probes is
     -- omitted: distinct counts aren't available in a streaming agg).
-    WITH users AS (
-        SELECT DISTINCT user_id,
-            (user_id * {_SKY_RA_K}) % 1296000000 AS ra_u,
-            (user_id * {_SKY_DEC_K}) % 648000001 - 324000000 AS dec_u
-        FROM events WHERE user_id IS NOT NULL
-    ), probes AS (
-        SELECT event_id,
-            ((((user_id * {_SKY_RA_K}) % 1296000000
-               + (event_id * {_SKY_JR_K}) % 8000001 - 4000000)
-              % 1296000000) + 1296000000) % 1296000000 AS ra_p,
-            greatest(-324000000, least(324000000,
-                (user_id * {_SKY_DEC_K}) % 648000001 - 324000000
-                + (event_id * {_SKY_JD_K}) % 8000001 - 4000000)) AS dec_p
-        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-    ), pairs AS (
-        SELECT p.event_id, u.user_id,
-               least(abs(p.ra_p - u.ra_u),
-                     1296000000 - abs(p.ra_p - u.ra_u))
-               * least(abs(p.ra_p - u.ra_u),
-                       1296000000 - abs(p.ra_p - u.ra_u))
-               + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u) AS sep_sq
-        FROM probes p, users u
-        WHERE least(abs(p.ra_p - u.ra_u),
-                    1296000000 - abs(p.ra_p - u.ra_u))
-              * least(abs(p.ra_p - u.ra_u),
-                      1296000000 - abs(p.ra_p - u.ra_u))
-              + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u)
-              <= {_SKY_R_MAS}::BIGINT * {_SKY_R_MAS}
-    )
+    WITH {_SKY_SQL_CTES}
     SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(CAST(sep_sq AS HUGEINT)) AS BIGINT) AS sum_sep_sq,
@@ -6129,35 +6118,19 @@ def q_streaming_crossmatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.spatial import crossmatch_cone
     from .tables import stream_events
 
-    ra_u = f"(user_id * {_SKY_RA_K}) % 1296000000"
-    dec_u = f"(user_id * {_SKY_DEC_K}) % 648000001 - 324000000"
     # static catalog from the batch read (the stream stage is a copy
-    # of the same parquet, so the user universe is identical)
-    catalog = (
-        load_table(spark, "events", sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .select("user_id").distinct()
-        .select(
-            "user_id",
-            F.expr(ra_u).cast("long").alias("ra_mas"),
-            F.expr(dec_u).cast("long").alias("dec_mas"),
+    # of the same parquet, so the user universe is identical); the
+    # probe construction reuses the shared helper against the STREAM
+    catalog, _ = _sky_catalog_probes(
+        load_table(spark, "events", sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
         )
     )
     stage = _stage_events_dir(sf_dir)
     stream = stream_events(spark, stage).filter(
         F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
     )
-    probes = stream.select(
-        "event_id",
-        F.expr(
-            f"pmod({ra_u} + (event_id * {_SKY_JR_K}) % 8000001 - 4000000, "
-            "1296000000)"
-        ).cast("long").alias("ra_mas"),
-        F.expr(
-            f"greatest(-324000000L, least(324000000L, {dec_u} "
-            f"+ (event_id * {_SKY_JD_K}) % 8000001 - 4000000))"
-        ).cast("long").alias("dec_mas"),
-    )
+    _, probes = _sky_catalog_probes(stream)
     pairs = crossmatch_cone(probes, F.broadcast(catalog), _SKY_R_MAS)
     agg = pairs.groupBy(
         F.pmod(F.col("user_id_cat"), F.lit(8)).cast("long").alias("bucket")
@@ -6330,6 +6303,7 @@ def q_pagerank_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges,
         n_iter=_PR_ITER,
         scale=_PR_SCALE,
+        n_nodes=n,  # already counted for the edge modulus
     )
     return ranks.groupBy(
         F.pmod(F.col("node"), F.lit(8)).cast("long").alias("bucket")
@@ -6351,35 +6325,7 @@ def q_pagerank_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- mirrored by the Spark struct-min field order).  Same naive
     -- all-pairs oracle definition as sky_crossmatch; the Spark side
     -- is the cell-bounded join + per-probe struct-min (no window).
-    WITH users AS (
-        SELECT DISTINCT user_id,
-            (user_id * {_SKY_RA_K}) % 1296000000 AS ra_u,
-            (user_id * {_SKY_DEC_K}) % 648000001 - 324000000 AS dec_u
-        FROM events WHERE user_id IS NOT NULL
-    ), probes AS (
-        SELECT event_id,
-            ((((user_id * {_SKY_RA_K}) % 1296000000
-               + (event_id * {_SKY_JR_K}) % 8000001 - 4000000)
-              % 1296000000) + 1296000000) % 1296000000 AS ra_p,
-            greatest(-324000000, least(324000000,
-                (user_id * {_SKY_DEC_K}) % 648000001 - 324000000
-                + (event_id * {_SKY_JD_K}) % 8000001 - 4000000)) AS dec_p
-        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-    ), pairs AS (
-        SELECT p.event_id, u.user_id, u.ra_u, u.dec_u,
-               least(abs(p.ra_p - u.ra_u),
-                     1296000000 - abs(p.ra_p - u.ra_u))
-               * least(abs(p.ra_p - u.ra_u),
-                       1296000000 - abs(p.ra_p - u.ra_u))
-               + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u) AS sep_sq
-        FROM probes p, users u
-        WHERE least(abs(p.ra_p - u.ra_u),
-                    1296000000 - abs(p.ra_p - u.ra_u))
-              * least(abs(p.ra_p - u.ra_u),
-                      1296000000 - abs(p.ra_p - u.ra_u))
-              + (p.dec_p - u.dec_u) * (p.dec_p - u.dec_u)
-              <= {_SKY_R_MAS}::BIGINT * {_SKY_R_MAS}
-    ), best AS (
+    WITH {_SKY_SQL_CTES}, best AS (
         SELECT event_id, user_id, sep_sq FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY event_id
@@ -6403,26 +6349,7 @@ def q_nearest_sky_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
     )
-    ra_u = f"(user_id * {_SKY_RA_K}) % 1296000000"
-    dec_u = f"(user_id * {_SKY_DEC_K}) % 648000001 - 324000000"
-    catalog = (
-        ev.select("user_id").distinct().select(
-            "user_id",
-            F.expr(ra_u).cast("long").alias("ra_mas"),
-            F.expr(dec_u).cast("long").alias("dec_mas"),
-        )
-    )
-    probes = ev.select(
-        "event_id",
-        F.expr(
-            f"pmod({ra_u} + (event_id * {_SKY_JR_K}) % 8000001 - 4000000, "
-            "1296000000)"
-        ).cast("long").alias("ra_mas"),
-        F.expr(
-            f"greatest(-324000000L, least(324000000L, {dec_u} "
-            f"+ (event_id * {_SKY_JD_K}) % 8000001 - 4000000))"
-        ).cast("long").alias("dec_mas"),
-    )
+    catalog, probes = _sky_catalog_probes(ev)
     best = crossmatch_nearest(probes, catalog, _SKY_R_MAS, "event_id")
     return (
         best.groupBy(

@@ -72,7 +72,11 @@ def test_crossmatch_validates_cell_size(spark):
     with pytest.raises(ValueError):
         crossmatch_cone(df, df, radius_mas=5_000_000, cell_mas=3_600_000)
     with pytest.raises(ValueError):
-        crossmatch_cone(df, df, radius_mas=1_000, cell_mas=7)  # no divide
+        # cell >= radius but does NOT divide RA_WRAP_MAS
+        crossmatch_cone(df, df, radius_mas=1_000_000, cell_mas=7_000_000)
+    with pytest.raises(ValueError):
+        # divides, but fewer than 3 RA cells (no ±1 wrap neighborhood)
+        crossmatch_cone(df, df, radius_mas=1_000, cell_mas=RA_WRAP_MAS // 2)
 
 
 def test_crossmatch_plan_has_no_cartesian(spark):
