@@ -76,16 +76,21 @@ def key_skew_report(
     the hundreds of thousands) says AQE's skew split will struggle
     and ``salted_join`` (or a broadcast) is the move. Plan: one
     count-per-key aggregation (map-side combined) + one tiny rollup —
-    never more than |distinct keys| rows after the first shuffle."""
+    never more than |distinct keys| rows after the first shuffle.
+
+    Empty input is still one row, with explicit zero semantics so the
+    decide-whether-to-salt caller never sees an all-NULL diagnostic:
+    n_rows=0, n_keys=0, mean_count=0, hot_share_ppm=0 (max/min_count
+    stay NULL — there is no per-key count to bound)."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
     topk = (
         counts.orderBy(F.desc("__c"), F.asc(key_col))
         .limit(int(top_k))
-        .agg(F.sum("__c").alias("__top"))
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__top"))
     )
     return (
         counts.agg(
-            F.sum("__c").alias("n_rows"),
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
             F.count(F.lit(1)).alias("n_keys"),
             F.max("__c").alias("max_count"),
             F.min("__c").alias("min_count"),
@@ -96,9 +101,13 @@ def key_skew_report(
             "n_keys",
             "max_count",
             "min_count",
-            F.expr("CAST(n_rows DIV n_keys AS BIGINT)").alias("mean_count"),
             F.expr(
-                "CAST((1000000 * __top) DIV n_rows AS BIGINT)"
+                "CAST(CASE WHEN n_keys = 0 THEN 0"
+                "     ELSE n_rows DIV n_keys END AS BIGINT)"
+            ).alias("mean_count"),
+            F.expr(
+                "CAST(CASE WHEN n_rows = 0 THEN 0"
+                "     ELSE (1000000 * __top) DIV n_rows END AS BIGINT)"
             ).alias("hot_share_ppm"),
         )
     )

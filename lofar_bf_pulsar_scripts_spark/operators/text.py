@@ -426,12 +426,13 @@ def gopher_quality_flags(
         "r_alpha_words": F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * nw,
         # >= 2 of the 8 required stopwords present
         "r_stopwords": F.col("n_stopwords") >= 2,
-        # < 90% of lines start with a bullet: 10*bullet < 9*lines
+        # <= 90% of lines start with a bullet (Gopher removes only
+        # documents strictly ABOVE the threshold): 10*bullet <= 9*lines
         "r_bullet_lines": F.lit(10) * F.col("n_bullet_lines")
-        < F.lit(9) * F.col("n_lines"),
-        # < 30% of lines end with an ellipsis: 10*ell < 3*lines
+        <= F.lit(9) * F.col("n_lines"),
+        # <= 30% of lines end with an ellipsis: 10*ell <= 3*lines
         "r_ellipsis_lines": F.lit(10) * F.col("n_ellipsis_lines")
-        < F.lit(3) * F.col("n_lines"),
+        <= F.lit(3) * F.col("n_lines"),
     }
     return d.select(
         "*",

@@ -4892,8 +4892,8 @@ _GOPHER_STOP_SQL = " + ".join(
                (10 * n_sym <= n_words) AS r3,
                (5 * n_alpha >= 4 * n_words) AS r4,
                (n_stop >= 2) AS r5,
-               (10 * n_bullet < 9 * n_lines) AS r6,
-               (10 * n_ell < 3 * n_lines) AS r7
+               (10 * n_bullet <= 9 * n_lines) AS r6,
+               (10 * n_ell <= 3 * n_lines) AS r7
         FROM f
     )
     SELECT source,
@@ -4952,7 +4952,10 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the LM filter hash-gates cross-engine (float log-prob sums
     -- would not — order-dependent rounding).
     WITH d AS (
-        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+        -- coalesce: NULL text = one '' token, matching Spark's
+        -- tokens(coalesce(text,'')) convention (see gopher_rules)
+        SELECT doc_id, {_TOKENS_SQL} AS w
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ), uni AS (
         SELECT tok, count(*) AS c1
         FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok
@@ -5093,10 +5096,14 @@ _DSIR_BUCKET_SQL = f"({_minhash_x_sql('tok')}) % 256"
     -- rates in integer ppm; doc weight = sum of (ppm_t - ppm_s) over
     -- its tokens — integer-exact, engine-portable md5 buckets.
     WITH toks AS (
+        -- NULL text counts as one '' token (matching the Spark
+        -- side's tokens(coalesce(text,'')) — same convention as
+        -- gopher_rules)
         SELECT doc_id,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
                unnest({_TOKENS_SQL}) AS tok
-        FROM documents
+        FROM (SELECT doc_id, lang, coalesce(text, '') AS text
+              FROM documents)
     ), b AS (
         SELECT doc_id, t, {_DSIR_BUCKET_SQL} AS bucket FROM toks
     ), model AS (
@@ -5136,7 +5143,13 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- props payload, aggregate per event_type. The oracle states the
     -- extraction as a regexp (no JSON extension dependency); Spark
     -- uses real JSON-path extraction — equivalence for this payload
-    -- shape is what the gate checks.
+    -- shape is what the gate checks. The regex requires the captured
+    -- integer to be the WHOLE value (optionally quoted, terminated
+    -- by , or }), so non-integer payloads (12.5) extract NULL in
+    -- both engines instead of a truncated 12 here vs NULL in Spark,
+    -- and quoted integer payloads ("12") extract 12 in both (Spark's
+    -- get_json_object strips the quotes before the cast). RE2 has no
+    -- lookahead, hence the terminator form.
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -5147,7 +5160,8 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT event_type,
                CAST(nullif(regexp_extract(props,
-                   '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT) AS k
+                   '"k"\s*:\s*"?(-?\d+)"?\s*[,}]', 1), '') AS BIGINT)
+                   AS k
         FROM events
     ) GROUP BY event_type
     """,
@@ -5272,7 +5286,10 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- argument — monotone-equivalent per term). Top 10, ties to the
     -- smaller doc id.
     WITH d AS (
-        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+        -- coalesce: NULL text = one '' token, matching Spark's
+        -- tokens(coalesce(text,'')) convention (see gopher_rules)
+        SELECT doc_id, {_TOKENS_SQL} AS w
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     ), dl AS (
         SELECT doc_id, len(w) AS dl FROM d
     ), stats AS (
@@ -5450,8 +5467,11 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events_t(spark, sf_dir).filter(F.col("event_type") == "purchase")
     out = resample_ffill(ev, step=3600)
+    # + 0.0 normalizes -0.0 on BOTH engines (the oracle does the same)
     return out.select(
-        "user_id", "slot", F.round("value_ffill", 6).alias("value_ffill")
+        "user_id",
+        "slot",
+        (F.round("value_ffill", 6) + F.lit(0.0)).alias("value_ffill"),
     )
 
 
@@ -5497,8 +5517,9 @@ def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul("value"),
         nul("props"),
         F.count_distinct("event_type").alias("n_event_types"),
-        F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
+        # + 0.0 normalizes -0.0 on BOTH engines (the oracle matches)
+        (F.round(F.min("value"), 6) + F.lit(0.0)).alias("min_value"),
+        (F.round(F.max("value"), 6) + F.lit(0.0)).alias("max_value"),
         F.expr("CAST(min(ts) div 1000 AS BIGINT)").alias("min_ts_us"),
         F.expr("CAST(max(ts) div 1000 AS BIGINT)").alias("max_ts_us"),
         F.sum((F.col("value") < 0).cast("long")).alias("n_negative_value"),
@@ -5518,13 +5539,17 @@ def q_dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c FROM counts ORDER BY c DESC, k ASC LIMIT 5
         )
     )
-    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+    -- empty-input contract mirrors the operator: n_rows/n_keys/
+    -- mean_count/hot_share_ppm are explicit zeros, max/min stay NULL
+    SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
            CAST(count(*) AS BIGINT) AS n_keys,
            CAST(max(c) AS BIGINT) AS max_count,
            CAST(min(c) AS BIGINT) AS min_count,
-           CAST(sum(c) // count(*) AS BIGINT) AS mean_count,
-           CAST((1000000 * (SELECT top FROM tk)) // sum(c) AS BIGINT)
-               AS hot_share_ppm
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE sum(c) // count(*) END AS BIGINT) AS mean_count,
+           CAST(CASE WHEN coalesce(sum(c), 0) = 0 THEN 0
+                ELSE (1000000 * (SELECT top FROM tk)) // sum(c)
+                END AS BIGINT) AS hot_share_ppm
     FROM counts
     """,
     "skew diagnostic pairing salted_join: exact per-key frequency "

@@ -1253,6 +1253,16 @@ def test_salted_join_rejects_dim_preserving_how(spark):
         salted_join(fact, dim, on="k", salt_by="id", how="full")
 
 
+def test_key_skew_report_empty_input_explicit_zeros(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.skew import key_skew_report
+
+    empty = spark.createDataFrame([], "k string, id long")
+    r = key_skew_report(empty, "k").first()
+    assert r["n_rows"] == 0 and r["n_keys"] == 0
+    assert r["mean_count"] == 0 and r["hot_share_ppm"] == 0
+    assert r["max_count"] is None and r["min_count"] is None
+
+
 def test_image_metadata_rejects_core_header_and_topdown(spark):
     import struct
     from lofar_bf_pulsar_scripts_spark.operators.multimodal import (

@@ -72,6 +72,25 @@ def test_gopher_rules_spot_checks(spark):
     assert r["n_words"] == 1 and not r["pass_all"]
 
 
+def test_gopher_bullet_ellipsis_keep_at_exact_threshold(spark):
+    # Gopher removes only documents strictly ABOVE the threshold:
+    # exactly 90% bullet lines / exactly 30% ellipsis lines are KEPT.
+    at_90 = "\n".join(["- item"] * 9 + ["plain line"])
+    r = _flags(spark, at_90)
+    assert r["n_lines"] == 10 and r["n_bullet_lines"] == 9
+    assert r["r_bullet_lines"]
+
+    above_90 = "\n".join(["- item"] * 10)
+    assert not _flags(spark, above_90)["r_bullet_lines"]
+
+    at_30 = "\n".join(["cut short..."] * 3 + ["plain line"] * 7)
+    r = _flags(spark, at_30)
+    assert r["n_ellipsis_lines"] == 3 and r["r_ellipsis_lines"]
+
+    above_30 = "\n".join(["cut short..."] * 4 + ["plain line"] * 6)
+    assert not _flags(spark, above_30)["r_ellipsis_lines"]
+
+
 def test_bigram_lm_scores_hand_computed(spark):
     # corpus: "a b a b" and "a b c". unigrams: a:3 b:3 c:1 -> V=3
     # bigrams: (a b):3, (b a):1, (b c):1
