@@ -4661,7 +4661,11 @@ def q_tsky_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(lofar_gain_hamaker_carozzi.py:121-137), real casa_beamcorr table",
 )
 def q_jones_beam_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .caldata import hamaker_carozzi_beamcorr, load_casa_beamcorr
+    from .caldata import (
+        hamaker_carozzi_beamcorr,
+        load_casa_beamcorr,
+        packaged_casa_comb_ok,
+    )
 
     e = F.col("event_id")
     ev = load_table(spark, "events", sf_dir).filter(
@@ -4685,7 +4689,10 @@ def q_jones_beam_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) + F.pmod(e * 19, F.lit(41)) / 41.0).alias("j11_re"),
         (F.pmod(e * 23, F.lit(43)) / 43.0 - 0.5).alias("j11_im"),
     )
-    out = hamaker_carozzi_beamcorr(src, load_casa_beamcorr(spark))
+    # content-keyed verdict (pyarrow-side) — no per-plan probe job
+    out = hamaker_carozzi_beamcorr(
+        src, load_casa_beamcorr(spark), comb_ok=packaged_casa_comb_ok()
+    )
     return out.select(
         "event_id",
         "station",

@@ -104,6 +104,28 @@ def test_casa_beamcorr_nearest_matches_reference_sort(spark):
         assert got.casa_factor == pytest.approx(facts[0][1], rel=0, abs=0), f0
 
 
+def test_packaged_casa_comb_ok_content_keyed(spark):
+    # the packaged table IS a uniform comb -> True, computed without
+    # a Spark job and memoized on the manifest sha256
+    assert caldata.packaged_casa_comb_ok() is True
+    assert caldata._PACKAGED_COMB_OK  # memo populated
+    # an explicit verdict bypasses the in-plan probe but preserves
+    # semantics: comb_ok=False forces the exact fold, same answers
+    bc = caldata.load_casa_beamcorr(spark)
+    df = spark.createDataFrame(
+        [Row(station="CS002", freq_mhz=f) for f in (151.337, 10.0, 500.0)]
+    )
+    fast = {
+        r.freq_mhz: r.casa_factor
+        for r in caldata.attach_casa_beamcorr(df, bc, comb_ok=True).collect()
+    }
+    fold = {
+        r.freq_mhz: r.casa_factor
+        for r in caldata.attach_casa_beamcorr(df, bc, comb_ok=False).collect()
+    }
+    assert fast == fold
+
+
 def test_jones_beam_factor_complex_algebra(spark):
     # 1/|0.5 sum J conj(J)| for a known matrix: J00=1+2j, J01=0,
     # J10=3j, J11=-1  ->  s = 5 + 0 + 9 + 1 = 15, bc = 1/7.5
