@@ -66,19 +66,40 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
 
+    def canary() -> float:
+        # Fixed-cost, data-independent probe of the machine: 50M-row
+        # range sum through the same noop sink. Timed at start AND
+        # end of every run and embedded in the record, so two bench
+        # records from different machines / contended hosts can be
+        # normalized (divide totals by the mean canary) instead of
+        # read as code regressions — r5->r6 committed records
+        # differed up to 2.5x on identical code from machine
+        # conditions alone.
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            # double product: the long sum-of-squares overflows int64
+            "sum(CAST(id AS DOUBLE) * id) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
     # JVM/codegen warmup on the smallest query
     execute(qs[names[0]](spark, sf_dir))
+    canary_start = canary()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         execute(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+    canary_end = canary()
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "action": action,
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "cpus": os.cpu_count(),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
