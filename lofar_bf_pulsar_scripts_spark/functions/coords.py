@@ -98,6 +98,97 @@ def altaz_from_equatorial(
     return alt / F.lit(D2R), F.pmod(az / F.lit(D2R), F.lit(360.0))
 
 
+LOFAR_LAT_DEG = 52.915111  # scheduling/azlst.pl:20 site default
+LOFAR_LON_DEG = 6.869883   # scheduling/azlst.pl:24
+
+
+def visibility_window(
+    ra_deg: Column,
+    dec_deg: Column,
+    lat_deg: Column,
+    el_min_deg: Column,
+) -> Column:
+    """Rise/set visibility window of a source at an elevation limit —
+    the inverse of :func:`altaz_from_equatorial`
+    (scheduling/azlst.pl, ~245 LoC Perl -> one struct of column
+    algebra). Returns a struct:
+
+    * ``el_transit_deg`` — elevation at transit (90 - |lat - dec|,
+      computed via the HA=0 zenith-angle formula, azlst.pl get_ZA);
+    * ``never_sets`` — circumpolar above ``el_min`` (azlst.pl's
+      is_never_set test with its 0.001 deg tolerance);
+    * ``never_above`` — transit never reaches ``el_min`` (folds the
+      reference's is_never_rise / is_never_above pair, which differ
+      only in message text and its 1-dp sprintf rounding — here the
+      exact transit elevation is compared, same 0.001 tolerance);
+    * ``ha_h`` — half-window hour angle in hours: the source is above
+      ``el_min`` for LST in ra/15 +/- ha_h (12.0 when never_sets,
+      0.0 when never_above);
+    * ``lst_rise_h`` / ``lst_set_h`` — LST of rise/set in [0, 24)
+      (azlst.pl sidmin/sidmax), NULL unless a genuine crossing;
+    * ``az_rise_deg`` / ``az_set_deg`` — azimuth (deg, North
+      clockwise) at the two crossings (azlst.pl get_AZ: atan2 form
+      +180), NULL unless a genuine crossing.
+
+    Pure trig, no shuffle; feeds the scheduler's ``transit_min``
+    (plans/scheduler.py) via lst-of-transit = ra/15."""
+    dec = dec_deg * F.lit(D2R)
+    lat = lat_deg * F.lit(D2R)
+    clamp = lambda c: F.least(F.greatest(c, F.lit(-1.0)), F.lit(1.0))
+    # ZA at transit (HA=0): acos(sin d sin l + cos d cos l) = |lat-dec|
+    el_transit = F.lit(90.0) - F.acos(
+        clamp(F.sin(dec) * F.sin(lat) + F.cos(dec) * F.cos(lat))
+    ) / F.lit(D2R)
+    never_sets = F.when(
+        lat_deg >= 0.0,
+        dec_deg >= F.lit(90.0) - lat_deg + el_min_deg - F.lit(0.001),
+    ).otherwise(
+        dec_deg <= -(F.lit(90.0) + lat_deg + el_min_deg - F.lit(0.001))
+    )
+    never_above = el_min_deg >= el_transit - F.lit(0.001)
+    za = (F.lit(90.0) - el_min_deg) * F.lit(D2R)
+    cos_ha = (F.cos(za) - F.sin(dec) * F.sin(lat)) / (
+        F.cos(dec) * F.cos(lat)
+    )
+    ha = F.acos(clamp(cos_ha))  # rad, azlst.pl get_HA
+    ha_h = (
+        F.when(never_sets, F.lit(12.0))
+        .when(never_above, F.lit(0.0))
+        .otherwise(ha / F.lit(D2R) / F.lit(15.0))
+    )
+    crossing = (~never_sets) & (~never_above)
+    ra_h = ra_deg / F.lit(15.0)
+    lst_rise = F.when(crossing, F.pmod(ra_h - ha_h, F.lit(24.0)))
+    lst_set = F.when(crossing, F.pmod(ra_h + ha_h, F.lit(24.0)))
+
+    def az_at(h: Column) -> Column:
+        # azlst.pl get_AZ: atan2(cos d sin H, -sin d cos l
+        #                        + cos d sin l cos H) + 180, mod 360
+        return F.pmod(
+            F.atan2(
+                F.cos(dec) * F.sin(h),
+                -F.sin(dec) * F.cos(lat)
+                + F.cos(dec) * F.sin(lat) * F.cos(h),
+            )
+            / F.lit(D2R)
+            + F.lit(180.0),
+            F.lit(360.0),
+        )
+
+    az_rise = F.when(crossing, az_at(-ha))
+    az_set = F.when(crossing, az_at(ha))
+    return F.struct(
+        el_transit.alias("el_transit_deg"),
+        never_sets.alias("never_sets"),
+        never_above.alias("never_above"),
+        ha_h.alias("ha_h"),
+        lst_rise.alias("lst_rise_h"),
+        lst_set.alias("lst_set_h"),
+        az_rise.alias("az_rise_deg"),
+        az_set.alias("az_set_deg"),
+    )
+
+
 # J2000 galactic pole / center constants (IAU): standard rotation.
 _POLE_RA = 192.85948 * D2R
 _POLE_DEC = 27.12825 * D2R

@@ -34,6 +34,45 @@ def score_targets(targets: DataFrame) -> DataFrame:
     ).orderBy(F.desc("score"), "name")
 
 
+def targets_with_transits(
+    targets: DataFrame,
+    ra_col: str = "ra_deg",
+    dec_col: str = "dec_deg",
+    lat_deg: float | None = None,
+    el_min_deg: float = 30.0,
+) -> DataFrame:
+    """Compute each target's transit minute and visibility window
+    from its catalog coordinates (scheduling/azlst.pl), instead of
+    taking ``transit_min`` as a given: transit is at LST = RA/15 h,
+    so on the scheduler's LST-minute day transit_min =
+    round(ra_deg * 4) mod 1440. Targets that never reach
+    ``el_min_deg`` at this site are dropped (they cannot be
+    scheduled); circumpolar targets keep the full-day window
+    (ha_h = 12). Adds ``transit_min``, ``rise_min``, ``set_min``
+    (LST minutes, NULL for circumpolar) and the raw window struct
+    fields — pure column trig, no shuffle."""
+    from ..functions.coords import LOFAR_LAT_DEG, visibility_window
+
+    lat = LOFAR_LAT_DEG if lat_deg is None else lat_deg
+    vw = visibility_window(
+        F.col(ra_col),
+        F.col(dec_col),
+        F.lit(float(lat)),
+        F.lit(float(el_min_deg)),
+    )
+    out = targets.withColumn("__vw", vw).where(~F.col("__vw.never_above"))
+    to_min = lambda h: F.round(h * F.lit(60.0)).cast("int") % 1440
+    return out.select(
+        *targets.columns,
+        to_min(F.col(ra_col) / 15.0).alias("transit_min"),
+        to_min(F.col("__vw.lst_rise_h")).alias("rise_min"),
+        to_min(F.col("__vw.lst_set_h")).alias("set_min"),
+        F.col("__vw.never_sets").alias("circumpolar"),
+        F.col("__vw.el_transit_deg").alias("el_transit_deg"),
+        F.col("__vw.ha_h").alias("ha_h"),
+    )
+
+
 def greedy_schedule(
     targets: DataFrame,
     transit_min_col: str = "transit_min",

@@ -6397,6 +6397,119 @@ def q_nearest_sky_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "visibility_windows",
+    """
+    -- azlst.pl inverse of the az/el forward port: rise/set LST
+    -- window at an elevation limit. Synthetic sky from the events
+    -- table (integer-degree dec keeps acos well-conditioned away
+    -- from the circumpolar boundary; the boundary rows themselves
+    -- are decided by the 0.001-deg tolerance flags, not by acos).
+    -- Formula mirror of functions/coords.py::visibility_window.
+    WITH src AS (
+        SELECT event_id,
+               CAST(mod(user_id * 7, 181) - 90 AS DOUBLE) AS dec_deg,
+               mod(event_id * 11, 1440) / 4.0 AS ra_deg
+        FROM events
+        WHERE mod(event_id, 17) = 0
+          AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ), t AS (
+        SELECT event_id, ra_deg, dec_deg,
+               radians(dec_deg) AS dec,
+               radians(52.915111) AS lat,
+               radians(60.0) AS za,
+               90.0 - degrees(acos(least(greatest(
+                   sin(radians(dec_deg)) * sin(radians(52.915111))
+                   + cos(radians(dec_deg)) * cos(radians(52.915111)),
+                   -1.0), 1.0))) AS el_transit,
+               (dec_deg >= 90.0 - 52.915111 + 30.0 - 0.001)
+                   AS never_sets
+        FROM src
+    ), w AS (
+        SELECT *,
+               (30.0 >= el_transit - 0.001) AS never_above,
+               acos(least(greatest(
+                   (cos(za) - sin(dec) * sin(lat))
+                   / (cos(dec) * cos(lat)), -1.0), 1.0)) AS ha
+        FROM t
+    ), h AS (
+        SELECT *,
+               CASE WHEN never_sets THEN 12.0
+                    WHEN never_above THEN 0.0
+                    ELSE degrees(ha) / 15.0 END AS ha_h,
+               (NOT never_sets AND NOT never_above) AS crossing
+        FROM w
+    )
+    SELECT event_id,
+           CAST(never_sets AS BIGINT) AS never_sets,
+           CAST(never_above AS BIGINT) AS never_above,
+           round(el_transit, 6) + 0.0 AS el_transit_deg,
+           round(ha_h, 6) + 0.0 AS ha_h,
+           round(CASE WHEN crossing THEN
+               mod(mod(ra_deg / 15.0 - ha_h, 24.0) + 24.0, 24.0)
+           END, 6) + 0.0 AS lst_rise_h,
+           round(CASE WHEN crossing THEN
+               mod(mod(ra_deg / 15.0 + ha_h, 24.0) + 24.0, 24.0)
+           END, 6) + 0.0 AS lst_set_h,
+           round(CASE WHEN crossing THEN
+               mod(mod(degrees(atan2(cos(dec) * sin(-ha),
+                   -sin(dec) * cos(lat)
+                   + cos(dec) * sin(lat) * cos(-ha))) + 180.0,
+                   360.0) + 360.0, 360.0)
+           END, 6) + 0.0 AS az_rise_deg,
+           round(CASE WHEN crossing THEN
+               mod(mod(degrees(atan2(cos(dec) * sin(ha),
+                   -sin(dec) * cos(lat)
+                   + cos(dec) * sin(lat) * cos(ha))) + 180.0,
+                   360.0) + 360.0, 360.0)
+           END, 6) + 0.0 AS az_set_deg
+    FROM h
+    """,
+    "§2.8 coordinates, azlst.pl inverse: rise/set LST + azimuth "
+    "window at an elevation limit (pure column trig, zero shuffle; "
+    "feeds plans/scheduler.py transit/visibility inputs)",
+)
+def q_visibility_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.coords import LOFAR_LAT_DEG, visibility_window
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            (F.pmod(F.col("event_id"), F.lit(17)) == 0)
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            (F.pmod(F.col("user_id") * 7, F.lit(181)) - 90)
+            .cast("double")
+            .alias("dec_deg"),
+            (F.pmod(F.col("event_id") * 11, F.lit(1440)) / 4.0).alias(
+                "ra_deg"
+            ),
+        )
+    )
+    vw = visibility_window(
+        F.col("ra_deg"),
+        F.col("dec_deg"),
+        F.lit(LOFAR_LAT_DEG),
+        F.lit(30.0),
+    )
+    out = ev.withColumn("__vw", vw)
+    r6 = lambda c: (F.round(c, 6) + F.lit(0.0))  # noqa: E731
+    return out.select(
+        "event_id",
+        F.col("__vw.never_sets").cast("long").alias("never_sets"),
+        F.col("__vw.never_above").cast("long").alias("never_above"),
+        r6(F.col("__vw.el_transit_deg")).alias("el_transit_deg"),
+        r6(F.col("__vw.ha_h")).alias("ha_h"),
+        r6(F.col("__vw.lst_rise_h")).alias("lst_rise_h"),
+        r6(F.col("__vw.lst_set_h")).alias("lst_set_h"),
+        r6(F.col("__vw.az_rise_deg")).alias("az_rise_deg"),
+        r6(F.col("__vw.az_set_deg")).alias("az_set_deg"),
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------

@@ -77,6 +77,110 @@ def test_altaz_zenith_and_horizon(spark):
     assert df.select(alt2.alias("a")).first()["a"] == pytest.approx(90.0, abs=1e-9)
 
 
+def test_visibility_window_azlst_semantics(spark):
+    from lofar_bf_pulsar_scripts_spark.functions.coords import (
+        LOFAR_LAT_DEG,
+        visibility_window,
+    )
+
+    df = spark.createDataFrame([(1,)], "i int")
+
+    def vw(ra, dec, el, lat=LOFAR_LAT_DEG):
+        col = visibility_window(
+            F.lit(float(ra)), F.lit(float(dec)), F.lit(float(lat)),
+            F.lit(float(el)),
+        )
+        return df.select(col.alias("w")).first()["w"]
+
+    # B0329+54-like source at LOFAR (ra 53.25 deg, dec +54.58), el 30:
+    # dec > 90 - lat + el? 54.58 < 67.08 -> normal rise/set window
+    w = vw(53.2475, 54.5787, 30.0)
+    assert not w["never_sets"] and not w["never_above"]
+    assert w["el_transit_deg"] == pytest.approx(
+        90.0 - abs(LOFAR_LAT_DEG - 54.5787), abs=1e-9
+    )
+    # closed-form HA check: cos HA = (cos ZA - sin d sin l)/(cos d cos l)
+    cos_ha = (
+        math.cos(math.radians(60.0))
+        - math.sin(math.radians(54.5787)) * math.sin(math.radians(LOFAR_LAT_DEG))
+    ) / (
+        math.cos(math.radians(54.5787)) * math.cos(math.radians(LOFAR_LAT_DEG))
+    )
+    ha_h = math.degrees(math.acos(cos_ha)) / 15.0
+    assert w["ha_h"] == pytest.approx(ha_h, abs=1e-12)
+    ra_h = 53.2475 / 15.0
+    assert w["lst_rise_h"] == pytest.approx((ra_h - ha_h) % 24.0, abs=1e-12)
+    assert w["lst_set_h"] == pytest.approx((ra_h + ha_h) % 24.0, abs=1e-12)
+    # rise/set azimuths straddle North symmetrically (az_rise east of
+    # North, az_set west, az_rise + az_set = 720 - 360 = 360 by the
+    # atan2 antisymmetry in HA)
+    assert w["az_rise_deg"] + w["az_set_deg"] == pytest.approx(360.0, abs=1e-9)
+    # forward-port consistency: the alt at LST=lst_rise IS el_min
+    alt, _ = altaz_from_equatorial(
+        F.lit(53.2475),
+        F.lit(54.5787),
+        F.lit(float(w["lst_rise_h"])),
+        F.lit(LOFAR_LAT_DEG),
+    )
+    assert df.select(alt.alias("a")).first()["a"] == pytest.approx(
+        30.0, abs=1e-9
+    )
+
+    # circumpolar above the limit: dec 80 at LOFAR, el 30 (threshold
+    # 90 - 52.915 + 30 = 67.08) -> never sets, full-day window
+    w = vw(10.0, 80.0, 30.0)
+    assert w["never_sets"] and w["ha_h"] == 12.0
+    assert w["lst_rise_h"] is None and w["az_rise_deg"] is None
+
+    # southern source never reaching el 30: el_transit = 90-|lat-dec|
+    w = vw(100.0, -40.0, 30.0)
+    assert w["never_above"] and not w["never_sets"]
+    assert w["ha_h"] == 0.0 and w["lst_set_h"] is None
+    assert w["el_transit_deg"] == pytest.approx(
+        90.0 - abs(LOFAR_LAT_DEG + 40.0), abs=1e-9
+    )
+
+    # southern-hemisphere site branch of the never_sets test
+    w = vw(10.0, -85.0, 20.0, lat=-52.915111)
+    assert w["never_sets"] and w["ha_h"] == 12.0
+
+    # exact-threshold tolerance: dec exactly at 90 - lat + el - 0.001
+    w = vw(0.0, 90.0 - LOFAR_LAT_DEG + 30.0 - 0.001, 30.0)
+    assert w["never_sets"]
+
+
+def test_scheduler_consumes_computed_transits(spark):
+    from lofar_bf_pulsar_scripts_spark.plans.scheduler import (
+        greedy_schedule,
+        targets_with_transits,
+    )
+
+    targets = spark.createDataFrame(
+        [
+            # ra 150 deg -> transit LST min = 150*4 = 600
+            ("A", 60, 2.0, 150.0, 54.0),
+            ("B", 60, 1.0, 150.0, 40.0),   # same transit, conflicts
+            ("C", 120, 1.0, 7.5, 60.0),    # transit min 30
+            ("D", 30, 3.0, 345.0, 85.0),   # circumpolar, transit 1380
+            ("S", 45, 9.0, 200.0, -40.0),  # never above el 30 -> drop
+        ],
+        "name string, duration_min int, priority double, "
+        "ra_deg double, dec_deg double",
+    )
+    enriched = targets_with_transits(targets)
+    rows = {r["name"]: r for r in enriched.collect()}
+    assert "S" not in rows  # unobservable target dropped
+    assert rows["A"]["transit_min"] == 600
+    assert rows["C"]["transit_min"] == 30
+    assert rows["D"]["circumpolar"] and rows["D"]["rise_min"] is None
+    assert rows["A"]["rise_min"] is not None
+    placements = greedy_schedule(enriched)
+    byname = {p.name: p for p in placements}
+    assert byname["A"].start_min == 600  # higher score takes transit
+    assert byname["B"].start_min != 600
+    assert byname["D"].transit_min == 1380
+
+
 def test_galactic_poles(spark):
     df = spark.createDataFrame([(1,)], "i int")
     # north galactic pole (J2000): RA 192.85948, Dec 27.12825 -> b = 90
