@@ -5092,6 +5092,82 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Committed merge table for the APPLY half of the tokenizer loop:
+# learned once with learn_bpe_merges_local on the sf0.001 corpus
+# (deterministic tie-break), fixed as literals so the gate tests
+# application, not training. Includes chained merges (p+ar, s+can,
+# co+lu+m) so multi-level segmentation is exercised.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"),
+)
+
+# Greedy left-to-right merge application as a replace() chain over a
+# space-wrapped symbol string: every symbol is wrapped ' s ', so the
+# sequence [a, b] renders as ' a  b ' and one non-overlapping
+# left-to-right replace(' a  b ' -> ' ab ') IS the greedy merge pass
+# (the scan resumes after each match, so [a,a,a] -> [aa, a] exactly
+# like the reference loop; symbols can never contain a space, so no
+# false boundaries). Token count = spaces/2 (each token carries its
+# own two wrapping spaces).
+def _bpe_apply_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '(.)', ' \\1 ', 'g')"
+    for a, b in _BPE_MERGES:
+        out = f"replace({out}, ' {a}  {b} ', ' {a}{b} ')"
+    return out
+
+
+@_register(
+    "bpe_apply_counts",
+    rf"""
+    -- the APPLY half of the tokenizer loop (train half:
+    -- bpe_pair_counts): per-document word and BPE-token counts under
+    -- the committed 16-merge table, vocabulary-collapsed exactly
+    -- like the operator (merges run over DISTINCT words; documents
+    -- pay only a multiplicity join). Empty/whitespace-only or
+    -- NULL-text docs are restored as (0, 0).
+    WITH dw AS (
+        SELECT doc_id, tok AS word, count(*) AS mult
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM (SELECT doc_id, coalesce(text, '') AS text
+                    FROM documents))
+        WHERE tok != '' GROUP BY doc_id, tok
+    ), vocab AS (
+        SELECT DISTINCT word FROM dw
+    ), seg AS (
+        SELECT word, {_bpe_apply_sql('word')} AS s FROM vocab
+    ), counted AS (
+        SELECT word,
+               CAST((length(s) - length(replace(s, ' ', ''))) / 2
+                   AS BIGINT) AS n_sym
+        FROM seg
+    ), per_doc AS (
+        SELECT dw.doc_id,
+               sum(dw.mult) AS n_words,
+               sum(dw.mult * counted.n_sym) AS n_bpe_tokens
+        FROM dw JOIN counted USING (word)
+        GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per_doc.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(per_doc.n_bpe_tokens, 0) AS BIGINT)
+               AS n_bpe_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc USING (doc_id)
+    """,
+    "north star: BPE tokenizer application (committed merge table, "
+    "vocabulary-bounded mapInPandas segmentation + multiplicity "
+    "join; completes the train->apply loop's oracle coverage)",
+)
+def q_bpe_apply_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import apply_bpe_merges
+
+    d = load_table(spark, "documents", sf_dir)
+    return apply_bpe_merges(d, list(_BPE_MERGES))
+
+
 _DSIR_BUCKET_SQL = f"({_minhash_x_sql('tok')}) % 256"
 
 
