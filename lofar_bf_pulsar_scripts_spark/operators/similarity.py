@@ -1175,6 +1175,14 @@ def semantic_dedup(
     linear — and the shuffle is one cluster-keyed exchange plus an
     aggregation.  A fixed small k would make pair work quadratic;
     that is a mis-sized codebook, not a property of the operator.
+
+    Production wiring (what the registry gate exercises): the
+    assignment is materialized ONCE to a cid-partitioned at-rest
+    store (``plans/lake.ensure_embeddings_by_centroid``) so the
+    assign cost is paid at ingest, the full dedup reads the store
+    straight into the cid equi-join, and a slice dedup (new batch vs
+    the clusters it touches) is a PartitionFilters-pruned scan
+    (plan-asserted in tests/test_plan_shapes.py).
     """
     # norms are computed once per VECTOR (not once per pair), so the
     # pair predicate pays only the dot product; dot > tau*|a|*|b| is

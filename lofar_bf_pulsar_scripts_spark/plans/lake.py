@@ -72,6 +72,29 @@ def write_embeddings_by_centroid(
     assigned.write.mode("overwrite").partitionBy(centroid_col).parquet(path)
 
 
+def ensure_embeddings_by_centroid(
+    assigned: DataFrame,
+    path: str,
+    centroid_col: str = "cid",
+) -> str:
+    """Build the cid-partitioned embedding/assignment store once
+    (atomic tmp+rename, same protocol as ensure_pq_codes); later
+    calls are a no-op. This is the at-rest assignment SemDeDup and
+    IVF probes share: the kmeans/ivf assign is paid once at ingest,
+    every downstream consumer gets a partition-prunable scan."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        write_embeddings_by_centroid(assigned, tmp, centroid_col)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    return path
+
+
 def read_probed_centroids(
     spark: SparkSession,
     path: str,

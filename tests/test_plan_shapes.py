@@ -178,6 +178,50 @@ def test_ivf_pq_stored_plan_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
 
 
+def test_semantic_dedup_store_partition_pruned(spark, tmp_path):
+    """SemDeDup's at-rest assignment store is cid-partitioned: a
+    slice dedup (or any probe) of chosen clusters prunes to those
+    partitions, and the full dedup over the store is the cluster-
+    keyed equi-join — no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        ensure_embeddings_by_centroid,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    cent = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    store = str(tmp_path / "semdedup_store")
+    ensure_embeddings_by_centroid(ivf_assign(e, cent), store)
+    assigned = spark.read.parquet(store)
+    # slice dedup: only the touched clusters' directories are read
+    pruned = semantic_dedup(
+        assigned.filter(F.col("cid").isin([0, 64])), tau=0.4
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert "CartesianProduct" not in plan
+    # full dedup over the store: still no cartesian — pair work is
+    # the cid equi-join
+    full_plan = (
+        semantic_dedup(assigned, tau=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in full_plan
+    assert "BroadcastNestedLoopJoin" not in full_plan
+
+
 def test_resample_ffill_window_is_keyed(spark):
     """The forward-fill window partitions by the entity key — no
     global single-partition window."""
