@@ -6812,7 +6812,6 @@ _TAIL: tuple[str, ...] = (
     "orders_without_lineitems",
     "band_averaged_tsky",
     "tsky_map_lookup",
-    "jones_beam_corr",
     "channel_sefd",
     "catalog_union",
     "dedup_documents",
@@ -6853,36 +6852,34 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions below fund the
 # slots).
 _PROMOTE: tuple[str, ...] = (
+    # round 7: new gates
+    "blind_search_pipeline",
+    "visibility_windows",
+    "bpe_apply_counts",
+    # round 7: changed Spark fn or oracle text (advice fixes, store-
+    # backed SemDeDup re-gate, content-keyed comb verdict, funnel
+    # state-fn rewrite) — every changed spec must sit in the window
+    "semantic_dedup_stats",
+    "streaming_funnel_exact",
+    "jones_beam_corr",
     "gopher_rules",
     "bigram_lm_quality",
-    "zorder_bucket_stats",
-    "bpe_pair_counts",
     "dsir_importance",
     "json_props_stats",
-    "ivf_pq_stored_top3",
-    "boilerplate_removal",
     "bm25_search",
-    "event_funnel",
-    "cohort_retention",
-    "scd2_user_values",
     "resample_hourly_ffill",
     "dq_profile_events",
     "key_skew_report",
-    "top_session_paths",
-    "streaming_funnel_exact",
-    "period_search",
-    "sky_crossmatch",
-    "harmonic_periodogram",
-    "dm_search",
-    "semantic_dedup_stats",
-    "nearest_sky_match",
-    "streaming_crossmatch_exact",
-    "accel_search",
-    "pagerank_buckets",
 )
 
 
 def _ordered() -> list[QuerySpec]:
+    both = set(_PROMOTE) & set(_TAIL)
+    if both:
+        # a name in both lists would appear TWICE in the ordering
+        # (front and tail) — the queries() dict would silently dedupe
+        # while specs()/check_window saw a phantom entry
+        raise ValueError(f"_PROMOTE and _TAIL overlap: {sorted(both)}")
     front = [s for s in _SPECS if s.name in _PROMOTE]
     head = [
         s for s in _SPECS if s.name not in _TAIL and s.name not in _PROMOTE

@@ -26,42 +26,53 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def make_funnel_fn(steps: list[str]):
-    step_index = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        stage, t_reached = state.get if state.exists else (0, None)
-        chunks = []
-        for c in pdfs:
-            if len(c):
-                c = c[c["__ts"].notna()]
-                if len(c):
-                    chunks.append(c)
+        # Per-GROUP Python overhead is the whole cost of this
+        # operator at scale (SCALE.md seventh wave): most users
+        # advance zero steps in a given micro-batch, so the hot path
+        # avoids pd.concat / sort_values / DataFrame construction
+        # entirely — the greedy min-chain only ever needs, per step,
+        # "min event time of this type strictly after the threshold",
+        # which is a vectorized numpy reduction, not a row loop.
+        import numpy as np
+
+        stage0, t0 = state.get if state.exists else (0, None)
+        stage, t_reached = stage0, t0
         out: list[tuple] = []
-        if chunks:
-            rows = pd.concat(chunks, ignore_index=True)
-            rows["__ts"] = rows["__ts"].astype("int64")
-            rows = rows.sort_values(["__ts", "__eid"], kind="mergesort")
-            for ts, ty in zip(rows["__ts"], rows["__ty"]):
-                if stage >= len(steps):
-                    break
-                if step_index.get(ty) != stage:
-                    continue
-                if stage > 0 and not int(ts) > t_reached:
-                    continue
-                out.append((key[0], stage, steps[stage], int(ts)))
-                t_reached = int(ts)
-                stage += 1
-        state.update((stage, t_reached))
-        yield pd.DataFrame(
-            {
-                "user": pd.array([r[0] for r in out], dtype="int64"),
-                "step_idx": pd.array([r[1] for r in out], dtype="int32"),
-                "step": pd.array([r[2] for r in out], dtype=object),
-                "t": pd.array([r[3] for r in out], dtype="int64"),
-            }
-        )
+        chunks = [c for c in pdfs if len(c)]  # always drain the iterator
+        if stage < n_steps and chunks:
+            rows = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
+            ts_all = rows["__ts"].to_numpy()
+            valid = ~pd.isna(ts_all)
+            if valid.any():
+                ts_all = ts_all[valid].astype("int64", copy=False)
+                ty_all = rows["__ty"].to_numpy()[valid]
+                while stage < n_steps:
+                    cand = ts_all[ty_all == steps[stage]]
+                    if stage > 0 or t_reached is not None:
+                        cand = cand[cand > t_reached]
+                    if cand.size == 0:
+                        break
+                    t_reached = int(cand.min())
+                    out.append((key[0], stage, steps[stage], t_reached))
+                    stage += 1
+        if (stage, t_reached) != (stage0, t0):
+            state.update((stage, t_reached))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user": pd.array([r[0] for r in out], dtype="int64"),
+                    "step_idx": pd.array([r[1] for r in out], dtype="int32"),
+                    "step": pd.array([r[2] for r in out], dtype=object),
+                    "t": pd.array([r[3] for r in out], dtype="int64"),
+                }
+            )
 
     return update
 
