@@ -442,3 +442,113 @@ def bloom_screen(
         .withColumn(out_col, probe)
         .drop("__bloom")
     )
+
+
+# --- end-to-end near-dup removal pipeline -----------------------------
+
+def verified_near_dup_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    tau_num: int = 7,
+    tau_den: int = 10,
+) -> DataFrame:
+    """LSH candidate pairs VERIFIED by exact n-gram Jaccard — the
+    false-positive filter a production dedup runs between candidate
+    generation and clustering (a banded pair can share one lucky
+    bucket at Jaccard far below threshold).  Keeps (id_a, id_b) iff
+    the true shingle-set Jaccard >= tau_num/tau_den, decided by the
+    exact integer cross-multiplication tau_den * |inter| >=
+    tau_num * |union| (no float threshold, engine-portable).  Pairs
+    where either side has an empty shingle set never verify (union
+    undefined; LSH already excludes NULL-signature docs).
+
+    Scale shape: |pairs| is bucket-bounded (never n^2); the
+    verification joins move each candidate pair's two shingle SETS —
+    per-pair work proportional to document length, never corpus-
+    crossing. One extra shuffle pair vs the unverified pipeline."""
+    sigs = minhash_signature(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    pairs = candidate_pairs(
+        lsh_buckets(sigs, id_col=id_col, bands=bands,
+                    rows_per_band=rows_per_band),
+        id_col,
+    )
+    shd = shingle_rows(docs, id_col, text_col, shingle_k).distinct()
+    sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        pairs.join(
+            shd.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            shd.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    union = F.col("__na") + F.col("__nb") - F.col("__i")
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("__i", F.coalesce("__i", F.lit(0)))
+        .filter(
+            (union > 0)
+            & (F.lit(int(tau_den)) * F.col("__i") >= F.lit(int(tau_num)) * union)
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def near_dedup_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **edge_kwargs,
+) -> DataFrame:
+    """The WHOLE near-dup removal pipeline as one plan (minhash ->
+    LSH bands -> candidate pairs -> exact-Jaccard verify ->
+    connected components -> keep the min-id representative of every
+    cluster), reported per ``group_col``: (group, n_docs, n_dropped,
+    n_kept, sum_dropped_ids).  sum_dropped_ids pins the dropped SET.
+
+    The companion of the stage gates (minhash_signatures,
+    lsh_bucket_sizes, dup_clusters): a user of the reference-style
+    dedup runs this composition, not the stages."""
+    from .pipeline import connected_components
+
+    edges = verified_near_dup_edges(
+        docs, id_col=id_col, text_col=text_col, **edge_kwargs
+    )
+    comps = connected_components(edges, src_col="id_a", dst_col="id_b")
+    dropped = comps.filter(F.col("component") < F.col("node")).select(
+        F.col("node").alias(id_col), F.lit(1).alias("__drop")
+    )
+    return (
+        docs.select(group_col, id_col)
+        .join(dropped, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__drop", F.lit(0)).cast("long")).alias(
+                "n_dropped"
+            ),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce("__drop", F.lit(0)).cast("long"))
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("__drop") == 1, F.col(id_col)).otherwise(0)
+            ).alias("sum_dropped_ids"),
+        )
+    )

@@ -104,3 +104,48 @@ def bm25_topk(
     return agg.orderBy(
         F.desc("score"), F.asc(id_col)
     ).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    scale: int = 1_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-retrieval combiner for a lexical (BM25) and a
+    dense (embedding-cosine) ranker: fused score = sum over rankers
+    of 1/(k + rank), here as the exact integer ``scale DIV
+    (k_rrf + rank)`` so the fusion hash-gates cross-engine (the
+    floor preserves RRF's ordering semantics whenever score gaps
+    exceed 1/scale — with scale 1e6 and k 60 adjacent-rank
+    contributions differ by >= ~260 ppm, far above the floor's
+    1-ppm quantization).
+
+    Each input frame contributes (id, rank) with rank 1-based;
+    ranker list sizes are the caller's top-k cutoffs (constant), so
+    the union and the fused aggregation touch only |rankers| x k
+    rows — the corpus-scale work lives in the rankers themselves.
+    Ties: fused score desc, more lists hit, then smaller id."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contrib = F.expr(
+        f"CAST({int(scale)} DIV ({int(k_rrf)} + {rank_col}) AS BIGINT)"
+    )
+    parts = [
+        r.select(F.col(id_col), contrib.alias("__c")) for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("rrf_x1e6"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), F.desc("n_lists"), F.asc(id_col))
+        .limit(int(top_k))
+    )

@@ -1502,6 +1502,104 @@ def _dup_clusters_oracle() -> str:
     """
 
 
+def _dedup_pipeline_oracle(tau_num: int = 5, tau_den: int = 10) -> str:
+    """The WHOLE near-dup pipeline: _dup_clusters_oracle's stages
+    plus the exact-Jaccard verification filter between candidate
+    pairs and the transitive closure, then per-source drop stats
+    (min-id representative kept)."""
+    sig_cols = ",\n               ".join(
+        _minhash_sig_sql(i) for i in range(_NUM_MINHASH)
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR) AS bucket "
+        "FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM base
+    ), shd AS (
+        SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), hashed AS (
+        SELECT doc_id, {_minhash_x_sql('s')} AS x FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM hashed GROUP BY doc_id
+    ), buckets AS (
+        {branches}
+    ), pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), inter AS (
+        SELECT p.ia, p.ib, count(*) AS i
+        FROM pairs p
+        JOIN shd a ON a.doc_id = p.ia
+        JOIN shd b ON b.doc_id = p.ib AND b.s = a.s
+        GROUP BY 1, 2
+    ), edges AS (
+        -- exact-Jaccard verify: tau_den*inter >= tau_num*union,
+        -- union > 0 (the same integer cross-multiplication as
+        -- dedup.verified_near_dup_edges)
+        SELECT p.ia, p.ib
+        FROM pairs p
+        JOIN sizes na ON na.doc_id = p.ia
+        JOIN sizes nb ON nb.doc_id = p.ib
+        LEFT JOIN inter ON inter.ia = p.ia AND inter.ib = p.ib
+        WHERE na.n + nb.n - coalesce(inter.i, 0) > 0
+          AND {tau_den} * coalesce(inter.i, 0)
+              >= {tau_num} * (na.n + nb.n - coalesce(inter.i, 0))
+    ), sym AS (
+        SELECT ia AS n, ib AS m FROM edges
+        UNION
+        SELECT ib AS n, ia AS m FROM edges
+    ), reach(n, r) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM sym) nodes
+        UNION
+        SELECT s.m, reach.r FROM reach JOIN sym s ON s.n = reach.n
+    ), comp AS (
+        SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+    ), dropped AS (
+        SELECT node AS doc_id FROM comp WHERE component < node
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+           CAST(count(*) - sum(CASE WHEN dr.doc_id IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN d.doc_id
+               ELSE 0 END) AS BIGINT) AS sum_dropped_ids
+    FROM documents d LEFT JOIN dropped dr USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@_register(
+    "near_dedup_pipeline",
+    _dedup_pipeline_oracle(),
+    "END-TO-END near-dup removal (north-star composition): minhash "
+    "-> LSH bands -> bucket-bounded candidates -> exact-Jaccard "
+    "verify (integer cross-multiplied threshold) -> connected "
+    "components -> min-id representative kept; per-source drop "
+    "stats pin the dropped SET",
+)
+def q_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dedup_stats
+
+    d = load_table(spark, "documents", sf_dir)
+    return near_dedup_stats(d, tau_num=5, tau_den=10)
+
+
 @_register(
     "dup_clusters",
     _dup_clusters_oracle(),
@@ -5415,6 +5513,107 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hybrid_rrf_search",
+    rf"""
+    -- hybrid retrieval: BM25 (lexical) top-20 and embedding-cosine
+    -- (dense) top-20 fused by Reciprocal Rank Fusion, the integer
+    -- form 1e6 DIV (60 + rank) summed per doc — engine-exact.  The
+    -- dense query is the vec_id=0 embedding (doc ids and vec ids
+    -- share the id space); the lexical query is the bm25_search
+    -- term set.  Ties: fused desc, lists-hit desc, doc asc.
+    WITH d AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+    ), dl AS (
+        SELECT doc_id, len(w) AS dl FROM d
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM dl
+    ), post AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+        WHERE tok IN ('merge', 'scan', 'table')
+        GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, count(*) AS df_t FROM post GROUP BY tok
+    ), scored AS (
+        SELECT doc_id,
+               (1000000 * (2 * n_docs - 2 * df_t + 1)) // (2 * df_t + 1)
+                   AS idf_x1e6,
+               (CAST(1000000 AS HUGEINT) * 22 * t_tokens * tf)
+               // (CAST(10 AS HUGEINT) * t_tokens * tf + 3 * t_tokens
+                   + 9 * dl * n_docs) AS tf_ppm
+        FROM post
+        JOIN dfreq USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ), bm_scores AS (
+        SELECT doc_id,
+               sum((CAST(idf_x1e6 AS HUGEINT) * tf_ppm) // 1000000)
+                   AS score
+        FROM scored GROUP BY doc_id
+    ), bm AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id
+            ) AS rank FROM bm_scores
+        ) WHERE rank <= 20
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), cosd AS (
+        SELECT e.vec_id AS doc_id,
+               {_COS_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_COS_NORM.format(a='q.qe')}
+                  * {_COS_NORM.format(a='e.embedding')}) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+    ), cs AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY cos DESC, doc_id
+            ) AS rank FROM cosd
+        ) WHERE rank <= 20
+    ), u AS (
+        SELECT doc_id, 1000000 // (60 + rank) AS c FROM bm
+        UNION ALL
+        SELECT doc_id, 1000000 // (60 + rank) AS c FROM cs
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS rrf_x1e6,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_x1e6 DESC, n_lists DESC, doc_id LIMIT 10
+    """,
+    "hybrid lexical+dense retrieval via integer Reciprocal Rank "
+    "Fusion (the production RAG serving combiner): both rankers' "
+    "corpus-scale work stays in their own scale-shaped operators; "
+    "the fusion touches |rankers| x k constant rows",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    # global windows are safe here: both frames are k-bounded (20
+    # rows) top-k outputs, not corpus-scale relations
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = bm25_topk(d, ["table", "scan", "merge"], k=20).select(
+        "doc_id", F.row_number().over(w_bm).alias("rank")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), "embedding"
+    )
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    cs = brute_force_topk(e, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).alias("rank"),
+    )
+    return rrf_fuse([bm, cs], k_rrf=60, top_k=10)
+
+
+@_register(
     "event_funnel",
     """
     -- strictly-ordered conversion funnel view -> click -> purchase:
@@ -6854,6 +7053,8 @@ _TAIL: tuple[str, ...] = (
 _PROMOTE: tuple[str, ...] = (
     # round 7: new gates
     "blind_search_pipeline",
+    "near_dedup_pipeline",
+    "hybrid_rrf_search",
     "visibility_windows",
     "bpe_apply_counts",
     # round 7: changed Spark fn or oracle text (advice fixes, store-

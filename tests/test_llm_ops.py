@@ -1556,3 +1556,57 @@ def test_mp4_sentinels_and_corrupt_boxes(spark):
     ]
     # only the valid offset survives, attributed to trak ordinal 1
     assert offs == [(1, 0, 77)]
+
+
+def test_rrf_fuse_hand_case(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(12, 1), (10, 2), (13, 3)], "doc_id long, rank int"
+    )
+    rows = rrf_fuse([a, b], top_k=4).collect()
+    got = {r["doc_id"]: (r["rrf_x1e6"], r["n_lists"]) for r in rows}
+    c = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    assert got[10] == (c(1) + c(2), 2)
+    assert got[12] == (c(3) + c(1), 2)
+    assert got[11] == (c(2), 1)
+    assert got[13] == (c(3), 1)
+    # doc in both lists outranks the single-list docs; ties by id
+    order = [r["doc_id"] for r in rows]
+    assert order[0] == 10 and order[1] == 12
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_near_dedup_pipeline_drops_verified_only(spark):
+    """LSH candidates that fail exact-Jaccard verification are NOT
+    dropped; genuine near-dups collapse to the min-id doc."""
+    from lofar_bf_pulsar_scripts_spark.operators.dedup import (
+        near_dedup_stats,
+        verified_near_dup_edges,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, "s", base),
+            (1, "s", base),                      # exact dup of 0
+            (2, "s", base + " lambda"),          # near-dup of 0/1
+            (3, "s", "totally different words here about other things"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in verified_near_dup_edges(docs, tau_num=5, tau_den=10).collect()
+    }
+    assert (0, 1) in edges  # exact dup always verifies
+    assert all(3 not in e for e in edges)  # unrelated doc never linked
+    stats = near_dedup_stats(docs, tau_num=5, tau_den=10).first()
+    assert stats["n_docs"] == 4
+    # doc 0 is the kept representative of its cluster
+    assert stats["n_dropped"] >= 1
+    assert stats["n_kept"] == 4 - stats["n_dropped"]
