@@ -268,6 +268,84 @@ def ivf_assign(
     return corpus.join(best, on=id_col)
 
 
+def hierarchical_assign(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    fine_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_id_col: str = "gid",
+    centroid_id_col: str = "cid",
+) -> DataFrame:
+    """Two-level IVF assignment for k-proportional-to-N codebooks.
+
+    The SemDeDup/IVF scale contract grows the codebook with the
+    corpus (k ~ N / occupancy), which makes FLAT argmax assignment
+    N x k dot products — QUADRATIC in N (measured: the 100x
+    scale-probe's store build is dominated by exactly this).  Routing
+    through a coarse codebook of k1 groups costs N x (k1 + k/k1)
+    instead, minimized at k1 = sqrt(k) — the standard two-level IVF
+    ingest shape.  ``fine_centroids`` must carry its group id
+    (``coarse_id_col``), normally produced by
+    ``ivf_assign(fine_centroids, coarse_centroids)`` — a k x k1 job,
+    negligible beside the corpus pass.
+
+    Step 1: each vector picks its coarse group (max dot, ties to the
+    smaller group id — ivf_assign).  Step 2: it scores ONLY that
+    group's fine centroids (broadcast equi-join on the group id,
+    per-vector struct-max).  The assignment is approximate relative
+    to flat argmax — a vector whose true nearest fine centroid sits
+    in a different coarse cell gets its own cell's best instead (the
+    standard IVF routing tradeoff; raise nprobe-style recall by
+    calling with a multi-probe coarse assignment if needed).  Both
+    levels are broadcast joins + map-side-collapsing argmax aggs:
+    one shuffle on ``id_col``, same as ivf_assign.
+
+    Corpus vectors only ever route to coarse groups that OWN at
+    least one fine centroid (the coarse codebook is semi-filtered
+    first): without that, a vector whose nearest coarse cell ended
+    up empty of fine centroids would silently vanish from the
+    assignment (measured: 2.3% of the 100x probe corpus)."""
+    owned = coarse_centroids.join(
+        F.broadcast(
+            fine_centroids.select(coarse_id_col).distinct()
+        ),
+        on=coarse_id_col,
+        how="leftsemi",
+    )
+    coarse = ivf_assign(
+        corpus, owned, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=coarse_id_col,
+    )
+    f = F.broadcast(
+        fine_centroids.select(
+            F.col(coarse_id_col),
+            F.col(centroid_id_col).alias("__fcid"),
+            F.col(vec_col).alias("__fvec"),
+        )
+    )
+    best = (
+        coarse.join(f, on=coarse_id_col)
+        .select(
+            F.col(id_col),
+            F.col("__fcid"),
+            dot(F.col(vec_col), F.col("__fvec")).alias("__score"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__score"),
+                    (-F.col("__fcid")).alias("n"),
+                    F.col("__fcid").alias("cid"),
+                )
+            ).alias("__b")
+        )
+        .select(F.col(id_col), F.col("__b.cid").alias(centroid_id_col))
+    )
+    return corpus.join(best, on=id_col)
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries: DataFrame,

@@ -6411,6 +6411,95 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hierarchical_assign_counts",
+    f"""
+    -- two-level IVF assignment (the k-proportional-to-N ingest
+    -- shape): flat argmax is N x k dots — quadratic when the
+    -- codebook grows with the corpus — so vectors route through a
+    -- coarse codebook (stride 250) to its group's fine centroids
+    -- (stride 64).  Both argmaxes deterministic (dot desc, id asc).
+    -- The gate pins the RESULTING assignment per fine centroid.
+    WITH e2 AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), coarse AS (
+        SELECT vec_id AS gid, embedding AS ce FROM e2
+        WHERE vec_id % 250 = 0
+    ), fine AS (
+        SELECT vec_id AS cid, embedding AS fe FROM e2
+        WHERE vec_id % 64 = 0
+    ), fine_g AS (
+        SELECT cid, fe, gid FROM (
+            SELECT f.cid, f.fe, c.gid,
+                   row_number() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY {_COS_DOT.format(a='f.fe', b='c.ce')}
+                           DESC, c.gid ASC
+                   ) AS rn
+            FROM fine f CROSS JOIN coarse c
+        ) WHERE rn = 1
+    ), owned AS (
+        -- corpus routes only to coarse groups that OWN a fine
+        -- centroid (else a vector whose nearest cell is empty of
+        -- fines would vanish from the assignment) — mirrors the
+        -- operator's leftsemi filter
+        SELECT c.gid, c.ce FROM coarse c
+        WHERE c.gid IN (SELECT gid FROM fine_g)
+    ), vg AS (
+        SELECT vec_id, embedding, gid FROM (
+            SELECT e.vec_id, e.embedding, c.gid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_COS_DOT.format(a='e.embedding', b='c.ce')}
+                           DESC, c.gid ASC
+                   ) AS rn
+            FROM e2 e CROSS JOIN owned c
+        ) WHERE rn = 1
+    ), assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, f.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS_DOT.format(a='v.embedding', b='f.fe')}
+                           DESC, f.cid ASC
+                   ) AS rn
+            FROM vg v JOIN fine_g f USING (gid)
+        ) WHERE rn = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+    FROM assigned GROUP BY cid
+    """,
+    "two-level IVF ingest assignment (similarity.hierarchical_"
+    "assign): N x (k1 + k/k1) dot products instead of the quadratic "
+    "N x k flat argmax when the codebook grows with the corpus; "
+    "both levels broadcast joins + map-side-collapsing argmaxes",
+)
+def q_hierarchical_assign_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.similarity import hierarchical_assign, ivf_assign
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    coarse = e.filter(F.pmod(F.col("vec_id"), F.lit(250)) == 0).select(
+        F.col("vec_id").alias("gid"), "embedding"
+    )
+    fine = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    fine_g = ivf_assign(
+        fine, coarse, id_col="cid", centroid_id_col="gid"
+    )
+    assigned = hierarchical_assign(e, coarse, fine_g)
+    return assigned.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("vec_id").alias("sum_vec_ids"),
+    )
+
+
+@_register(
     "streaming_crossmatch_exact",
     f"""
     -- streaming dual of sky_crossmatch: detections arrive as a
@@ -7055,6 +7144,7 @@ _PROMOTE: tuple[str, ...] = (
     "blind_search_pipeline",
     "near_dedup_pipeline",
     "hybrid_rrf_search",
+    "hierarchical_assign_counts",
     "visibility_windows",
     "bpe_apply_counts",
     # round 7: changed Spark fn or oracle text (advice fixes, store-

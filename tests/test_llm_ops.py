@@ -1610,3 +1610,50 @@ def test_near_dedup_pipeline_drops_verified_only(spark):
     # doc 0 is the kept representative of its cluster
     assert stats["n_dropped"] >= 1
     assert stats["n_kept"] == 4 - stats["n_dropped"]
+
+
+def test_hierarchical_assign_matches_flat_on_separated_clusters(spark):
+    """When coarse cells are well separated, two-level routing gives
+    the same assignment as the flat argmax; a deliberately
+    cross-cell vector exposes the documented routing approximation."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        hierarchical_assign,
+        ivf_assign,
+    )
+
+    # two coarse groups on orthogonal axes; two fine centroids each
+    mk = lambda axis, a, b: [  # noqa: E731
+        (a if i == axis else (b if i == axis + 1 else 0.0))
+        for i in range(8)
+    ]
+    coarse = spark.createDataFrame(
+        [(0, mk(0, 1.0, 0.0)), (1, mk(4, 1.0, 0.0))],
+        "gid long, embedding array<double>",
+    )
+    fine = spark.createDataFrame(
+        [
+            (10, mk(0, 1.0, 0.1)),
+            (11, mk(0, 1.0, -0.1)),
+            (20, mk(4, 1.0, 0.1)),
+            (21, mk(4, 1.0, -0.1)),
+        ],
+        "cid long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, mk(0, 2.0, 0.3)),   # group 0, nearer fine 10
+            (1, mk(0, 2.0, -0.3)),  # group 0, nearer fine 11
+            (2, mk(4, 5.0, 0.2)),   # group 1, nearer fine 20
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fine_g = ivf_assign(fine, coarse, id_col="cid", centroid_id_col="gid")
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in hierarchical_assign(corpus, coarse, fine_g).collect()
+    }
+    assert got == {0: 10, 1: 11, 2: 20}
+    flat = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(corpus, fine).collect()
+    }
+    assert got == flat
