@@ -299,3 +299,39 @@ def test_pagerank_buckets_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_blind_search_pipeline_plan(spark):
+    """The whole blind-search chain is broadcast-shaped: the delay /
+    shift / winner sides all broadcast, the corpus is never
+    cartesian-joined, and every trial-grid aggregation is a
+    partial-aggregating hash agg (no sort-aggregate funnels)."""
+    plan = _plan(spark, "blind_search_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_near_dedup_pipeline_plan(spark):
+    """Candidate generation stays the bucket equi-join (no cartesian
+    / nested-loop anywhere in the verified pipeline)."""
+    plan = _plan(spark, "near_dedup_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hierarchical_assign_plan(spark):
+    """Both codebook levels broadcast; the corpus shuffles only on
+    its own id for the argmax aggs."""
+    plan = _plan(spark, "hierarchical_assign_counts")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_visibility_windows_plan(spark):
+    """Pure column trig: no join, no window, no shuffle beyond the
+    scan itself."""
+    plan = _plan(spark, "visibility_windows")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
