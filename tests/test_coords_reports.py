@@ -297,3 +297,52 @@ def test_flagged_tiles_summary_lba_and_class_mix(spark):
     # tie at 5 between RS and DE; precedence RS -> /48
     assert row["worst_stations"] == ["DE601LBA", "RS509LBA"]
     assert row["worst_fraction"] == pytest.approx(5 / 48.0)
+
+
+def test_visibility_window_consistent_with_forward_altaz(spark):
+    """Exhaustive grid property: for every (dec, el) case, the alt
+    computed by the FORWARD az/el port at LST t is >= el_min exactly
+    when t lies inside the rise/set arc (circumpolar: always;
+    never_above: never) — the inverse and forward ports agree
+    everywhere, not just at the tested spot values."""
+    from lofar_bf_pulsar_scripts_spark.functions.coords import (
+        LOFAR_LAT_DEG,
+        visibility_window,
+    )
+
+    ra = 123.45
+    cases = spark.createDataFrame(
+        [(float(d), float(e)) for d in range(-85, 86, 10)
+         for e in (10.0, 30.0, 50.0)],
+        "dec_deg double, el double",
+    )
+    vw = visibility_window(
+        F.lit(ra), F.col("dec_deg"), F.lit(LOFAR_LAT_DEG), F.col("el")
+    )
+    with_w = (
+        cases.withColumn("w", vw)
+        .withColumn("half", F.explode(F.expr("sequence(0, 47)")))
+        .withColumn("lst", F.col("half") / 2.0)
+    )
+    alt, _ = altaz_from_equatorial(
+        F.lit(ra), F.col("dec_deg"), F.col("lst"), F.lit(LOFAR_LAT_DEG)
+    )
+    # in-arc test on the circle: distance from transit (ra/15) <= ha_h
+    dist = F.abs(F.pmod(F.col("lst") - F.lit(ra / 15.0) + 12.0, 24.0) - 12.0)
+    checked = with_w.select(
+        "dec_deg", "el", "lst", alt.alias("alt"), dist.alias("dist"),
+        F.col("w.never_sets").alias("ns"),
+        F.col("w.never_above").alias("na"),
+        F.col("w.ha_h").alias("ha_h"),
+    ).withColumn(
+        "violation",
+        F.when(F.col("ns"), F.col("alt") < F.col("el") - 0.0011)
+        .when(F.col("na"), F.col("alt") > F.col("el") + 0.0011)
+        # skip points within 0.02 h of the boundary (bin-edge noise)
+        .when(F.abs(F.col("dist") - F.col("ha_h")) < 0.02, F.lit(False))
+        .otherwise(
+            (F.col("alt") >= F.col("el")) != (F.col("dist") < F.col("ha_h"))
+        ),
+    )
+    bad = checked.filter(F.col("violation")).collect()
+    assert bad == [], bad[:5]
