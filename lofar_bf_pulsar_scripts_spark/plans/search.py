@@ -135,17 +135,29 @@ def blind_search_summary(
     )
 
     # -- stage 4: trial-drift scoring at the winner -------------------
-    at_best = dd.join(
-        best, dd["dm"] == best["best_dm"]
-    ).select("__tdd", "__chunk", "best_dm", "best_period_us", "best_hsum")
-    drift = at_best.join(F.broadcast(accs), "__chunk").select(
-        "acc",
-        "best_dm",
-        "best_period_us",
-        "best_hsum",
-        (F.col("__tdd") - F.col("shift_us")).alias("__tc"),
+    # the winner filters the DIMENSION side before the corpus join:
+    # the corpus fans out 1 x nchan delay rows here, not |DM| x — and
+    # the per-(acc, bin) counts below serve BOTH the trial scoring
+    # and the final profile peak (one corpus pass for stages 4+5)
+    best_delays = F.broadcast(
+        delays.join(best, delays["dm"] == best["best_dm"]).select(
+            "__chan", "delay_us", "best_dm", "best_period_us", "best_hsum"
+        )
     )
-    acc_scores = (
+    drift = (
+        t.join(best_delays, "__chan")
+        .join(F.broadcast(accs), "__chunk")
+        .select(
+            "acc",
+            "best_dm",
+            "best_period_us",
+            "best_hsum",
+            (F.col("__ts") - F.col("delay_us") - F.col("shift_us")).alias(
+                "__tc"
+            ),
+        )
+    )
+    per_bin = (
         drift.select(
             "acc",
             "best_dm",
@@ -158,13 +170,14 @@ def blind_search_summary(
         )
         .groupBy("acc", "best_dm", "best_period_us", "best_hsum", "bin")
         .agg(F.count(F.lit(1)).alias("__o"))
-        .groupBy("acc", "best_dm", "best_period_us", "best_hsum")
-        .agg(
-            F.sum("__o").alias("n_events"),
-            F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
-            .cast("decimal(38,0)")
-            .alias("acc_sum_sq"),
-        )
+    )
+    acc_scores = per_bin.groupBy(
+        "acc", "best_dm", "best_period_us", "best_hsum"
+    ).agg(
+        F.sum("__o").alias("n_events"),
+        F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
+        .cast("decimal(38,0)")
+        .alias("acc_sum_sq"),
     )
     best_acc = F.broadcast(
         acc_scores.orderBy(F.desc("acc_sum_sq"), F.asc("acc"))
@@ -180,19 +193,14 @@ def blind_search_summary(
     )
 
     # -- stage 5: final fold profile peak at (dm, p, acc) -------------
+    # reuses stage 4's per-(acc, bin) counts: |acc| x nbins rows, the
+    # corpus is not touched again
     final = (
-        drift.join(
+        per_bin.join(
             best_acc.select("best_acc"),
-            drift["acc"] == F.col("best_acc"),
+            per_bin["acc"] == F.col("best_acc"),
         )
-        .select(
-            F.expr(
-                f"CAST((pmod(__tc, best_period_us) * {int(nbins)}) "
-                "DIV best_period_us AS INT)"
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("__o"))
+        .select("bin", "__o")
         .agg(
             F.max(
                 F.struct(
