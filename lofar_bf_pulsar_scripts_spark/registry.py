@@ -6500,6 +6500,109 @@ def q_hierarchical_assign_counts(
 
 
 @_register(
+    "hier_assign_agreement",
+    f"""
+    -- recall harness for the two-level router (the lsh_recall_at_5
+    -- pattern applied to ingest): fraction of vectors whose
+    -- hierarchical assignment equals the flat argmax, in ppm —
+    -- quantifies the documented routing approximation as DATA
+    -- instead of a docstring caveat.  Flat argmax over the stride-64
+    -- codebook; two-level route via the stride-250 coarse groups
+    -- (restricted to groups owning a fine centroid).
+    WITH e2 AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), coarse AS (
+        SELECT vec_id AS gid, embedding AS ce FROM e2
+        WHERE vec_id % 250 = 0
+    ), fine AS (
+        SELECT vec_id AS cid, embedding AS fe FROM e2
+        WHERE vec_id % 64 = 0
+    ), fine_g AS (
+        SELECT cid, fe, gid FROM (
+            SELECT f.cid, f.fe, c.gid,
+                   row_number() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY {_COS_DOT.format(a='f.fe', b='c.ce')}
+                           DESC, c.gid ASC
+                   ) AS rn
+            FROM fine f CROSS JOIN coarse c
+        ) WHERE rn = 1
+    ), owned AS (
+        SELECT c.gid, c.ce FROM coarse c
+        WHERE c.gid IN (SELECT gid FROM fine_g)
+    ), vg AS (
+        SELECT vec_id, embedding, gid FROM (
+            SELECT e.vec_id, e.embedding, c.gid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_COS_DOT.format(a='e.embedding', b='c.ce')}
+                           DESC, c.gid ASC
+                   ) AS rn
+            FROM e2 e CROSS JOIN owned c
+        ) WHERE rn = 1
+    ), hier AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, f.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS_DOT.format(a='v.embedding', b='f.fe')}
+                           DESC, f.cid ASC
+                   ) AS rn
+            FROM vg v JOIN fine_g f USING (gid)
+        ) WHERE rn = 1
+    ), flat AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, f.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_COS_DOT.format(a='e.embedding', b='f.fe')}
+                           DESC, f.cid ASC
+                   ) AS rn
+            FROM e2 e CROSS JOIN fine f
+        ) WHERE rn = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN h.cid = fl.cid THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree,
+           CAST((1000000 * sum(CASE WHEN h.cid = fl.cid THEN 1 ELSE 0
+               END)) // count(*) AS BIGINT) AS agree_ppm
+    FROM hier h JOIN flat fl USING (vec_id)
+    """,
+    "ingest-recall harness: hierarchical vs flat assignment "
+    "agreement in ppm (the routing approximation measured as data; "
+    "same pattern as lsh_recall_at_5 for the query path)",
+)
+def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hierarchical_assign, ivf_assign
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    coarse = e.filter(F.pmod(F.col("vec_id"), F.lit(250)) == 0).select(
+        F.col("vec_id").alias("gid"), "embedding"
+    )
+    fine = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    fine_g = ivf_assign(fine, coarse, id_col="cid", centroid_id_col="gid")
+    hier = hierarchical_assign(e, coarse, fine_g).select(
+        "vec_id", F.col("cid").alias("__hcid")
+    )
+    flat = ivf_assign(e, fine).select(
+        "vec_id", F.col("cid").alias("__fcid")
+    )
+    agree = (F.col("__hcid") == F.col("__fcid")).cast("long")
+    return hier.join(flat, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(agree).alias("n_agree"),
+        F.expr(
+            "CAST((1000000 * sum(CAST(__hcid = __fcid AS BIGINT))) "
+            "DIV count(*) AS BIGINT)"
+        ).alias("agree_ppm"),
+    )
+
+
+@_register(
     "streaming_crossmatch_exact",
     f"""
     -- streaming dual of sky_crossmatch: detections arrive as a
@@ -7145,6 +7248,7 @@ _PROMOTE: tuple[str, ...] = (
     "near_dedup_pipeline",
     "hybrid_rrf_search",
     "hierarchical_assign_counts",
+    "hier_assign_agreement",
     "visibility_windows",
     "bpe_apply_counts",
     # round 7: changed Spark fn or oracle text (advice fixes, store-

@@ -1657,3 +1657,45 @@ def test_hierarchical_assign_matches_flat_on_separated_clusters(spark):
         r["vec_id"]: r["cid"] for r in ivf_assign(corpus, fine).collect()
     }
     assert got == flat
+
+
+def test_hierarchical_assign_nprobe_raises_agreement(spark):
+    """Multi-probe routing recovers flat-argmax assignments that
+    single-probe misses; at nprobe = |coarse| it equals flat."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        hierarchical_assign,
+        ivf_assign,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = (
+        load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 300)
+    )
+    coarse = e.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0).select(
+        F.col("vec_id").alias("gid"), "embedding"
+    )
+    fine = e.filter(F.pmod(F.col("vec_id"), F.lit(30)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    fine_g = ivf_assign(fine, coarse, id_col="cid", centroid_id_col="gid")
+    flat = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(e, fine).collect()
+    }
+
+    def agree(nprobe):
+        got = {
+            r["vec_id"]: r["cid"]
+            for r in hierarchical_assign(
+                e, coarse, fine_g, nprobe=nprobe
+            ).collect()
+        }
+        assert set(got) == set(flat)  # no vector ever dropped
+        return sum(got[k] == flat[k] for k in flat)
+
+    n1, n_all = agree(1), agree(3)  # 3 = |owned coarse| upper bound
+    assert n_all == len(flat)  # probing every group IS the flat argmax
+    assert n1 <= n_all
+    with pytest.raises(ValueError):
+        hierarchical_assign(e, coarse, fine_g, nprobe=0)
