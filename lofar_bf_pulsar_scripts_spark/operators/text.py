@@ -579,3 +579,77 @@ def remove_shared_chunks(
         F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+# --- linear quality classifier (model-based filter stage) -------------
+
+# Committed integer model: per-mille weights over integer-ppm
+# features.  Stands in for the fastText-style learned quality filter
+# every production curation pipeline runs AFTER the rule battery
+# (gopher_quality_flags) — the ENGINE contract is identical for real
+# learned weights (swap the dict), and integer weights x ppm features
+# keep the score engine-exact.
+QUALITY_WEIGHTS_PER_MILLE: dict[str, int] = {
+    "bias_x1e6": 200_000,
+    "alpha_ratio": 400,       # fraction of words with a letter
+    "stopword_ratio": 300,    # required-stopword density
+    "symbol_ratio": -500,     # #/... density penalty
+    "bullet_line_ratio": -200,
+    "ellipsis_line_ratio": -200,
+    "length_bonus_x1e6": 100_000,  # n_words in [50, 100000]
+}
+QUALITY_KEEP_THRESHOLD_X1E6 = 650_000
+
+
+def quality_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+    threshold_x1e6: int = QUALITY_KEEP_THRESHOLD_X1E6,
+) -> DataFrame:
+    """Per-document linear quality score over the gopher feature
+    extraction, exact-integer end to end: each ratio feature is
+    floor(1e6 * count / total) ppm, each weight is integer
+    per-mille, score_x1e6 = bias + sum(w * f // 1000) + the length
+    bonus. Returns (id, score_x1e6, keep).
+
+    One scan, zero shuffle (rides gopher_quality_flags' single-pass
+    projection); the model is a dozen literals folded into codegen —
+    the 100 TB cost is the same as the rule battery it follows."""
+    w = dict(QUALITY_WEIGHTS_PER_MILLE)
+    if weights:
+        w.update(weights)
+    feats = gopher_quality_flags(df, id_col=id_col, text_col=text_col)
+    nw = F.col("n_words")
+
+    def term(key: str, count_col: str, total_col: str):
+        # weight * ppm // 1000 with the DIVISION ALWAYS ON A
+        # NON-NEGATIVE numerator: Spark's DIV truncates toward zero
+        # while DuckDB's // floors, so a negative weight must be
+        # applied as -((|w| * f) DIV 1000) — both engines then agree
+        # bit-for-bit (counts and totals are non-negative).
+        wk = int(w[key])
+        mag = F.expr(
+            f"CAST({abs(wk)} * (CAST(1000000 * {count_col} AS BIGINT) "
+            f"DIV {total_col}) AS BIGINT) DIV 1000"
+        )
+        return mag if wk >= 0 else -mag
+
+    score = (
+        F.lit(int(w["bias_x1e6"]))
+        + term("alpha_ratio", "n_alpha_words", "n_words")
+        + term("stopword_ratio", "n_stopwords", "n_words")
+        + term("symbol_ratio", "n_symbols", "n_words")
+        + term("bullet_line_ratio", "n_bullet_lines", "n_lines")
+        + term("ellipsis_line_ratio", "n_ellipsis_lines", "n_lines")
+        + F.when(
+            (nw >= 50) & (nw <= 100_000),
+            F.lit(int(w["length_bonus_x1e6"])),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return feats.select(
+        F.col(id_col),
+        score.alias("score_x1e6"),
+        (score >= F.lit(int(threshold_x1e6))).alias("keep"),
+    )

@@ -5049,6 +5049,65 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_classifier",
+    rf"""
+    -- model-based quality filter (the learned-classifier stage that
+    -- follows the gopher rule battery): committed integer per-mille
+    -- weights over integer-ppm features; score and keep-decision
+    -- engine-exact. Same feature extraction as gopher_rules.
+    WITH d AS (
+        SELECT doc_id,
+               {_TOKENS_SQL} AS w,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+               regexp_split_to_array(text, '\n') AS lines
+        FROM (SELECT doc_id, coalesce(text, '') AS text
+              FROM documents)
+    ), f AS (
+        SELECT doc_id,
+               len(w) AS n_words, n_sym,
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               {_GOPHER_STOP_SQL} AS n_stop,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   x -> regexp_matches(x, '^\s*[-*•]'))) AS n_bullet,
+               len(list_filter(lines,
+                   x -> regexp_matches(x, '\.\.\.\s*$'))) AS n_ell
+        FROM d
+    ), s AS (
+        -- negative weights applied as -((|w| * f) // 1000): the
+        -- division numerator stays non-negative, where DuckDB's
+        -- floor // and Spark's truncating DIV agree bit-for-bit
+        SELECT doc_id,
+               200000
+               + (400 * ((1000000 * n_alpha) // n_words)) // 1000
+               + (300 * ((1000000 * n_stop) // n_words)) // 1000
+               - (500 * ((1000000 * n_sym) // n_words)) // 1000
+               - (200 * ((1000000 * n_bullet) // n_lines)) // 1000
+               - (200 * ((1000000 * n_ell) // n_lines)) // 1000
+               + CASE WHEN n_words >= 50 AND n_words <= 100000
+                      THEN 100000 ELSE 0 END AS score
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(score AS BIGINT) AS score_x1e6,
+           (score >= 650000) AS keep
+    FROM s
+    """,
+    "north star: model-based quality classifier (integer linear "
+    "scorer over the gopher feature extraction — the learned-filter "
+    "stage's engine contract; one scan, zero shuffle, weights folded "
+    "into codegen)",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_linear_score
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return quality_linear_score(d)
+
+
+@_register(
     "bigram_lm_quality",
     rf"""
     -- add-one-smoothed bigram LM likelihood per document. Each
@@ -7249,6 +7308,7 @@ _PROMOTE: tuple[str, ...] = (
     "hybrid_rrf_search",
     "hierarchical_assign_counts",
     "hier_assign_agreement",
+    "quality_classifier",
     "visibility_windows",
     "bpe_apply_counts",
     # round 7: changed Spark fn or oracle text (advice fixes, store-
