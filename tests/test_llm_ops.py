@@ -1699,3 +1699,36 @@ def test_hierarchical_assign_nprobe_raises_agreement(spark):
     assert n1 <= n_all
     with pytest.raises(ValueError):
         hierarchical_assign(e, coarse, fine_g, nprobe=0)
+
+
+def test_quality_linear_score_hand_case(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.text import (
+        QUALITY_WEIGHTS_PER_MILLE as W,
+        quality_linear_score,
+    )
+
+    # 60 clean words incl. stopwords 'the'/'and' -> all ratios exact
+    text = " ".join(["the quick brown fox and dog jumps"] * 10) + " extra word"
+    # 72 words: recount -> 7*10+2 = 72
+    docs = spark.createDataFrame(
+        [(1, text), (2, None), (3, "### ... ###")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_linear_score(docs).collect()}
+    r1 = rows[1]
+    n_words = 72
+    f_alpha = 1_000_000 * 72 // n_words      # every word alphabetic
+    # n_stopwords counts DISTINCT required stopwords present (the
+    # Gopher "contains >= 2 of the required set" feature): the, and
+    f_stop = 1_000_000 * 2 // n_words
+    expect = (
+        W["bias_x1e6"]
+        + W["alpha_ratio"] * f_alpha // 1000
+        + W["stopword_ratio"] * f_stop // 1000
+        + W["length_bonus_x1e6"]               # 50 <= 72 <= 100000
+    )
+    assert r1["score_x1e6"] == expect and r1["keep"]
+    # NULL text: one '' token, nothing alphabetic, no bonus -> low
+    assert rows[2]["score_x1e6"] == W["bias_x1e6"] and not rows[2]["keep"]
+    # symbol soup: penalty drives the score DOWN from the bias
+    assert rows[3]["score_x1e6"] < W["bias_x1e6"] and not rows[3]["keep"]
