@@ -1703,6 +1703,121 @@ def _pack_oracle() -> str:
     """
 
 
+# Committed merge table for the APPLY half of the tokenizer loop:
+# learned once with learn_bpe_merges_local on the sf0.001 corpus
+# (deterministic tie-break), fixed as literals so the gate tests
+# application, not training. Includes chained merges (p+ar, s+can,
+# co+lu+m) so multi-level segmentation is exercised.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"),
+)
+
+# Greedy left-to-right merge application as a replace() chain over a
+# space-wrapped symbol string: every symbol is wrapped ' s ', so the
+# sequence [a, b] renders as ' a  b ' and one non-overlapping
+# left-to-right replace(' a  b ' -> ' ab ') IS the greedy merge pass
+# (the scan resumes after each match, so [a,a,a] -> [aa, a] exactly
+# like the reference loop; symbols can never contain a space, so no
+# false boundaries). Token count = spaces/2 (each token carries its
+# own two wrapping spaces).
+def _bpe_apply_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '(.)', ' \\1 ', 'g')"
+    for a, b in _BPE_MERGES:
+        out = f"replace({out}, ' {a}  {b} ', ' {a}{b} ')"
+    return out
+
+
+
+def _pack_bpe_oracle() -> str:
+    """The tokenize->pack COMPOSITION: per-doc lengths come from the
+    committed BPE merge table (bpe_apply_counts' segmentation) instead
+    of the whitespace token count, then the same FFD recursive-CTE
+    scaffold as _pack_oracle packs them. A training pipeline runs
+    exactly this chain (tokenizer -> token budget -> context-window
+    packing)."""
+    pos = (
+        "NULLIF(list_position("
+        "list_transform(f.caps, x -> x >= d.n_tokens), true), 0)"
+    )
+    return f"""
+    WITH RECURSIVE dw AS (
+        SELECT doc_id, tok AS word, count(*) AS mult
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM (SELECT doc_id, coalesce(text, '') AS text
+                    FROM documents WHERE doc_id < 300))
+        WHERE tok != '' GROUP BY doc_id, tok
+    ), vocab AS (
+        SELECT DISTINCT word FROM dw
+    ), seg AS (
+        SELECT word, {_bpe_apply_sql('word')} AS s FROM vocab
+    ), counted AS (
+        SELECT word,
+               CAST((length(s) - length(replace(s, ' ', ''))) / 2
+                   AS BIGINT) AS n_sym
+        FROM seg
+    ), lens AS (
+        SELECT d.doc_id,
+               coalesce(sum(dw.mult * counted.n_sym), 0) AS n_tokens
+        FROM (SELECT DISTINCT doc_id FROM documents
+              WHERE doc_id < 300) d
+        LEFT JOIN dw ON dw.doc_id = d.doc_id
+        LEFT JOIN counted ON counted.word = dw.word
+        GROUP BY d.doc_id
+    ), docs AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS i
+        FROM lens
+    ), fit(i, caps, assigns) AS (
+        SELECT 0, []::BIGINT[], []::BIGINT[]
+        UNION ALL
+        SELECT f.i + 1,
+               CASE WHEN {pos} IS NULL
+                    THEN list_append(f.caps, greatest(1024 - d.n_tokens, 0))
+                    ELSE f.caps[1:{pos}-1] || [f.caps[{pos}] - d.n_tokens]
+                         || f.caps[{pos}+1:len(f.caps)]
+               END,
+               list_append(f.assigns, COALESCE({pos}, len(f.caps) + 1))
+        FROM fit f JOIN docs d ON d.i = f.i + 1
+    ), final AS (
+        SELECT assigns FROM fit ORDER BY i DESC LIMIT 1
+    ), placed AS (
+        SELECT d.doc_id, d.n_tokens, fin.assigns[d.i] AS pidx
+        FROM docs d CROSS JOIN final fin
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           '0_' || CAST(pidx - 1 AS VARCHAR) AS pack_id,
+           CAST(sum(n_tokens) OVER (PARTITION BY pidx) AS BIGINT)
+               AS pack_tokens
+    FROM placed
+    """
+
+
+@_register(
+    "tokenize_pack_pipeline",
+    _pack_bpe_oracle(),
+    "END-TO-END tokenize->pack composition: committed-merge BPE "
+    "segmentation produces the per-doc token budget, FFD packs it "
+    "into 1024-token context windows — the training-shard prep "
+    "chain as one plan (vocabulary-bounded Python, bucket-local "
+    "packing)",
+)
+def q_tokenize_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import apply_bpe_merges
+    from .operators.pipeline import pack_sequences
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 300
+    )
+    lens = apply_bpe_merges(d, list(_BPE_MERGES)).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    out = pack_sequences(lens, max_tokens=1024, n_buckets=1)
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_tokens")
+
+
 @_register(
     "sequence_packing",
     _pack_oracle(),
@@ -5249,33 +5364,6 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Committed merge table for the APPLY half of the tokenizer loop:
-# learned once with learn_bpe_merges_local on the sf0.001 corpus
-# (deterministic tie-break), fixed as literals so the gate tests
-# application, not training. Includes chained merges (p+ar, s+can,
-# co+lu+m) so multi-level segmentation is exercised.
-_BPE_MERGES: tuple[tuple[str, str], ...] = (
-    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
-    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
-    ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
-    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"),
-)
-
-# Greedy left-to-right merge application as a replace() chain over a
-# space-wrapped symbol string: every symbol is wrapped ' s ', so the
-# sequence [a, b] renders as ' a  b ' and one non-overlapping
-# left-to-right replace(' a  b ' -> ' ab ') IS the greedy merge pass
-# (the scan resumes after each match, so [a,a,a] -> [aa, a] exactly
-# like the reference loop; symbols can never contain a space, so no
-# false boundaries). Token count = spaces/2 (each token carries its
-# own two wrapping spaces).
-def _bpe_apply_sql(expr: str) -> str:
-    out = f"regexp_replace({expr}, '(.)', ' \\1 ', 'g')"
-    for a, b in _BPE_MERGES:
-        out = f"replace({out}, ' {a}  {b} ', ' {a}{b} ')"
-    return out
-
-
 @_register(
     "bpe_apply_counts",
     rf"""
@@ -7309,6 +7397,7 @@ _PROMOTE: tuple[str, ...] = (
     "hierarchical_assign_counts",
     "hier_assign_agreement",
     "quality_classifier",
+    "tokenize_pack_pipeline",
     "visibility_windows",
     "bpe_apply_counts",
     # round 7: changed Spark fn or oracle text (advice fixes, store-
