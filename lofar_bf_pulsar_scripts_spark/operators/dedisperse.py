@@ -137,3 +137,133 @@ def dm_search(
     return shifted_fold_search(
         df, delay_rows, period_us, nbins, ts_col, chan_col, "dm"
     )
+
+
+def single_pulse_search(
+    df: DataFrame,
+    widths: list[int] | None = None,
+    bin_us: int = 3_600_000_000,
+    snr_x1000: int = 3000,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Single-pulse search over a (dedispersed) event-time series —
+    the single_pulse_search.py stage of the PRESTO-style workflow the
+    reference's sp2tim.py single-pulse exports feed (sp2tim.py writes
+    per-pulse .tim rows; this is the upstream detector that finds
+    them): bin the series, run a bank of boxcar matched filters, keep
+    window positions whose Poisson significance clears an S/N
+    threshold, and cluster neighbouring detections into one candidate
+    per burst.
+
+    All decisions are exact-integer:
+
+    * per-bin counts ``c_b`` with ``b = ts_us div bin_us``;
+    * boxcar sum ``s(b, w) = sum c_{b..b+w-1}`` via a RANGE window
+      over the *occupied* bins (empty bins contribute zero without
+      densifying; a maximal boxcar can always be taken to start on an
+      occupied bin, since shifting a window right past a leading
+      empty bin never lowers its sum);
+    * detection iff ``(s - mu*w) / sqrt(mu*w) >= snr_x1000/1000``
+      with ``mu = n/span`` the mean bin rate (span = empty-inclusive
+      bin count, n = event total) — the Poisson matched-filter S/N,
+      whose sqrt(w) threshold growth is what makes a wide boxcar
+      genuinely better for a spread burst (a mean-proportional
+      threshold would make every width an identical per-bin rate
+      test).  Evaluated in the exact-integer cross-multiplied form
+      ``excess > 0 AND excess^2 * 10^6 >= snr_x1000^2 * n * w * span``
+      where ``excess = s*span - n*w`` (DECIMAL(38,0) before the
+      square: s*span reaches ~1e18 at 100 TB and its square must not
+      wrap);
+    * per width, detections whose starts are within ``w`` bins merge
+      into one island (gap sessionization, the islands() closed
+      form); the island reports its peak (max s, ties to earliest b).
+
+    Returns (width, island_id, t_start_bin, t_peak_bin, peak_sum,
+    n_cands) — one row per (width, island).
+
+    Scale shape: the per-bin aggregation collapses map-side to at
+    most span rows (time-span-bounded, not corpus-bounded); the
+    width fan-out and RANGE windows run over that binned series, and
+    the global (n, span) scalars ride a 1-row broadcast join.  The
+    per-width window is a single partition over the binned series —
+    span-bounded; at very long spans partition additionally by a
+    coarse epoch with w-bin overlap (same recipe as streaming's
+    tumbling dumps).
+    """
+    from pyspark.sql import Window
+
+    if widths is None:
+        widths = [1, 2, 4, 8]
+    if not widths or any(w < 1 for w in widths):
+        raise ValueError("widths must be a non-empty list of ints >= 1")
+    if bin_us < 1:
+        raise ValueError("bin_us must be >= 1")
+    if snr_x1000 < 1:
+        raise ValueError("snr_x1000 must be >= 1")
+    bins = (
+        df.select(F.expr(f"CAST({ts_col} AS BIGINT) div {int(bin_us)}").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = bins.agg(
+        F.sum("c").alias("__n"),
+        (F.max("b") - F.min("b") + F.lit(1)).alias("__span"),
+    )
+    # RANGE frame bounds must be literals, so the bank is a union of
+    # one literal-framed window per width (widths is a small constant
+    # list); each frame is [b, b + w - 1] over the occupied bins
+    banked = None
+    for w in sorted(set(int(x) for x in widths)):
+        ww = Window.orderBy("b").rangeBetween(0, w - 1)
+        part = (
+            bins.withColumn("width", F.lit(w).cast("long"))
+            .withColumn("s", F.sum("c").over(ww))
+        )
+        banked = part if banked is None else banked.unionByName(part)
+    excess = (
+        F.col("s").cast("decimal(38,0)") * F.col("__span")
+        - F.col("__n").cast("decimal(38,0)") * F.col("width")
+    )
+    cands = (
+        banked.crossJoin(F.broadcast(totals))
+        .filter(
+            (excess > 0)
+            & (
+                excess * excess * F.lit(1_000_000)
+                >= F.lit(int(snr_x1000) * int(snr_x1000))
+                * F.col("__n").cast("decimal(38,0)")
+                * F.col("width")
+                * F.col("__span")
+            )
+        )
+        .select("width", "b", "s")
+    )
+    iw = Window.partitionBy("width").orderBy("b")
+    islands = (
+        cands.withColumn(
+            "__new",
+            F.when(
+                F.col("b") - F.lag("b").over(iw) > F.col("width"), 1
+            ).otherwise(F.when(F.lag("b").over(iw).isNull(), 1).otherwise(0)),
+        )
+        .withColumn(
+            "island_id",
+            F.sum("__new").over(
+                iw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return islands.groupBy("width", "island_id").agg(
+        F.min("b").alias("t_start_bin"),
+        F.max(
+            F.struct(F.col("s").alias("s"), (-F.col("b")).alias("nb"))
+        ).alias("__pk"),
+        F.count(F.lit(1)).alias("n_cands"),
+    ).select(
+        "width",
+        "island_id",
+        "t_start_bin",
+        (-F.col("__pk.nb")).alias("t_peak_bin"),
+        F.col("__pk.s").alias("peak_sum"),
+        "n_cands",
+    )

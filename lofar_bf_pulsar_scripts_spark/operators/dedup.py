@@ -552,3 +552,69 @@ def near_dedup_stats(
             ).alias("sum_dropped_ids"),
         )
     )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (positional span) dedup statistics — the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (2022), re-expressed over word
+    k-gram spans: a span is *duplicated* iff its exact token sequence
+    occurs in at least one OTHER document, and a document's dup
+    fraction is the share of its overlapping k-gram start positions
+    that are duplicated.  (The chunk_dedup/boilerplate family dedups
+    disjoint chunks and frequent lines; this is the positional
+    overlapping-window variant that catches shared substrings at ANY
+    alignment.)
+
+    Two shuffles, both on the span string: (1) span -> number of
+    distinct documents containing it (map-side pre-agg on the
+    (span, doc) pairs after an in-doc distinct), (2) the fan-back
+    equi-join from each document's positional span list to that
+    frequency table.  At 100 TB the span key space is corpus-sized
+    — both sides hash-partition on the span, AQE handles the Zipf
+    head (stop-phrase spans), and the frequency side carries two
+    integers per distinct span.
+
+    Returns per document: (doc_id, n_spans, n_dup_spans,
+    dup_fraction) with n_spans = max(n_tokens - k + 1, 0); documents
+    shorter than k tokens report zeros.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode_outer(word_shingles(text_col, k=k)).alias(
+            "pos", "span"
+        ),
+    )
+    # distinct docs per span; the in-doc distinct collapses repeated
+    # spans within one document before the wide agg
+    freq = (
+        spans.filter(F.col("span").isNotNull())
+        .select("span", id_col)
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    joined = spans.join(
+        freq, "span", "left"
+    )  # left keeps <k-token docs (span NULL) for the zeros row
+    return joined.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("span").isNotNull(), 1).otherwise(0)
+        ).alias("n_spans"),
+        F.sum(
+            F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+        ).alias("n_dup_spans"),
+    ).withColumn(
+        "dup_fraction",
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -277,3 +277,178 @@ def accel_search(
     return shifted_fold_search(
         df, shift_rows, period_us, nbins, ts_col, chunk_col, "acc"
     )
+
+
+def sift_candidates(
+    periodogram: DataFrame,
+    nharm: int = 8,
+    tol_us: int = 1000,
+    period_col: str = "period_us",
+    score_col: str = "sum_sq",
+) -> DataFrame:
+    """Candidate sifting over a trial-period periodogram (the
+    PRESTO-sifting analog of the reference's manual candidate vetting
+    between its fold and snr stages, pulsestack.py §3.3 feeding
+    snr.py): collapse harmonically-related trial periods onto their
+    strongest member so the survivor list contains one row per
+    physical candidate, not one per harmonic.
+
+    Relatedness is tolerance-banded integer arithmetic: candidates a
+    and b (periods pa <= pb) are related iff for some h in 1..nharm,
+    ``|h*pa - pb| <= h*tol_us`` — b is (within tol per fold of h) the
+    h-th multiple of a.  h=1 merges near-duplicate trial periods.
+
+    Assignment is ONE-LEVEL and deterministic (exactly PRESTO sift's
+    greedy shape, not a transitive closure): every candidate maps to
+    the highest-scoring member of its related set (self included),
+    ties broken by larger period, then the output groups by that
+    fundamental:  (period_us, score, n_members, n_self) where
+    n_members counts candidates absorbed into this fundamental and
+    n_self = 1 iff the fundamental chose itself (a survivor).
+    Non-transitivity means a fundamental can itself be absorbed
+    elsewhere; n_self exposes that honestly rather than hiding it
+    behind an iterative closure the oracle could not express.
+
+    Scale shape: the periodogram is |trials| rows — constant in
+    corpus size — so the relatedness self-join is a broadcast join of
+    two tiny relations crossed with a constant 1..nharm array; the
+    corpus is never touched.
+    """
+    if nharm < 1:
+        raise ValueError("nharm must be >= 1")
+    if tol_us < 0:
+        raise ValueError("tol_us must be >= 0")
+    p = F.col(period_col).cast("long")
+    s = F.col(score_col).cast("decimal(38,0)")
+    # the self-join consumes the periodogram TWICE; without lineage
+    # truncation each branch re-runs the upstream fold (a full corpus
+    # scan each) — checkpoint the |trials|-row aggregate so the
+    # corpus is folded once (lazy: materializes at first action)
+    periodogram = periodogram.localCheckpoint(eager=False)
+    cand = periodogram.select(p.alias("__p"), s.alias("__s"))
+    other = cand.select(
+        F.col("__p").alias("__q"), F.col("__s").alias("__t")
+    )
+    h = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(1, nharm + 1)])
+    ).alias("__h")
+    pairs = (
+        cand.select("__p", "__s", h)
+        .join(
+            F.broadcast(other),
+            (
+                F.abs(F.col("__h") * F.col("__p") - F.col("__q"))
+                <= F.col("__h") * F.lit(int(tol_us))
+            )
+            | (
+                F.abs(F.col("__h") * F.col("__q") - F.col("__p"))
+                <= F.col("__h") * F.lit(int(tol_us))
+            ),
+        )
+        .select("__p", "__s", "__q", "__t")
+        .distinct()
+    )
+    # fundamental(c) = argmax over related ∪ {c} by (score, period);
+    # the h=1 self-pair guarantees {c} is in the set
+    assigned = pairs.groupBy("__p", "__s").agg(
+        F.max(
+            F.struct(F.col("__t").alias("s"), F.col("__q").alias("p"))
+        ).alias("__f")
+    )
+    return (
+        assigned.groupBy(
+            F.col("__f.p").alias(period_col),
+            F.col("__f.s").alias(score_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.when(F.col("__p") == F.col("__f.p"), 1).otherwise(0)
+            ).alias("n_self"),
+        )
+    )
+
+
+def timing_fit(
+    df: DataFrame,
+    period_us: int,
+    x0_us: int,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Timing-residual linear fit (the pdmp/tempo-lite refinement
+    step downstream of the reference's folds: snr.py's best-period
+    scan and pulsestack.py's per-block period update both exist to
+    absorb exactly this residual drift): fold event micro-times at a
+    trial period, regress the centered phase residual against elapsed
+    time, and report the drift slope — the fractional period error
+    dP/P is slope_us_per_s / 1e6.
+
+    Exact-integer core:
+
+    * residual ``r_us = ((ts + P/2) mod P) - P/2`` in [-P/2, P/2)
+      (integer µs; inputs after x0 are positive so Spark pmod and
+      SQL % agree);
+    * elapsed ``x_s = (ts - x0_us) div 1e6`` integer seconds from the
+      caller's fixed epoch literal ``x0_us`` (MUST be <= min(ts):
+      keeping x nonnegative sidesteps the trunc-vs-floor integer
+      division divergence between engines, and centering at the
+      observation start keeps sum(x^2) ~ span^2 * n — DECIMAL(38,0)
+      safe past 1e12 rows, where uncentered epoch seconds would
+      overflow);
+    * the five regression sums (n, sx, sr, sxx, sxr) aggregate as
+      exact integers (DECIMAL(38,0) for the products); slope and
+      intercept derive from them in ONE fixed float expression the
+      oracle mirrors verbatim — the only inexact step is the final
+      IEEE division + 6 dp round.
+
+    Returns one row: (n, sx, sr, slope_us_per_s, intercept_us).
+
+    Scale shape: a single map-side-collapsing global aggregation of
+    five associative integer sums — no wide shuffle at any corpus
+    size (the same all-reduce shape as profile_stats).
+    """
+    p = int(period_us)
+    if p < 2:
+        raise ValueError("period_us must be >= 2")
+    half = p // 2
+    ts = F.col(ts_col).cast("long")
+    base = df.select(
+        (F.pmod(ts + F.lit(half), F.lit(p)) - F.lit(half)).alias("r"),
+        F.expr(
+            f"(CAST({ts_col} AS BIGINT) - {int(x0_us)}) div 1000000"
+        ).alias("x"),
+    )
+    sums = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("r"))
+        .cast("decimal(38,0)")
+        .alias("sxr"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxr")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sr")
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    )
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "n",
+        "sx",
+        "sr",
+        F.round(slope, 6).alias("slope_us_per_s"),
+        F.round(
+            (
+                F.col("sr").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept_us"),
+    )

@@ -7279,6 +7279,354 @@ def q_visibility_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Round 7 second wave: candidate sifting, single-pulse search, timing
+# fit, PII redaction, positional span dedup
+# --------------------------------------------------------------------
+
+# Sift grid: two harmonic families around distinct fundamentals plus
+# unrelated trials, so the tolerance-banded integer relatedness
+# (|h*pa - pb| <= h*tol for h in 1..8, tol = 1000 us) exercises the
+# h=1 near-duplicate merge (3_600_000_500), exact and near
+# sub-multiples (P/2 + 400 us, P/3 + 100 us; Q/2 + 600 us), and
+# no-relation survivors.  Cross-family pairs verified unrelated for
+# every h <= 8.
+_SIFT_PERIODS = [
+    3_600_000_000,
+    3_600_000_500,
+    1_800_000_400,
+    1_200_000_100,
+    5_100_000_000,
+    2_550_000_600,
+    4_000_000_000,
+    2_777_777_777,
+    1_234_567_890,
+]
+_SIFT_TOL_US = 1000
+_SIFT_NHARM = 8
+
+
+@_register(
+    "candidate_sift",
+    f"""
+    -- PRESTO-style candidate sifting over a trial-period
+    -- periodogram: every trial maps one level to the
+    -- highest-scoring member of its harmonically-related set (ties
+    -- to larger period), survivors grouped with member counts.
+    -- Relatedness is tolerance-banded integer arithmetic:
+    -- |h*pa - pb| <= h*tol for some h in 1..{_SIFT_NHARM}.
+    WITH t AS (
+        SELECT {_TS_US_SQL} AS ts_us FROM events WHERE ts IS NOT NULL
+    ), trials AS (
+        SELECT unnest([{", ".join(str(p) for p in _SIFT_PERIODS)}])
+            AS period_us
+    ), binned AS (
+        SELECT period_us,
+               ((ts_us % period_us) * 16) // period_us AS bin
+        FROM t CROSS JOIN trials
+    ), pg AS (
+        SELECT period_us, sum(o * CAST(o AS HUGEINT)) AS sum_sq
+        FROM (SELECT period_us, bin, count(*) AS o
+              FROM binned GROUP BY period_us, bin)
+        GROUP BY period_us
+    ), h AS (
+        SELECT unnest(generate_series(1, {_SIFT_NHARM})) AS h
+    ), rel AS (
+        SELECT DISTINCT c.period_us AS cp, c.sum_sq AS cs,
+                        s.period_us AS sp, s.sum_sq AS ss
+        FROM pg c CROSS JOIN pg s CROSS JOIN h
+        WHERE abs(h.h * c.period_us - s.period_us) <= h.h * {_SIFT_TOL_US}
+           OR abs(h.h * s.period_us - c.period_us) <= h.h * {_SIFT_TOL_US}
+    ), assigned AS (
+        SELECT cp, sp, ss,
+               row_number() OVER (PARTITION BY cp
+                                  ORDER BY ss DESC, sp DESC) AS rn
+        FROM rel
+    )
+    SELECT sp AS period_us, CAST(ss AS BIGINT) AS sum_sq,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN cp = sp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self
+    FROM assigned WHERE rn = 1 GROUP BY sp, ss
+    """,
+    "A13-family candidate sifting (PRESTO sift dual over the "
+    "period_search periodogram): constant-size broadcast self-join "
+    "crossed with the 1..nharm array — the corpus is folded once, "
+    "never touched by the sift",
+)
+def q_candidate_sift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import period_search, sift_candidates
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us"))
+    pg = period_search(ev, _SIFT_PERIODS, nbins=16).select(
+        "period_us", "sum_sq"
+    )
+    out = sift_candidates(
+        pg, nharm=_SIFT_NHARM, tol_us=_SIFT_TOL_US
+    )
+    return out.withColumn("sum_sq", F.col("sum_sq").cast("long"))
+
+
+_SP_BIN_US = 3_600_000_000
+_SP_WIDTHS = [1, 2, 4]
+_SP_SNR_X1000 = 2500
+
+
+@_register(
+    "single_pulse_cands",
+    f"""
+    -- single-pulse search over the binned event-time series: boxcar
+    -- bank (widths {_SP_WIDTHS}) via RANGE windows over occupied
+    -- bins, Poisson matched-filter S/N threshold
+    -- (s - mu*w)/sqrt(mu*w) >= {_SP_SNR_X1000}/1000 in the exact
+    -- integer cross-multiplied form (excess = s*span - n*w > 0 AND
+    -- excess^2 * 1e6 >= snr^2 * n * w * span), and gap
+    -- sessionization of detections into per-burst islands with a
+    -- deterministic (max s, earliest b) peak.
+    WITH t AS (
+        SELECT {_TS_US_SQL} AS ts_us FROM events WHERE ts IS NOT NULL
+    ), bins AS (
+        SELECT ts_us // {_SP_BIN_US} AS b, count(*) AS c
+        FROM t GROUP BY 1
+    ), tot AS (
+        SELECT sum(c) AS n, max(b) - min(b) + 1 AS span FROM bins
+    ), banked AS (
+        {" UNION ALL ".join(
+            f'''SELECT b, CAST({w} AS BIGINT) AS width,
+               sum(c) OVER (ORDER BY b
+                            RANGE BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS s
+            FROM bins''' for w in _SP_WIDTHS)}
+    ), cand AS (
+        SELECT width, b, s FROM banked CROSS JOIN tot
+        WHERE CAST(s AS HUGEINT) * span - CAST(n AS HUGEINT) * width > 0
+          AND (CAST(s AS HUGEINT) * span - CAST(n AS HUGEINT) * width)
+              * (CAST(s AS HUGEINT) * span - CAST(n AS HUGEINT) * width)
+              * 1000000
+              >= {_SP_SNR_X1000 * _SP_SNR_X1000}::HUGEINT
+                 * n * width * span
+    ), flagged AS (
+        SELECT width, b, s,
+               CASE WHEN lag(b) OVER w IS NULL
+                         OR b - lag(b) OVER w > width
+                    THEN 1 ELSE 0 END AS nw
+        FROM cand WINDOW w AS (PARTITION BY width ORDER BY b)
+    ), isl AS (
+        SELECT width, b, s,
+               sum(nw) OVER (PARTITION BY width ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    )
+    SELECT width, CAST(island_id AS BIGINT) AS island_id,
+           min(b) AS t_start_bin,
+           (max({{'s': s, 'nb': -b}})).nb * -1 AS t_peak_bin,
+           (max({{'s': s, 'nb': -b}})).s AS peak_sum,
+           CAST(count(*) AS BIGINT) AS n_cands
+    FROM isl GROUP BY width, island_id
+    """,
+    "W5/W6-family single-pulse search (sp2tim.py upstream detector): "
+    "span-bounded boxcar bank + threshold + island clustering; the "
+    "corpus collapses map-side to occupied time bins",
+)
+def q_single_pulse_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedisperse import single_pulse_search
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us"))
+    return single_pulse_search(
+        ev,
+        widths=_SP_WIDTHS,
+        bin_us=_SP_BIN_US,
+        snr_x1000=_SP_SNR_X1000,
+    )
+
+
+_TF_PERIOD_US = 3_600_000_000
+_TF_X0_US = 1_704_067_200_000_000  # 2024-01-01 (<= min event ts)
+
+
+@_register(
+    "timing_fit_drift",
+    f"""
+    -- timing-residual linear fit at a trial period: centered phase
+    -- residual r = ((ts + P/2) mod P) - P/2 regressed on elapsed
+    -- integer seconds x = (ts - x0) // 1e6 with exact-integer
+    -- regression sums (HUGEINT products); slope and intercept
+    -- derive from the exact sums in one mirrored float expression.
+    WITH t AS (
+        SELECT {_TS_US_SQL} AS ts_us FROM events WHERE ts IS NOT NULL
+    ), b AS (
+        SELECT ((ts_us + {_TF_PERIOD_US // 2}) % {_TF_PERIOD_US})
+                   - {_TF_PERIOD_US // 2} AS r,
+               (ts_us - {_TF_X0_US}) // 1000000 AS x
+        FROM t
+    ), s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(r) AS sr,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * r) AS sxr
+        FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+           CAST(sr AS BIGINT) AS sr,
+           round(CAST(CAST(n AS HUGEINT) * sxr
+                          - CAST(sx AS HUGEINT) * sr AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                 6) AS slope_us_per_s,
+           round((CAST(sr AS DOUBLE)
+                  - (CAST(CAST(n AS HUGEINT) * sxr
+                              - CAST(sx AS HUGEINT) * sr AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_us
+    FROM s
+    """,
+    "A7/W-family timing fit (pdmp/tempo-lite refinement the "
+    "reference's best-period scans approximate): five associative "
+    "integer sums, no wide shuffle at any corpus size",
+)
+def q_timing_fit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import timing_fit
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us"))
+    return timing_fit(ev, _TF_PERIOD_US, _TF_X0_US)
+
+
+# PII gate text is SYNTHESIZED from integer columns (the sky-gate
+# recipe): the documents corpus is clean word salad, so a gate over
+# it would prove nothing.  Construction guarantees: exactly one
+# email and one IPv4 per row; every digit run is < 9 chars, so the
+# phone pattern (lookaround, not RE2-expressible — DuckDB cannot
+# mirror it) provably matches nothing; the Spark side still RUNS the
+# full 3-pattern chain, so any unexpected phone hit would flip the
+# redacted length and fail the hash.  Phone semantics themselves are
+# pytest-covered (test_llm_ops.test_redact_pii_and_counts).
+_PII_TEXT_SQL = (
+    "concat('contact u', CAST(user_id AS VARCHAR), "
+    "'@mail.example.com via 10.', CAST(user_id % 256 AS VARCHAR), "
+    "'.', CAST(event_id % 256 AS VARCHAR), '.9 soon')"
+)
+
+
+@_register(
+    "pii_redaction_stats",
+    f"""
+    -- PII audit + redaction over deterministically synthesized text:
+    -- per user_id%7 cohort, rows, email/IP hit counts and the total
+    -- redacted length after the chained email -> IP replacement.
+    WITH base AS (
+        SELECT user_id % 7 AS g,
+               {_PII_TEXT_SQL} AS txt
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    ), r AS (
+        SELECT g,
+               len(regexp_extract_all(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                   AS emails,
+               len(regexp_extract_all(txt,
+                   '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS ips,
+               length(regexp_replace(regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b',
+                   '<IP>', 'g')) AS redacted_len
+        FROM base
+    )
+    SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(emails) AS BIGINT) AS n_emails,
+           CAST(sum(ips) AS BIGINT) AS n_ips,
+           CAST(sum(redacted_len) AS BIGINT) AS sum_redacted_len
+    FROM r GROUP BY g
+    """,
+    "P2-family PII redaction (north star training-data scrubbing): "
+    "pure chained regexp_replace / regexp_extract_all, JVM-side, no "
+    "UDF — one map-side-collapsing 7-key aggregation",
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import pii_counts, redact_pii
+
+    txt = F.concat(
+        F.lit("contact u"),
+        F.col("user_id").cast("string"),
+        F.lit("@mail.example.com via 10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(".9 soon"),
+    )
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            (F.col("user_id") % 7).alias("g"),
+            pii_counts(txt).alias("c"),
+            F.length(redact_pii(txt)).alias("redacted_len"),
+        )
+    )
+    return base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c.emails").alias("n_emails"),
+        F.sum("c.ips").alias("n_ips"),
+        F.sum("redacted_len").alias("sum_redacted_len"),
+    )
+
+
+_SPAN_K = 8
+_SPAN_SHINGLES_SQL = (
+    "[concat_ws(' ', "
+    + ", ".join(f"w[i+{j}]" for j in range(_SPAN_K))
+    + f") FOR i IN generate_series(1, len(w)-{_SPAN_K - 1})]"
+)
+
+
+@_register(
+    "span_dedup_docs",
+    f"""
+    -- exact-substring (positional span) dedup, Lee et al. 2022
+    -- re-expressed over word {_SPAN_K}-gram spans: a span is
+    -- duplicated iff its exact token sequence occurs in >= 2
+    -- distinct documents; per document, the share of overlapping
+    -- span positions that are duplicated.
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), pos AS (
+        SELECT doc_id, unnest({_SPAN_SHINGLES_SQL}) AS span FROM base
+    ), freq AS (
+        SELECT span, count(DISTINCT doc_id) AS n_docs
+        FROM pos GROUP BY span
+    ), perdoc AS (
+        SELECT p.doc_id, count(*) AS n_spans,
+               sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM pos p JOIN freq f USING (span)
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(perdoc.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(perdoc.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN coalesce(perdoc.n_spans, 0) > 0
+                THEN round(CAST(perdoc.n_dup AS DOUBLE)
+                           / perdoc.n_spans, 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM documents d LEFT JOIN perdoc USING (doc_id)
+    """,
+    "A10-family positional span dedup (exact-substring dedup, Lee "
+    "et al. 2022): two span-keyed shuffles with map-side pre-agg; "
+    "AQE splits the Zipf-head span keys",
+)
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import span_dedup_stats
+
+    d = load_table(spark, "documents", sf_dir)
+    return span_dedup_stats(d, k=_SPAN_K)
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
@@ -7339,6 +7687,15 @@ _TAIL: tuple[str, ...] = (
     "embedding_quantize",
     "pq_code_histogram",
     "pq_adc_top3",
+    # r6-green and byte-identical since r6; demoted in the round-7
+    # second wave to fund the five new gates (candidate_sift,
+    # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
+    # span_dedup_docs)
+    "doc_chunks",
+    "url_canonical",
+    "vocab_coverage",
+    "bpe_token_counts",
+    "text_quality",
     # r2-green and byte-identical this round; r2 row stands
     "file_placement",
     "regex_filter_parts",
@@ -7390,6 +7747,14 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions below fund the
 # slots).
 _PROMOTE: tuple[str, ...] = (
+    # round 7 second wave: new gates (funded by demoting the
+    # r6-green byte-identical doc_chunks, url_canonical,
+    # vocab_coverage, bpe_token_counts, text_quality)
+    "candidate_sift",
+    "single_pulse_cands",
+    "timing_fit_drift",
+    "pii_redaction_stats",
+    "span_dedup_docs",
     # round 7: new gates
     "blind_search_pipeline",
     "near_dedup_pipeline",

@@ -335,3 +335,48 @@ def test_visibility_windows_plan(spark):
     plan = _plan(spark, "visibility_windows")
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_candidate_sift_plan(spark):
+    """The relatedness self-join is a broadcast of the |trials|-row
+    periodogram — no shuffled join; the corpus fold is the usual
+    partial-aggregating hash agg."""
+    plan = _plan(spark, "candidate_sift")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_single_pulse_cands_plan(spark):
+    """The (n, span) scalars ride a broadcast nested-loop of a 1-row
+    side; the corpus collapses map-side to occupied bins (partial
+    hash agg), never a shuffled join."""
+    plan = _plan(spark, "single_pulse_cands")
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_timing_fit_drift_plan(spark):
+    """Five associative sums, one global aggregation — no join, no
+    window, at most the single all-reduce exchange pair."""
+    plan = _plan(spark, "timing_fit_drift")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_pii_redaction_stats_plan(spark):
+    """Pure column regex work into a 7-key aggregation: no join, no
+    window, no UDF boundary (everything JVM-side)."""
+    plan = _plan(spark, "pii_redaction_stats")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEval
+
+
+def test_span_dedup_docs_plan(spark):
+    """Span-keyed frequency join: hash-shuffled equi-join on the
+    span is expected, but no cartesian / nested-loop, and the
+    frequency side pre-aggregates partially before the exchange."""
+    plan = _plan(spark, "span_dedup_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
