@@ -267,3 +267,182 @@ def single_pulse_search(
         F.col("__pk.s").alias("peak_sum"),
         "n_cands",
     )
+
+
+def subband_delay_tables(
+    trial_dms: list[int],
+    nominal_dm: int,
+    nchan: int,
+    nsub: int,
+    f_lo_mhz: float,
+    chan_bw_mhz: float,
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int, int]]]:
+    """Integer delay tables for TWO-STAGE (subband) dedispersion — the
+    prepsubband half of the DDplan workflow whose single-delay helpers
+    the reference ships (/root/reference/simple-sh-scripts/dide:12-13).
+
+    Brute ``dm_search`` pays a |trials| fan-out on the raw corpus.
+    The classic fix splits the delay: within a subband the channel is
+    aligned to the subband's top channel at ONE nominal DM; across
+    subbands each trial DM only shifts the (already collapsed)
+    subband series.  Total delay decomposes as
+
+        dt(chan, dm) ~= dt(chan -> sub_top @ nominal_dm)
+                      + dt(sub_top -> band_top @ dm)
+
+    exact at dm == nominal_dm; for other trials the within-subband
+    residual (dm - nominal)/K * (f_c^-2 - f_subtop^-2) is the usual
+    subband smearing, bounded by the subband width.
+
+    Returns ``(chan_rows, sub_rows)``:
+
+    * ``chan_rows``: (chan, sub, shift_us) — within-subband delay of
+      the channel center relative to the subband's top channel center
+      at ``nominal_dm``;
+    * ``sub_rows``: (dm, sub, shift_us) — delay of the subband's top
+      channel center relative to the band top at each trial DM.
+
+    All integers (rounded µs), computed driver-side so Spark and any
+    SQL oracle consume identical literals.
+    """
+    if not trial_dms:
+        raise ValueError("trial_dms must be non-empty")
+    if nchan < 2 or nsub < 1 or nchan % nsub != 0:
+        raise ValueError("nchan must be >= 2 and divisible by nsub")
+    m = nchan // nsub
+    f_top = f_lo_mhz + (nchan - 0.5) * chan_bw_mhz
+    chan_rows = []
+    sub_tops = []
+    for s in range(nsub):
+        f_subtop = f_lo_mhz + ((s + 1) * m - 0.5) * chan_bw_mhz
+        sub_tops.append(f_subtop)
+        for c in range(s * m, (s + 1) * m):
+            f_c = f_lo_mhz + (c + 0.5) * chan_bw_mhz
+            dt_s = (nominal_dm / _DISP_K) * (
+                1.0 / (f_c * f_c) - 1.0 / (f_subtop * f_subtop)
+            )
+            chan_rows.append((int(c), int(s), int(round(dt_s * 1e6))))
+    sub_rows = []
+    for dm in trial_dms:
+        for s in range(nsub):
+            f_subtop = sub_tops[s]
+            dt_s = (dm / _DISP_K) * (
+                1.0 / (f_subtop * f_subtop) - 1.0 / (f_top * f_top)
+            )
+            sub_rows.append((int(dm), int(s), int(round(dt_s * 1e6))))
+    return chan_rows, sub_rows
+
+
+def dedisperse_subbands(
+    df: DataFrame,
+    chan_rows: list[tuple[int, int, int]],
+    tsamp_us: int,
+    ts_col: str = "ts_us",
+    chan_col: str = "chan",
+) -> DataFrame:
+    """Stage 1 of subband dedispersion: align every channel to its
+    subband's top channel at the nominal DM and collapse the corpus to
+    a per-(sub, time-bin) counts series.
+
+    This is the ONLY pass over the raw corpus — the (chan -> sub,
+    shift) table is a broadcast of nchan rows, and the (sub, tb)
+    aggregation collapses map-side to at most nsub x span/tsamp rows
+    (time-span-bounded, not corpus-bounded).  Returns (sub, tb, c).
+
+    Integer contract: tb = (ts - shift) div tsamp with Spark ``div``
+    truncation; callers feed non-negative epoch times (shift_us <<
+    epoch µs), where truncating and flooring division agree — the
+    same nonneg-domain convention the dm_search oracle relies on.
+    """
+    tsamp_us = int(tsamp_us)
+    if tsamp_us < 1:
+        raise ValueError("tsamp_us must be >= 1")
+    spark = (
+        SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    )
+    cmap = spark.createDataFrame(
+        [(int(c), int(s), int(u)) for c, s, u in chan_rows],
+        "__chan long, sub long, shift_us long",
+    )
+    return (
+        df.select(
+            F.col(chan_col).cast("long").alias("__chan"),
+            F.col(ts_col).cast("long").alias("__ts"),
+        )
+        .join(F.broadcast(cmap), "__chan")
+        .select(
+            "sub",
+            F.expr(f"(__ts - shift_us) div {tsamp_us}").alias("tb"),
+        )
+        .groupBy("sub", "tb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def subband_dm_search(
+    df: DataFrame,
+    trial_dms: list[int],
+    nominal_dm: int,
+    nchan: int,
+    nsub: int,
+    f_lo_mhz: float,
+    chan_bw_mhz: float,
+    period_us: int,
+    nbins: int = 16,
+    tsamp_us: int = 1_000_000,
+    ts_col: str = "ts_us",
+    chan_col: str = "chan",
+) -> DataFrame:
+    """Two-stage trial-DM search: ``dedisperse_subbands`` (one corpus
+    pass) then a per-trial fold of the collapsed subband series.
+
+    Scale shape vs brute ``dm_search``: the |trials| fan-out lands on
+    the nsub x span/tsamp binned series instead of the raw corpus, so
+    trial count and corpus size decouple — at 100 TB the corpus pays
+    one scan + one map-side-collapsing aggregation, and the whole
+    trial grid is arithmetic over a few thousand broadcast-joined
+    rows.  Time bins enter the fold at their left edge (tb * tsamp) —
+    deterministic integers end-to-end; with nsub == nchan and
+    tsamp_us == 1 the result is bit-identical to ``dm_search``
+    (within-subband shift is 0, the residual vanishes).
+
+    Returns one row per trial: (dm, n_events, sum_sq DECIMAL(38,0),
+    n_occupied_bins) — n_occupied_bins counts occupied (phase-bin)
+    cells, as in ``dm_search``.
+    """
+    period_us = int(period_us)
+    if period_us <= 0:
+        raise ValueError("period_us must be positive")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    chan_rows, sub_rows = subband_delay_tables(
+        trial_dms, nominal_dm, nchan, nsub, f_lo_mhz, chan_bw_mhz
+    )
+    sb = dedisperse_subbands(df, chan_rows, tsamp_us, ts_col, chan_col)
+    spark = (
+        SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    )
+    shifts = spark.createDataFrame(
+        [(int(d), int(s), int(u)) for d, s, u in sub_rows],
+        "dm long, sub long, shift_us long",
+    )
+    per_bin = (
+        sb.join(F.broadcast(shifts), "sub")
+        .select(
+            "dm",
+            F.expr(
+                f"CAST((pmod(tb * {int(tsamp_us)} - shift_us, {period_us})"
+                f" * {int(nbins)}) DIV {period_us} AS INT)"
+            ).alias("bin"),
+            "c",
+        )
+        .groupBy("dm", "bin")
+        .agg(F.sum("c").alias("__o"))
+    )
+    return per_bin.groupBy("dm").agg(
+        F.sum("__o").alias("n_events"),
+        F.sum(F.col("__o").cast("decimal(38,0)") * F.col("__o"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_occupied_bins"),
+    )

@@ -7627,6 +7627,107 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Subband (two-stage) dedispersion search
+# --------------------------------------------------------------------
+
+_SB_NSUB = 8
+_SB_NOMINAL_DM = 120
+_SB_TSAMP_US = 500_000
+
+
+def _subband_tables() -> tuple[
+    list[tuple[int, int, int]], list[tuple[int, int, int]]
+]:
+    from .operators.dedisperse import subband_delay_tables
+
+    return subband_delay_tables(
+        _DM_TRIALS, _SB_NOMINAL_DM, _DM_NCHAN, _SB_NSUB, _DM_F_LO, _DM_BW
+    )
+
+
+def _subband_cmap_values_sql() -> str:
+    chan_rows, _ = _subband_tables()
+    return ", ".join(f"({c}, {s}, {u})" for c, s, u in chan_rows)
+
+
+def _subband_shift_values_sql() -> str:
+    _, sub_rows = _subband_tables()
+    return ", ".join(f"({d}, {s}, {u})" for d, s, u in sub_rows)
+
+
+@_register(
+    "subband_dm_search",
+    f"""
+    -- TWO-STAGE (subband) dedispersion search, the prepsubband half
+    -- of the DDplan workflow: stage 1 aligns each channel to its
+    -- subband's top channel at ONE nominal DM ({_SB_NOMINAL_DM}) and
+    -- collapses the corpus to a (sub, time-bin) counts series; stage
+    -- 2 folds that collapsed series per trial DM with the subband ->
+    -- band-top shift.  Both integer shift tables below are the SAME
+    -- literals the Spark side broadcasts.  (ts_us - cshift) is
+    -- non-negative (epoch µs >> shifts), where DuckDB's floor // and
+    -- Spark's truncating div agree; the + period before %% keeps the
+    -- fold on the phase circle.
+    WITH t AS (
+        SELECT datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us,
+               event_id % {_DM_NCHAN} AS chan
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    ), cmap(chan, sub, cshift) AS (
+        SELECT * FROM (VALUES {{cvalues}}) v
+    ), sb AS (
+        SELECT sub, (ts_us - cshift) // {_SB_TSAMP_US} AS tb,
+               count(*) AS c
+        FROM t JOIN cmap USING (chan) GROUP BY 1, 2
+    ), d(dm, sub, sshift) AS (
+        SELECT * FROM (VALUES {{svalues}}) v
+    ), per_bin AS (
+        SELECT dm,
+               ((((tb * {_SB_TSAMP_US} - sshift) % {_DM_PERIOD_US}
+                  + {_DM_PERIOD_US}) % {_DM_PERIOD_US}) * 16)
+               // {_DM_PERIOD_US} AS bin,
+               sum(c) AS o
+        FROM sb JOIN d USING (sub) GROUP BY 1, 2
+    )
+    SELECT dm,
+           CAST(sum(o) AS BIGINT) AS n_events,
+           CAST(sum(CAST(o AS HUGEINT) * o) AS BIGINT) AS sum_sq,
+           CAST(count(*) AS BIGINT) AS n_occupied_bins
+    FROM per_bin GROUP BY dm
+    """.replace("{cvalues}", _subband_cmap_values_sql())
+    .replace("{svalues}", _subband_shift_values_sql()),
+    "S11/A4-family two-stage dedispersion: ONE corpus pass collapses "
+    "to a (sub, time-bin) series (map-side pre-agg, span-bounded), "
+    "then the |trials| fan-out lands on that collapsed series — "
+    "trial count and corpus size decouple at 100 TB, unlike brute "
+    "dm_search's |trials| x corpus join fan-out",
+)
+def q_subband_dm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedisperse import subband_dm_search
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.expr("ts div 1000").alias("ts_us"),
+        F.pmod(F.col("event_id"), F.lit(_DM_NCHAN)).alias("chan"),
+    )
+    out = subband_dm_search(
+        ev,
+        _DM_TRIALS,
+        _SB_NOMINAL_DM,
+        _DM_NCHAN,
+        _SB_NSUB,
+        _DM_F_LO,
+        _DM_BW,
+        _DM_PERIOD_US,
+        nbins=16,
+        tsamp_us=_SB_TSAMP_US,
+    )
+    return out.withColumn("sum_sq", F.col("sum_sq").cast("long"))
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
@@ -7687,6 +7788,9 @@ _TAIL: tuple[str, ...] = (
     "embedding_quantize",
     "pq_code_histogram",
     "pq_adc_top3",
+    # r4-green and byte-identical since r4; demoted in the round-7
+    # third wave to fund the new subband_dm_search gate
+    "tfidf_top_terms",
     # r6-green and byte-identical since r6; demoted in the round-7
     # second wave to fund the five new gates (candidate_sift,
     # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
@@ -7747,6 +7851,9 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions below fund the
 # slots).
 _PROMOTE: tuple[str, ...] = (
+    # round 7 third wave: new gate (funded by demoting the r4-green
+    # byte-identical tfidf_top_terms)
+    "subband_dm_search",
     # round 7 second wave: new gates (funded by demoting the
     # r6-green byte-identical doc_chunks, url_canonical,
     # vocab_coverage, bpe_token_counts, text_quality)

@@ -380,3 +380,14 @@ def test_span_dedup_docs_plan(spark):
     plan = _plan(spark, "span_dedup_docs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_subband_dm_search_plan(spark):
+    """Two-stage dedispersion: BOTH shift tables join broadcast (the
+    corpus is scanned once into the (sub, tb) pre-agg; the trial
+    fan-out joins the collapsed series) — never a shuffled join, no
+    cartesian."""
+    plan = _plan(spark, "subband_dm_search")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -384,3 +384,104 @@ def test_blind_search_recovers_planted_triple(spark):
     assert got["n_events"] == 8000
     # the recovered profile is genuinely peaked, not flat
     assert got["peak_count"] > (8000 // 16) * 2
+
+
+# --------------------------------------------------------------------
+# Subband (two-stage) dedispersion
+# --------------------------------------------------------------------
+
+
+def test_subband_delay_tables_decompose_total_delay():
+    from lofar_bf_pulsar_scripts_spark.operators.dedisperse import (
+        subband_delay_tables,
+    )
+
+    trials, nchan, nsub = [0, 120, 240], 8, 4
+    chan_rows, sub_rows = subband_delay_tables(
+        trials, 120, nchan, nsub, 119.0, 2.5
+    )
+    assert len(chan_rows) == nchan and len(sub_rows) == len(trials) * nsub
+    full = dispersion_delay_table(trials, nchan, 119.0, 2.5)
+    cshift = {c: (s, u) for c, s, u in chan_rows}
+    sshift = {(d, s): u for d, s, u in sub_rows}
+    # at dm == nominal the decomposition is exact up to 1 µs rounding;
+    # the top channel of each subband has zero within-sub shift
+    for d, c, u in full:
+        s, cu = cshift[c]
+        if d == 120:
+            assert abs((cu + sshift[(d, s)]) - u) <= 1
+    m = nchan // nsub
+    for s in range(nsub):
+        assert cshift[(s + 1) * m - 1][1] == 0
+
+
+def test_subband_equals_brute_when_one_chan_per_sub(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.dedisperse import (
+        subband_dm_search,
+    )
+
+    trials, nchan, p_us = [0, 60, 120], 8, 1_000_000
+    table = dispersion_delay_table(trials, nchan, 119.0, 2.5)
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(400) * p_us + rng.randrange(p_us), rng.randrange(nchan))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "ts_us long, chan long")
+    brute = {
+        (r.dm): (r.n_events, int(r.sum_sq), r.n_occupied_bins)
+        for r in dm_search(df, table, p_us, nbins=10).collect()
+    }
+    # nsub == nchan and tsamp_us == 1: within-sub shift is 0, the
+    # residual vanishes, and time bins are the exact event times
+    two = {
+        (r.dm): (r.n_events, int(r.sum_sq), r.n_occupied_bins)
+        for r in subband_dm_search(
+            df, trials, 60, nchan, nchan, 119.0, 2.5, p_us,
+            nbins=10, tsamp_us=1,
+        ).collect()
+    }
+    assert two == brute
+
+
+def test_subband_recovers_injected_dm(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.dedisperse import (
+        subband_dm_search,
+    )
+
+    nchan, p_us, dm_true = 8, 1_000_000, 120
+    table = dispersion_delay_table(
+        [0, 60, 120, 180], nchan, f_lo_mhz=119.0, chan_bw_mhz=2.5
+    )
+    delay_true = {c: u for d, c, u in table if d == dm_true}
+    rng = random.Random(3)
+    rows = []
+    for i in range(4000):
+        chan = rng.randrange(nchan)
+        t_emit = (i % 400) * p_us + rng.randrange(p_us // 10)
+        rows.append((t_emit + delay_true[chan], chan))
+    df = spark.createDataFrame(rows, "ts_us long, chan long")
+    scored = {
+        r.dm: int(r.sum_sq)
+        for r in subband_dm_search(
+            df, [0, 60, 120, 180], dm_true, nchan, 4, 119.0, 2.5, p_us,
+            nbins=10, tsamp_us=p_us // 50,
+        ).collect()
+    }
+    assert max(scored, key=scored.get) == dm_true
+
+
+def test_subband_validates(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.dedisperse import (
+        dedisperse_subbands,
+        subband_delay_tables,
+        subband_dm_search,
+    )
+
+    df = spark.createDataFrame([(0, 0)], "ts_us long, chan long")
+    with pytest.raises(ValueError):
+        subband_delay_tables([0], 0, 8, 3, 119.0, 2.5)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        dedisperse_subbands(df, [(0, 0, 0)], tsamp_us=0)
+    with pytest.raises(ValueError):
+        subband_dm_search(df, [0], 0, 8, 4, 119.0, 2.5, period_us=0)
