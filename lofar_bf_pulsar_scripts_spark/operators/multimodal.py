@@ -741,3 +741,206 @@ def mp4_chunk_offsets(
     return df.select("media_id", payload_col).mapInPandas(
         batches, schema=MP4_CHUNKS_SCHEMA
     )
+
+
+# --------------------------------------------------------------------
+# Perceptual hash (dHash) + banded-Hamming near-dup
+# --------------------------------------------------------------------
+
+
+def dhash_fixed_offsets(
+    src_w: int = 16,
+    src_h: int = 16,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> list[tuple[int, int, int]]:
+    """(bit, off_a, off_b) byte offsets (0-indexed, row-major) of the
+    pixel pairs a dHash compares for a FIXED source raster size.
+
+    dHash = nearest-neighbor resample to (hash_w+1) x hash_h, then
+    bit k = i*hash_w+j set iff p(i, j) > p(i, j+1).  The resample
+    uses the same floor((i+0.5)*src/dst) pixel-center rule as
+    ``resize_raw_gray``; with src dims fixed the gather indices are
+    CONSTANTS, so the whole hash collapses to column algebra over
+    fixed byte offsets — no Python in the hot path, and the identical
+    expression text runs in any SQL engine (the oracle consumes the
+    same literals).  test_multimodal proves this path bit-identical
+    to the numpy resize.
+    """
+    if src_w < hash_w + 1 or src_h < hash_h:
+        raise ValueError("source raster smaller than the hash grid")
+    xs = [
+        min(((2 * j + 1) * src_w) // (2 * (hash_w + 1)), src_w - 1)
+        for j in range(hash_w + 1)
+    ]
+    ys = [
+        min(((2 * i + 1) * src_h) // (2 * hash_h), src_h - 1)
+        for i in range(hash_h)
+    ]
+    return [
+        (i * hash_w + j, ys[i] * src_w + xs[j], ys[i] * src_w + xs[j + 1])
+        for i in range(hash_h)
+        for j in range(hash_w)
+    ]
+
+
+def dhash_band_exprs(
+    s_col: str,
+    src_w: int = 16,
+    src_h: int = 16,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int = 4,
+) -> list[str]:
+    """SQL expression strings (one per 16-bit band) computing the
+    dHash of a character raster: ``s_col`` is a string of at least
+    src_w*src_h characters read row-major, pixel value = code point.
+
+    Band values are small non-negative ints (< 2^(bits/n_bands)), so
+    none of the 64-bit sign/shift portability traps apply — the
+    Hamming distance is the SUM of per-band xor popcounts.  The text
+    is portable SQL (ascii/substring/CASE); Spark wraps it in
+    ``F.expr`` and the DuckDB oracle embeds it verbatim — one
+    generator, zero cross-engine drift.
+    """
+    nbits = hash_w * hash_h
+    if nbits % n_bands != 0:
+        raise ValueError("n_bands must divide the bit count")
+    per = nbits // n_bands
+    offs = dhash_fixed_offsets(src_w, src_h, hash_w, hash_h)
+    out = []
+    for b in range(n_bands):
+        terms = [
+            f"(CASE WHEN ascii(substring({s_col}, {oa + 1}, 1)) > "
+            f"ascii(substring({s_col}, {ob + 1}, 1)) "
+            f"THEN {1 << (bit - b * per)} ELSE 0 END)"
+            for bit, oa, ob in offs[b * per : (b + 1) * per]
+        ]
+        out.append("(" + " + ".join(terms) + ")")
+    return out
+
+
+def dhash_gray(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """General-path dHash over raw grayscale rasters of ARBITRARY
+    per-row dimensions: ``resize_raw_gray`` to (hash_w+1) x hash_h,
+    then vectorized adjacent-column comparison.  Returns (media_id,
+    dhash_bits array<int> of hash_w*hash_h 0/1) — Arrow-batched, one
+    numpy pass per image.  For fixed-dimension rasters prefer the
+    pure-column ``dhash_band_exprs`` path (no Python at all).
+    """
+    import numpy as np
+    import pandas as pd
+
+    small = resize_raw_gray(
+        df, hash_w + 1, hash_h, payload_col, width_col, height_col
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            ids, bits = [], []
+            for mid, px in zip(pdf["media_id"], pdf["pixels"]):
+                ids.append(mid)
+                if px is None:
+                    bits.append(None)
+                    continue
+                img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    hash_h, hash_w + 1
+                )
+                bits.append(
+                    (img[:, :-1] > img[:, 1:]).astype(np.int32).ravel().tolist()
+                )
+            yield pd.DataFrame({"media_id": ids, "dhash_bits": bits})
+
+    return small.mapInPandas(
+        batches, schema="media_id long, dhash_bits array<int>"
+    )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    src_w: int = 16,
+    src_h: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a corpus whose
+    'image' is a fixed src_w x src_h character raster (first
+    src_w*src_h chars, space-padded — ``media_from_documents``
+    convention: deterministic stand-in payloads so the plumbing is
+    real while decoders stay stubbed).
+
+    Candidate generation is the SimHash/LSH band trick in Hamming
+    space: the 64 dHash bits split into ``n_bands`` keys; any pair
+    within ``max_dist < n_bands`` differing bits shares at least one
+    unchanged band (pigeonhole), so band-equality candidates have
+    GUARANTEED recall — never an all-pairs product.  The hash rows
+    explode to (band, bucket) and meet in ONE equi-join on that key
+    (the lsh_buckets/candidate_pairs shape, dedup.py:168) with the
+    full band vector carried through — pairs only materialize inside
+    equal-key buckets, AQE splits a skewed band key, and verification
+    is exact: sum of per-band xor popcounts <= max_dist.
+
+    Returns (id_a, id_b, hamming_dist), id_a < id_b, each pair once.
+    """
+    if not 0 <= max_dist < n_bands:
+        raise ValueError("banding guarantees recall only for max_dist < n_bands")
+    exprs = dhash_band_exprs("__s", src_w, src_h, n_bands=n_bands)
+    npix = src_w * src_h
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.rpad(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, npix),
+               npix, " ").alias("__s"),
+    ).select(
+        "__id",
+        *[F.expr(e).cast("long").alias(f"b{i}") for i, e in enumerate(exprs)],
+    )
+    exploded = hashed.select(
+        "__id",
+        *[F.col(f"b{i}") for i in range(n_bands)],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(
+        "__id",
+        *[F.col(f"b{i}") for i in range(n_bands)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = exploded.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(n_bands)],
+        "band",
+        "bucket",
+    )
+    b = exploded.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(n_bands)],
+        "band",
+        "bucket",
+    )
+    dist = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(n_bands)
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming_dist", dist.cast("int"))
+        .filter(F.col("hamming_dist") <= max_dist)
+        .select("id_a", "id_b", "hamming_dist")
+    )

@@ -7728,6 +7728,73 @@ def q_subband_dm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Perceptual-hash (dHash) near-dup pairs over character rasters
+# --------------------------------------------------------------------
+
+_PHASH_SRC = 16  # 16x16 raster from the first 256 chars
+_PHASH_MAX_DIST = 3
+
+
+def _phash_band_exprs_sql() -> list[str]:
+    from .operators.multimodal import dhash_band_exprs
+
+    return dhash_band_exprs("__s", _PHASH_SRC, _PHASH_SRC, n_bands=4)
+
+
+def _phash_oracle() -> str:
+    e0, e1, e2, e3 = _phash_band_exprs_sql()
+    return f"""
+    -- image near-dup via perceptual hash (dHash): the document text's
+    -- first 256 chars stand in for a 16x16 grayscale raster
+    -- (media_from_documents convention); nearest-neighbor resample to
+    -- 9x8 collapses to FIXED byte offsets, so the 64-bit hash is the
+    -- same portable ascii/substring/CASE expression text the Spark
+    -- side wraps in F.expr (one generator, zero drift).  Candidates
+    -- come from 16-bit Hamming bands — pigeonhole guarantees any pair
+    -- within {_PHASH_MAX_DIST} differing bits shares a band — and the
+    -- exact popcount verifies.
+    WITH s AS (
+        SELECT doc_id,
+               rpad(substring(coalesce(text, ''), 1, {_PHASH_SRC * _PHASH_SRC}),
+                    {_PHASH_SRC * _PHASH_SRC}, ' ') AS __s
+        FROM documents
+    ), h AS (
+        SELECT doc_id AS id, {e0} AS b0, {e1} AS b1, {e2} AS b2, {e3} AS b3
+        FROM s
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming_dist
+        FROM h a JOIN h b
+          ON a.id < b.id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT id_a, id_b, CAST(hamming_dist AS INT) AS hamming_dist
+    FROM pairs WHERE hamming_dist <= {_PHASH_MAX_DIST}
+    """
+
+
+@_register(
+    "image_phash_pairs",
+    _phash_oracle(),
+    "Multimodal near-dup: dHash as pure column algebra over fixed "
+    "resample offsets (no Python in the hot path), banded-Hamming "
+    "self-joins for candidates (guaranteed recall at max_dist < "
+    "n_bands, bucket-bounded like the MinHash-LSH path), exact "
+    "popcount verify",
+)
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import phash_near_dup_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return phash_near_dup_pairs(
+        d, "doc_id", "text", max_dist=_PHASH_MAX_DIST,
+        src_w=_PHASH_SRC, src_h=_PHASH_SRC,
+    )
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 
@@ -7788,9 +7855,11 @@ _TAIL: tuple[str, ...] = (
     "embedding_quantize",
     "pq_code_histogram",
     "pq_adc_top3",
-    # r4-green and byte-identical since r4; demoted in the round-7
-    # third wave to fund the new subband_dm_search gate
+    # demoted in the round-7 third wave to fund the new
+    # subband_dm_search and image_phash_pairs gates (r4-green /
+    # r3-green, byte-identical since)
     "tfidf_top_terms",
+    "language_id",
     # r6-green and byte-identical since r6; demoted in the round-7
     # second wave to fund the five new gates (candidate_sift,
     # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
@@ -7851,9 +7920,11 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions below fund the
 # slots).
 _PROMOTE: tuple[str, ...] = (
-    # round 7 third wave: new gate (funded by demoting the r4-green
-    # byte-identical tfidf_top_terms)
+    # round 7 third wave: new gates (funded by demoting the r4-green
+    # byte-identical tfidf_top_terms and the r3-green byte-identical
+    # language_id)
     "subband_dm_search",
+    "image_phash_pairs",
     # round 7 second wave: new gates (funded by demoting the
     # r6-green byte-identical doc_chunks, url_canonical,
     # vocab_coverage, bpe_token_counts, text_quality)

@@ -1732,3 +1732,116 @@ def test_quality_linear_score_hand_case(spark):
     assert rows[2]["score_x1e6"] == W["bias_x1e6"] and not rows[2]["keep"]
     # symbol soup: penalty drives the score DOWN from the bias
     assert rows[3]["score_x1e6"] < W["bias_x1e6"] and not rows[3]["keep"]
+
+
+# --------------------------------------------------------------------
+# Perceptual hash (dHash) + banded-Hamming near-dup
+# --------------------------------------------------------------------
+
+
+def test_dhash_fixed_offsets_hand_case():
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        dhash_fixed_offsets,
+    )
+
+    offs = dhash_fixed_offsets(16, 16, 8, 8)
+    assert len(offs) == 64
+    # ys[i] = floor((2i+1)*16/16) = 2i+1; xs = [0,2,4,6,8,9,11,13,15]
+    # bit 0 compares (row 1, col 0) vs (row 1, col 2)
+    assert offs[0] == (0, 16, 18)
+    # bit 7 compares (row 1, col 13) vs (row 1, col 15)
+    assert offs[7] == (7, 16 + 13, 16 + 15)
+    # last bit: row ys[7]=15
+    assert offs[63] == (63, 15 * 16 + 13, 15 * 16 + 15)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash_fixed_offsets(8, 8, 8, 8)  # src narrower than hash_w+1
+
+
+def test_dhash_column_path_matches_numpy_resize(spark):
+    """The fixed-offset column algebra IS the nearest-neighbor resize
+    + adjacent comparison: both paths on the same random rasters."""
+    import random
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        dhash_band_exprs,
+        dhash_gray,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rasters = [
+        "".join(chr(32 + rng.randrange(95)) for _ in range(256))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rasters)], "media_id long, s string"
+    )
+    exprs = dhash_band_exprs("s", 16, 16, n_bands=4)
+    cols = {
+        r["media_id"]: [r[f"b{i}"] for i in range(4)]
+        for r in df.select(
+            "media_id",
+            *[F.expr(e).cast("long").alias(f"b{i}") for i, e in enumerate(exprs)],
+        ).collect()
+    }
+    raw = spark.createDataFrame(
+        [
+            (i, bytearray(r.encode("ascii")), 16, 16)
+            for i, r in enumerate(rasters)
+        ],
+        "media_id long, payload binary, width int, height int",
+    )
+    bits = {
+        r["media_id"]: r["dhash_bits"]
+        for r in dhash_gray(raw).collect()
+    }
+    for mid, bands in cols.items():
+        got = bits[mid]
+        assert got is not None and len(got) == 64
+        for b in range(4):
+            want = sum(got[b * 16 + k] << k for k in range(16))
+            assert bands[b] == want, (mid, b)
+
+
+def test_phash_near_dup_banding_recall(spark):
+    """A pair within max_dist flipped SAMPLED bytes must be found
+    (pigeonhole over 4 bands); editing only non-sampled bytes gives
+    distance 0."""
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        dhash_fixed_offsets,
+        phash_near_dup_pairs,
+    )
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(256))
+    offs = dhash_fixed_offsets(16, 16, 8, 8)
+    sampled = sorted({o for _, a, b in offs for o in (a, b)})
+    unsampled = [i for i in range(256) if i not in sampled]
+    # flip exactly 3 bits in 3 DIFFERENT bands: the FIRST comparison
+    # of a row (bit 8i) is the only one reading the row's col-0 byte,
+    # so changing that single byte flips just that bit (other bytes
+    # chain into two comparisons)
+    mutated = list(base)
+    for bit_idx in (0, 24, 48):  # rows 0/3/6 -> bands 0/1/3
+        _, a, b = offs[bit_idx]
+        mutated[a] = "~" if base[a] <= base[b] else " "
+    near = "".join(mutated)
+    # touch only unsampled positions: hash identical
+    clone = list(base)
+    for i in unsampled[:10]:
+        clone[i] = "#"
+    clone = "".join(clone)
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, clone)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in phash_near_dup_pairs(df, "doc_id", "text").collect()
+    }
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs and 1 <= pairs[(1, 2)] <= 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_near_dup_pairs(df, "doc_id", "text", max_dist=4, n_bands=4)

@@ -391,3 +391,11 @@ def test_subband_dm_search_plan(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_image_phash_pairs_plan(spark):
+    """Banded-Hamming candidates meet in equi-joins on the (band,
+    bucket) key — never an all-pairs product."""
+    plan = _plan(spark, "image_phash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
