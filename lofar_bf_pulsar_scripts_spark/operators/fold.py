@@ -452,3 +452,74 @@ def timing_fit(
             6,
         ).alias("intercept_us"),
     )
+
+
+def pulse_energy_hist(
+    df: DataFrame,
+    period_us: int,
+    on_lo: int,
+    on_hi: int,
+    nbins: int = 16,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Pulse-energy distribution over single rotations — the nulling /
+    energy-histogram analysis a single-pulse stack feeds (the
+    reference's pulse stacks, /root/reference/pulsestack.py:505-650,
+    are exactly the per-rotation × phase matrix this collapses; the
+    Ritchings-style nulling fraction reads off the e_on = 0 cell).
+
+    Per rotation r = ts div period: e_on = event count with phase bin
+    in [on_lo, on_hi), e_off = the rest.  Rotations with NO events at
+    all never reach the aggregation, so the e_on = 0 histogram cell is
+    corrected with span - |observed rotations| empty rotations (span =
+    max(r) - min(r) + 1 — the observation is contiguous by
+    construction; a gapped observation should pass one observation at
+    a time, same contract as single_pulse_search's span).
+
+    Returns (e_on, n_rotations, sum_e_off), exact integers.
+
+    Scale shape: the (rotation) aggregation's key space is
+    span/period — time-bounded, not corpus-bounded — and collapses
+    map-side; the energy histogram is a second tiny aggregation; the
+    empty-rotation correction rides a 1-row broadcast of the totals.
+    """
+    period_us = int(period_us)
+    if period_us <= 0:
+        raise ValueError("period_us must be positive")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    if not 0 <= on_lo < on_hi <= nbins:
+        raise ValueError("need 0 <= on_lo < on_hi <= nbins")
+    binned = df.select(
+        F.expr(f"CAST({ts_col} AS BIGINT) div {period_us}").alias("r"),
+        F.expr(
+            f"CAST((pmod(CAST({ts_col} AS BIGINT), {period_us})"
+            f" * {int(nbins)}) DIV {period_us} AS INT)"
+        ).alias("bin"),
+    )
+    on = (F.col("bin") >= on_lo) & (F.col("bin") < on_hi)
+    per_rot = binned.groupBy("r").agg(
+        F.sum(F.when(on, 1).otherwise(0)).alias("e_on"),
+        F.sum(F.when(on, 0).otherwise(1)).alias("e_off"),
+    )
+    hist = per_rot.groupBy("e_on").agg(
+        F.count(F.lit(1)).alias("n_rotations"),
+        F.sum("e_off").alias("sum_e_off"),
+    )
+    missing = per_rot.agg(
+        (
+            F.max("r") - F.min("r") + F.lit(1) - F.count(F.lit(1))
+        ).alias("n_rotations")
+    ).select(
+        F.lit(0).cast("long").alias("e_on"),
+        "n_rotations",
+        F.lit(0).cast("long").alias("sum_e_off"),
+    ).filter(F.col("n_rotations") > 0)
+    return (
+        hist.unionByName(missing)
+        .groupBy("e_on")
+        .agg(
+            F.sum("n_rotations").alias("n_rotations"),
+            F.sum("sum_e_off").alias("sum_e_off"),
+        )
+    )

@@ -7795,6 +7795,71 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Pulse-energy distribution / nulling histogram
+# --------------------------------------------------------------------
+
+_PEH_PERIOD_US = 60_000_000
+_PEH_NBINS = 16
+_PEH_ON_LO, _PEH_ON_HI = 4, 8
+
+
+@_register(
+    "pulse_energy_hist",
+    f"""
+    -- pulse-energy distribution over single rotations (nulling
+    -- analysis): per rotation r = ts div P, count on-window events
+    -- (phase bin in [{_PEH_ON_LO}, {_PEH_ON_HI})) vs off; histogram
+    -- by on-energy.  Rotations with no events at all are restored
+    -- into the e_on = 0 cell from the contiguous span.
+    WITH t AS (
+        SELECT datediff('microsecond',
+                        TIMESTAMP '1970-01-01 00:00:00',
+                        CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE ts IS NOT NULL
+    ), b AS (
+        SELECT ts_us // {_PEH_PERIOD_US} AS r,
+               (((ts_us % {_PEH_PERIOD_US} + {_PEH_PERIOD_US})
+                 % {_PEH_PERIOD_US}) * {_PEH_NBINS})
+               // {_PEH_PERIOD_US} AS bin
+        FROM t
+    ), per_rot AS (
+        SELECT r,
+               sum(CASE WHEN bin >= {_PEH_ON_LO} AND bin < {_PEH_ON_HI}
+                        THEN 1 ELSE 0 END) AS e_on,
+               sum(CASE WHEN bin >= {_PEH_ON_LO} AND bin < {_PEH_ON_HI}
+                        THEN 0 ELSE 1 END) AS e_off
+        FROM b GROUP BY r
+    ), hist AS (
+        SELECT e_on, count(*) AS n_rotations, sum(e_off) AS sum_e_off
+        FROM per_rot GROUP BY e_on
+        UNION ALL
+        SELECT 0 AS e_on,
+               max(r) - min(r) + 1 - count(*) AS n_rotations,
+               0 AS sum_e_off
+        FROM per_rot
+        HAVING max(r) - min(r) + 1 - count(*) > 0
+    )
+    SELECT CAST(e_on AS BIGINT) AS e_on,
+           CAST(sum(n_rotations) AS BIGINT) AS n_rotations,
+           CAST(sum(sum_e_off) AS BIGINT) AS sum_e_off
+    FROM hist GROUP BY e_on
+    """,
+    "A4/W-family pulse-energy histogram: rotation-keyed aggregation "
+    "(span-bounded key space, map-side collapse), tiny second agg, "
+    "1-row empty-rotation correction",
+)
+def q_pulse_energy_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fold import pulse_energy_hist
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+    ).select(F.expr("ts div 1000").alias("ts_us"))
+    return pulse_energy_hist(
+        ev, _PEH_PERIOD_US, _PEH_ON_LO, _PEH_ON_HI, nbins=_PEH_NBINS
+    )
+
+
+# --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
 

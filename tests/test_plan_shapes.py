@@ -399,3 +399,13 @@ def test_image_phash_pairs_plan(spark):
     plan = _plan(spark, "image_phash_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pulse_energy_hist_plan(spark):
+    """Rotation-keyed aggregation collapses map-side (partial hash
+    agg on a span-bounded key space); the empty-rotation correction
+    is a 1-row union, never a shuffled join of the corpus."""
+    plan = _plan(spark, "pulse_energy_hist")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan

@@ -251,3 +251,57 @@ def test_span_dedup_repeated_span_within_one_doc_not_duplicated(spark):
     out = {r["doc_id"]: r for r in span_dedup_stats(df, k=3).collect()}
     assert out[0]["n_spans"] == 4
     assert out[0]["n_dup_spans"] == 0
+
+
+# ---- pulse_energy_hist -----------------------------------------------
+
+
+def _ts(spark, ts):
+    return spark.createDataFrame([Row(ts_us=t) for t in ts])
+
+
+def test_pulse_energy_hist_hand_computed(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.fold import (
+        pulse_energy_hist,
+    )
+
+    # P=10, nbins=5 (bin width 2), on window bins [1,3) i.e. ts%10
+    # in [2,6).  rot 0: ts 0(off),3(on),5(on) -> e_on=2,e_off=1;
+    # rot 1: ts 12(on) -> e_on=1; rot 3: ts 30(off) -> e_on=0,
+    # e_off=1.  rot 2 is empty -> restored into the e_on=0 cell.
+    out = {
+        r["e_on"]: r
+        for r in pulse_energy_hist(
+            _ts(spark, [0, 3, 5, 12, 30]), 10, 1, 3, nbins=5
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_rotations"] == 2 and out[0]["sum_e_off"] == 1
+    assert out[1]["n_rotations"] == 1 and out[1]["sum_e_off"] == 0
+    assert out[2]["n_rotations"] == 1 and out[2]["sum_e_off"] == 1
+
+
+def test_pulse_energy_hist_no_gap_no_correction(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.fold import (
+        pulse_energy_hist,
+    )
+
+    # every rotation occupied, every event on-window -> no e_on=0 row
+    out = pulse_energy_hist(
+        _ts(spark, [2, 12, 22]), 10, 1, 3, nbins=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["e_on"] == 1 and out[0]["n_rotations"] == 3
+
+
+def test_pulse_energy_hist_rejects_bad_params(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.fold import (
+        pulse_energy_hist,
+    )
+
+    with pytest.raises(ValueError):
+        pulse_energy_hist(_ts(spark, [0]), 0, 1, 3)
+    with pytest.raises(ValueError):
+        pulse_energy_hist(_ts(spark, [0]), 10, 3, 3, nbins=5)
+    with pytest.raises(ValueError):
+        pulse_energy_hist(_ts(spark, [0]), 10, 1, 6, nbins=5)
