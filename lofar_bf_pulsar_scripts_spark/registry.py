@@ -7421,7 +7421,7 @@ _SP_SNR_X1000 = 2500
     SELECT width, CAST(island_id AS BIGINT) AS island_id,
            min(b) AS t_start_bin,
            (max({{'s': s, 'nb': -b}})).nb * -1 AS t_peak_bin,
-           (max({{'s': s, 'nb': -b}})).s AS peak_sum,
+           CAST((max({{'s': s, 'nb': -b}})).s AS BIGINT) AS peak_sum,
            CAST(count(*) AS BIGINT) AS n_cands
     FROM isl GROUP BY width, island_id
     """,
