@@ -82,6 +82,14 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
+    # One-time at-rest store builds happen BEFORE the canary and are
+    # reported as their own field: on a cold container the first query
+    # of each store family otherwise pays (and is charged for) the
+    # build — r7's recorded ivf/lsh "regressions" were partly this.
+    from lofar_bf_pulsar_scripts_spark.registry import prebuild_stores
+
+    store_build = prebuild_stores(spark, sf_dir)
+
     # JVM/codegen warmup on the smallest query
     execute(qs[names[0]](spark, sf_dir))
     canary_start = canary()
@@ -99,6 +107,7 @@ def main() -> None:
         "action": action,
         "canary_start_sec": canary_start,
         "canary_end_sec": canary_end,
+        "store_build_sec": store_build,
         "cpus": os.cpu_count(),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -71,6 +71,61 @@ def _lsh_store_path(sf_dir: str, **params) -> str:
     return os.path.join(tempfile.gettempdir(), f"lofar_spark_lsh_{key}")
 
 
+def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Build every at-rest derived store the registry queries probe
+    (LSH signatures, PQ codes, SemDeDup cid-partitioned assignment),
+    timing each family. bench.py calls this BEFORE the canary so a
+    cold container's one-time store builds are reported as their own
+    record field instead of masquerading as a probe regression inside
+    the first query of each store family (VERDICT r7 item 4). The
+    params below replicate the gate queries' calls exactly — ensure_*
+    is first-build-wins, so the store content must be identical."""
+    import time as _time
+
+    from .operators.similarity import ivf_assign
+    from .plans.lake import (
+        ensure_embeddings_by_centroid,
+        ensure_lsh_signatures,
+        ensure_pq_codes,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    out: dict[str, float] = {}
+
+    t0 = _time.time()
+    ensure_lsh_signatures(
+        e,
+        _lsh_store_path(sf_dir, n_tables=4, n_bits=6, dims=64),
+        n_tables=4, n_bits=6, dims=64,
+    )
+    out["lsh_signatures"] = round(_time.time() - t0, 3)
+
+    # mirrors q_ivf_pq_stored_top3: 8-centroid codebook, 4x16 PQ
+    cent8 = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    t0 = _time.time()
+    ensure_pq_codes(
+        ivf_assign(e, cent8),
+        _lsh_store_path(sf_dir, kind="pq", dims=64, m_sub=4, k_codes=16),
+        dims=64, m_sub=4, k_codes=16,
+    )
+    out["pq_codes"] = round(_time.time() - t0, 3)
+
+    # mirrors q_semantic_dedup_stats: k-proportional-to-N (stride 64)
+    e2 = e.select("vec_id", "embedding")
+    cent64 = e2.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    t0 = _time.time()
+    ensure_embeddings_by_centroid(
+        ivf_assign(e2, cent64),
+        _lsh_store_path(sf_dir, kind="semdedup", stride=64),
+    )
+    out["semdedup_assign"] = round(_time.time() - t0, 3)
+    return out
+
+
 def _register(name: str, oracle: str | None, survey_ref: str):
     def deco(fn):
         _SPECS.append(QuerySpec(name, fn, oracle, survey_ref))
