@@ -4972,6 +4972,150 @@ def q_jones_beam_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hamaker_beam_corr",
+    f"""
+    -- per-element Hamaker Jones evaluation end-to-end
+    -- (lofar_gain_hamaker_carozzi.py:121-137 WITHOUT the external
+    -- mscorpol call): equatorial direction -> alt/az (azza.pl trig)
+    -- -> spherical-harmonic element response over the deterministic
+    -- coefficient fixture (caldata.synthetic_hamaker_coeffs — exact
+    -- rationals regenerated verbatim below) -> bc = 1/|0.5 tr(JJ*)|
+    -- -> nearest-frequency CasA normalization from the REAL packaged
+    -- table.
+    WITH src AS (
+        SELECT event_id,
+               CASE CAST(event_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'CS001' WHEN 1 THEN 'CS002'
+                    WHEN 2 THEN 'DE601' ELSE 'RS106' END AS station,
+               110.0 + (event_id % 1600) / 20.0 AS freq_mhz,
+               CAST(event_id % 120 AS DOUBLE) - 30.0 AS dec_deg,
+               CAST((event_id * 7) % 360 AS DOUBLE) AS ra_deg,
+               (event_id % 240) / 10.0 AS lst_h
+        FROM events WHERE event_id % 13 = 0
+    ), horiz AS (
+        SELECT *,
+               degrees(asin(least(greatest(
+                   sin(radians(dec_deg)) * sin(radians(52.915111))
+                   + cos(radians(dec_deg)) * cos(radians(52.915111))
+                     * cos(radians(lst_h * 15.0 - ra_deg)),
+               -1.0), 1.0))) AS alt_deg,
+               mod(degrees(atan2(
+                   -cos(radians(dec_deg)) * sin(radians(lst_h * 15.0 - ra_deg)),
+                   sin(radians(dec_deg)) * cos(radians(52.915111))
+                   - cos(radians(dec_deg)) * sin(radians(52.915111))
+                     * cos(radians(lst_h * 15.0 - ra_deg))
+               )) + 360.0, 360.0) AS az_deg
+        FROM src
+    ), vis AS (
+        SELECT *, radians(90.0 - alt_deg) AS theta,
+               radians(az_deg) AS phi,
+               (freq_mhz - 150.0) / 100.0 AS fsc
+        FROM horiz WHERE alt_deg > 5.0
+    ), coeff AS (
+        SELECT k, i, j,
+               CASE WHEN k*25 + i*5 + j = 0 THEN 1.0 ELSE 0.0 END
+                 + (((k*25 + i*5 + j) * 7) % 13 - 6)
+                   / (13.0 * (1 + k + i + j)) AS c0re,
+               (((k*25 + i*5 + j) * 11) % 17 - 8)
+                   / (17.0 * (1 + k + i + j)) AS c0im,
+               CASE WHEN k*25 + i*5 + j = 0 THEN 1.0 ELSE 0.0 END
+                 + (((k*25 + i*5 + j) * 5) % 19 - 9)
+                   / (19.0 * (1 + k + i + j)) AS c1re,
+               (((k*25 + i*5 + j) * 3) % 23 - 11)
+                   / (23.0 * (1 + k + i + j)) AS c1im
+        FROM range(5) tk(k), range(5) ti(i), range(5) tj(j)
+    ), terms AS (
+        SELECT v.*, c.c0re, c.c0im, c.c1re, c.c1im,
+               pow(v.theta, c.i) * pow(v.fsc, c.j) AS tp,
+               (CASE WHEN c.k % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                 * (2 * c.k + 1) AS kap
+        FROM vis v CROSS JOIN coeff c
+    ), jones AS (
+        SELECT event_id, station, freq_mhz, alt_deg,
+               sum(cos(kap * phi) * tp * c0re) AS j00_re,
+               sum(cos(kap * phi) * tp * c0im) AS j00_im,
+               sum(sin(kap * phi) * tp * c0re) AS j01_re,
+               sum(sin(kap * phi) * tp * c0im) AS j01_im,
+               sum(-sin(kap * phi) * tp * c1re) AS j10_re,
+               sum(-sin(kap * phi) * tp * c1im) AS j10_im,
+               sum(cos(kap * phi) * tp * c1re) AS j11_re,
+               sum(cos(kap * phi) * tp * c1im) AS j11_im
+        FROM terms GROUP BY 1, 2, 3, 4
+    ), bc AS (
+        SELECT *,
+               1.0 / (0.5 * (j00_re*j00_re + j00_im*j00_im
+                             + j01_re*j01_re + j01_im*j01_im
+                             + j10_re*j10_re + j10_im*j10_im
+                             + j11_re*j11_re + j11_im*j11_im)) AS bc_psr
+        FROM jones
+    ), ranked AS (
+        SELECT b.event_id, b.station, b.freq_mhz, b.alt_deg, b.bc_psr,
+               t.factor AS casa_factor,
+               row_number() OVER (
+                   PARTITION BY b.event_id
+                   ORDER BY abs(b.freq_mhz - t.freq_mhz), t.freq_mhz
+               ) AS rn
+        FROM bc b JOIN read_parquet('{_CASA_PQ}') t ON b.station = t.station
+    )
+    SELECT event_id, station, freq_mhz,
+           round(alt_deg, 6) AS alt_deg,
+           round(bc_psr, 6) AS bc_psr,
+           casa_factor,
+           round(bc_psr / casa_factor, 6) AS beamcorr
+    FROM ranked WHERE rn = 1
+    """,
+    "D7+§2.8 per-element Hamaker Jones evaluation as closed-form "
+    "column algebra (lofar_gain_hamaker_carozzi.py:121-137, "
+    "make_casa_beamcorr.py:51-71), real casa_beamcorr normalization",
+)
+def q_hamaker_beam_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caldata import (
+        hamaker_carozzi_beamcorr,
+        hamaker_jones_from_radec,
+        load_casa_beamcorr,
+        packaged_casa_comb_ok,
+    )
+
+    e = F.col("event_id")
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.pmod(e, F.lit(13)) == 0
+    )
+    emod4 = F.pmod(e, F.lit(4)).cast("int")
+    src = ev.select(
+        "event_id",
+        F.when(emod4 == 0, "CS001")
+        .when(emod4 == 1, "CS002")
+        .when(emod4 == 2, "DE601")
+        .otherwise("RS106")
+        .alias("station"),
+        (F.lit(110.0) + F.pmod(e, F.lit(1600)) / 20.0).alias("freq_mhz"),
+        (F.pmod(e, F.lit(120)).cast("double") - 30.0).alias("dec_deg"),
+        F.pmod(e * 7, F.lit(360)).cast("double").alias("ra_deg"),
+        (F.pmod(e, F.lit(240)) / 10.0).alias("lst_h"),
+    )
+    jones = hamaker_jones_from_radec(
+        src,
+        ra_deg=F.col("ra_deg"),
+        dec_deg=F.col("dec_deg"),
+        lst_h=F.col("lst_h"),
+        freq_mhz_col=F.col("freq_mhz"),
+    )
+    vis = jones.filter(F.col("alt_deg") > 5.0)
+    out = hamaker_carozzi_beamcorr(
+        vis, load_casa_beamcorr(spark), comb_ok=packaged_casa_comb_ok()
+    )
+    return out.select(
+        "event_id",
+        "station",
+        "freq_mhz",
+        F.round("alt_deg", 6).alias("alt_deg"),
+        F.round("bc_psr", 6).alias("bc_psr"),
+        "casa_factor",
+        F.round("beamcorr", 6).alias("beamcorr"),
+    )
+
+
+@_register(
     "channel_sefd",
     f"""
     WITH chans AS (
