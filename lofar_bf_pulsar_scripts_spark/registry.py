@@ -8124,6 +8124,11 @@ _TAIL: tuple[str, ...] = (
     # r3-green, byte-identical since)
     "tfidf_top_terms",
     "language_id",
+    # r7-green and byte-identical since; demoted in round 8 to fund
+    # the new hamaker_beam_corr gate and the pulse_energy_hist
+    # window-rotation debt
+    "jones_beam_corr",
+    "json_props_stats",
     # r6-green and byte-identical since r6; demoted in the round-7
     # second wave to fund the five new gates (candidate_sift,
     # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
@@ -8184,6 +8189,12 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions below fund the
 # slots).
 _PROMOTE: tuple[str, ...] = (
+    # round 8: the NEW hamaker_beam_corr gate and pulse_energy_hist —
+    # the one r7-changed spec that never appeared in any driver
+    # window (VERDICT r7 item 3) — enter the head, funded by demoting
+    # the r7-green byte-identical jones_beam_corr and json_props_stats
+    "hamaker_beam_corr",
+    "pulse_energy_hist",
     # round 7 third wave: new gates (funded by demoting the r4-green
     # byte-identical tfidf_top_terms and the r3-green byte-identical
     # language_id)
@@ -8212,11 +8223,9 @@ _PROMOTE: tuple[str, ...] = (
     # state-fn rewrite) — every changed spec must sit in the window
     "semantic_dedup_stats",
     "streaming_funnel_exact",
-    "jones_beam_corr",
     "gopher_rules",
     "bigram_lm_quality",
     "dsir_importance",
-    "json_props_stats",
     "bm25_search",
     "resample_hourly_ffill",
     "dq_profile_events",
