@@ -37,6 +37,31 @@ from ..functions.astro import tsky_k
 KB_ERG_K = 1.3806488e-16  # lofar_psrflux.py:492 (erg/K)
 
 
+def psrflux_constants(
+    *,
+    nstations: float,
+    cohfactor: float,
+    badtiles: float,
+    npol: int,
+    tobs_s: float,
+    nbins: int,
+    chan_bw_mhz: float,
+    beta: float = 1.0,
+) -> tuple[float, float]:
+    """(delta_s, true_delta_s) of lofar_psrflux.py:516-518 — exposed
+    so the oracle gate can embed the bit-identical doubles the plan
+    uses."""
+    import math
+
+    scale = (1.0 - badtiles) * 1.0e4 * nstations**cohfactor
+    delta_s = (
+        1.0e3 * 1.0e23 * 2.0 * beta * KB_ERG_K
+        / (scale * math.sqrt(npol * (tobs_s / nbins) * chan_bw_mhz * 1.0e6))
+    )
+    true_delta_s = 1.0e23 * 2.0 * beta * KB_ERG_K / scale
+    return delta_s, true_delta_s
+
+
 def psrflux_channel_table(
     channels: DataFrame,
     *,
@@ -60,15 +85,12 @@ def psrflux_channel_table(
     station count / coherence scaling and tile flagging are applied by
     the delta_s constants exactly as the script does. Channels with
     good_fraction == 0 keep NULL sefd (zapped; :552-556)."""
-    import math
-
     tsys = tsky_k(F.col(t408_col), F.col(freq_col)) + F.col(tinst_col)
-    scale = (1.0 - badtiles) * 1.0e4 * nstations**cohfactor
-    delta_s = (
-        1.0e3 * 1.0e23 * 2.0 * beta * KB_ERG_K
-        / (scale * math.sqrt(npol * (tobs_s / nbins) * chan_bw_mhz * 1.0e6))
+    delta_s, true_delta_s = psrflux_constants(
+        nstations=nstations, cohfactor=cohfactor, badtiles=badtiles,
+        npol=npol, tobs_s=tobs_s, nbins=nbins, chan_bw_mhz=chan_bw_mhz,
+        beta=beta,
     )
-    true_delta_s = 1.0e23 * 2.0 * beta * KB_ERG_K / scale
     good = F.col(goodfrac_col)
     return (
         channels.withColumn("tsys_k", tsys)

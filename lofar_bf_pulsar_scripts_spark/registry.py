@@ -5115,6 +5115,187 @@ def q_hamaker_beam_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .plans.psrflux import psrflux_constants as _psrflux_constants
+
+_PSR_DELTA_S, _PSR_TRUE_DELTA_S = _psrflux_constants(
+    nstations=24.0, cohfactor=0.85, badtiles=0.05, npol=2,
+    tobs_s=600.0, nbins=32, chan_bw_mhz=0.195,
+)
+
+
+@_register(
+    "psrflux_band_flux",
+    f"""
+    -- lofar_psrflux.py:492-680 script pipeline end-to-end on a
+    -- deterministic tscrunched cube derived from events: per-channel
+    -- radiometer constants (delta_s embedded as the bit-identical
+    -- double plans/psrflux.psrflux_constants computes), off-window
+    -- normalization, channel-group spectrum with Weq/DC/significance/
+    -- chi^2 via the same algebraic snr-sum expansion the plan uses.
+    WITH cube AS (
+        SELECT CAST(event_id % 16 AS INTEGER) AS chan,
+               CAST((event_id // 16) % 32 AS INTEGER) AS bin,
+               CAST(sum({_vq_sql()}) AS BIGINT) / 1e6 AS value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), chans AS (
+        SELECT CAST(chan AS INTEGER) AS chan,
+               120.0 + 0.195 * CAST(chan AS INTEGER) AS freq_mhz,
+               (2.7 + 25.0 * pow((120.0 + 0.195 * CAST(chan AS INTEGER)) / 408.0, -2.55))
+                 + (400.0 + CAST(chan AS INTEGER)) AS tsys_k,
+               600.0 - 5.0 * CAST(chan AS INTEGER) AS aeff_m2,
+               CASE WHEN chan IN (5, 11) THEN 0.0
+                    ELSE 0.5 + (chan % 4) * 0.125 END AS gf
+        FROM range(16) t(chan)
+    ), ct AS (
+        SELECT *,
+               CASE WHEN gf > 0
+                    THEN {_PSR_DELTA_S!r} * tsys_k / (aeff_m2 * sqrt(gf))
+               END AS sefd_mjy,
+               CASE WHEN gf > 0
+                    THEN {_PSR_TRUE_DELTA_S!r} * tsys_k / aeff_m2
+               END AS true_sefd_jy
+        FROM chans
+    ), choff AS (
+        SELECT chan, avg(value) AS off_mean, stddev_pop(value) AS off_rms
+        FROM cube WHERE bin >= 20 AND bin < 32 GROUP BY chan
+    ), cal AS (
+        SELECT c.chan, c.bin,
+               (c.value - o.off_mean) / o.off_rms * t.sefd_mjy AS prof_mjy
+        FROM cube c JOIN choff o USING (chan) JOIN ct t USING (chan)
+    ), per_group AS (
+        SELECT CAST(chan // 4 AS INTEGER) AS out_chan,
+               CAST(sum(CASE WHEN gf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               sum(sefd_mjy * sefd_mjy) AS flux_err_sum,
+               sum(true_sefd_jy * true_sefd_jy) AS true_sefd_sq_sum,
+               min(freq_mhz) AS freq_lo_mhz,
+               max(freq_mhz) + 0.195 AS freq_hi_mhz
+        FROM ct GROUP BY 1 HAVING n_good > 0
+    ), per_bin AS (
+        SELECT CAST(chan // 4 AS INTEGER) AS out_chan, bin,
+               sum(prof_mjy) AS prof_sum_raw
+        FROM cal WHERE prof_mjy IS NOT NULL
+        GROUP BY 1, 2
+    ), grouped AS (
+        SELECT b.out_chan, b.bin, b.prof_sum_raw / g.n_good AS totprof,
+               g.flux_err_sum, g.true_sefd_sq_sum, g.n_good,
+               g.freq_lo_mhz, g.freq_hi_mhz
+        FROM per_bin b JOIN per_group g USING (out_chan)
+    ), agg AS (
+        SELECT out_chan,
+               avg(CASE WHEN bin >= 20 AND bin < 32 THEN totprof END) AS off_mean,
+               sqrt(avg(CASE WHEN bin >= 20 AND bin < 32 THEN totprof * totprof END)
+                    - pow(avg(CASE WHEN bin >= 20 AND bin < 32 THEN totprof END), 2.0)) AS off_rms,
+               max(totprof) AS flux_peak,
+               avg(totprof) AS flux_mean,
+               sum(totprof) AS prof_sum,
+               sum(totprof * totprof) AS prof_sq_sum,
+               min(flux_err_sum) AS flux_err_sum,
+               min(true_sefd_sq_sum) AS true_sefd_sq_sum,
+               min(n_good) AS n_good,
+               min(freq_lo_mhz) AS freq_lo_mhz,
+               max(freq_hi_mhz) AS freq_hi_mhz
+        FROM grouped GROUP BY out_chan
+    ), metrics AS (
+        SELECT out_chan,
+               (freq_lo_mhz + freq_hi_mhz) / 2.0 AS freq_mhz,
+               sqrt(true_sefd_sq_sum / n_good) AS real_sefd_jy,
+               ((prof_sum - 32.0 * off_mean) / off_rms) / 32.0 AS snr_mean,
+               (flux_peak - off_mean) / off_rms AS snr_peak,
+               ((prof_sum - 32.0 * off_mean) / off_rms)
+                 / sqrt(prof_sum / flux_peak) AS prof_significance,
+               ((prof_sq_sum - 2.0 * off_mean * prof_sum
+                 + 32.0 * off_mean * off_mean) / (off_rms * off_rms))
+                 / 31.0 AS chi2_dof,
+               prof_sum / flux_peak AS weff_bins,
+               100.0 * (prof_sum / flux_peak) / 32.0 AS duty_cycle_pct,
+               flux_peak AS flux_peak_mjy,
+               sqrt(flux_err_sum) / n_good AS sensitivity_mjy,
+               flux_mean AS flux_mean_mjy,
+               (sqrt(flux_err_sum) / n_good) / {(32**0.5)!r} AS flux_mean_err_mjy,
+               n_good
+        FROM agg
+    )
+    SELECT out_chan, round(freq_mhz, 6) AS freq_mhz,
+           round(real_sefd_jy, 6) AS real_sefd_jy,
+           round(snr_mean, 6) AS snr_mean,
+           round(snr_peak, 6) AS snr_peak,
+           round(prof_significance, 6) AS prof_significance,
+           round(chi2_dof, 6) AS chi2_dof,
+           round(weff_bins, 6) AS weff_bins,
+           round(duty_cycle_pct, 6) AS duty_cycle_pct,
+           round(flux_peak_mjy, 6) AS flux_peak_mjy,
+           round(sensitivity_mjy, 6) AS sensitivity_mjy,
+           round(flux_mean_mjy, 6) AS flux_mean_mjy,
+           round(flux_mean_err_mjy, 6) AS flux_mean_err_mjy,
+           n_good
+    FROM metrics
+    """,
+    "§3 script parity: lofar_psrflux.py:492-680 (plans/psrflux.py) — "
+    "channel calibration table, off-method normalization, "
+    "channel-group flux spectrum with Weq/DC/significance/chi^2",
+)
+def q_psrflux_band_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.psrflux import (
+        psrflux_calibrate,
+        psrflux_channel_table,
+        psrflux_spectrum,
+    )
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    cube = (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(16)).cast("int").alias("chan"),
+            F.pmod(F.expr("event_id div 16"), F.lit(32))
+            .cast("int")
+            .alias("bin"),
+            _vq(F.col("value")).alias("vq"),
+        )
+        .groupBy("chan", "bin")
+        .agg((F.sum("vq") / F.lit(1e6)).alias("value"))
+    )
+    ch = F.col("chan")
+    chans = spark.range(16).select(
+        F.col("id").cast("int").alias("chan")
+    ).select(
+        "chan",
+        (F.lit(120.0) + F.lit(0.195) * ch).alias("freq_mhz"),
+        F.lit(25.0).alias("t408"),
+        (F.lit(400.0) + ch).alias("tinst_k"),
+        (F.lit(600.0) - F.lit(5.0) * ch).alias("aeff_m2"),
+        F.when(ch.isin(5, 11), F.lit(0.0))
+        .otherwise(F.lit(0.5) + F.pmod(ch, F.lit(4)) * F.lit(0.125))
+        .alias("good_fraction"),
+    )
+    ct = psrflux_channel_table(
+        chans, nstations=24.0, cohfactor=0.85, badtiles=0.05, npol=2,
+        tobs_s=600.0, nbins=32, chan_bw_mhz=0.195,
+    )
+    cal = psrflux_calibrate(cube, ct, 20, 32)
+    spec = psrflux_spectrum(
+        cal, ct, nbins=32, group_size=4, chan_bw_mhz=0.195,
+        off_bin_lo=20, off_bin_hi=32,
+    )
+    return spec.select(
+        "out_chan",
+        F.round("freq_mhz", 6).alias("freq_mhz"),
+        F.round("real_sefd_jy", 6).alias("real_sefd_jy"),
+        F.round("snr_mean", 6).alias("snr_mean"),
+        F.round("snr_peak", 6).alias("snr_peak"),
+        F.round("prof_significance", 6).alias("prof_significance"),
+        F.round("chi2_dof", 6).alias("chi2_dof"),
+        F.round("weff_bins", 6).alias("weff_bins"),
+        F.round("duty_cycle_pct", 6).alias("duty_cycle_pct"),
+        F.round("flux_peak_mjy", 6).alias("flux_peak_mjy"),
+        F.round("sensitivity_mjy", 6).alias("sensitivity_mjy"),
+        F.round("flux_mean_mjy", 6).alias("flux_mean_mjy"),
+        F.round("flux_mean_err_mjy", 6).alias("flux_mean_err_mjy"),
+        "n_good",
+    )
+
+
 @_register(
     "channel_sefd",
     f"""
@@ -6855,8 +7036,20 @@ def q_hierarchical_assign_counts(
     -- instead of a docstring caveat.  Flat argmax over the stride-64
     -- codebook; two-level route via the stride-250 coarse groups
     -- (restricted to groups owning a fine centroid).
+    --
+    -- The comparison runs over a FIXED-BUDGET deterministic sample
+    -- (vec_id % 17 = 3, id-capped at 1024 samples): the flat argmax
+    -- baseline is N x k dots, and under the k-proportional-to-N
+    -- codebook contract an all-vector harness is QUADRATIC by
+    -- construction (measured 47x at the 10x probe) — a harness whose
+    -- load scales with the corpus measures the coupling, not the
+    -- router (the pq_adc_top3 r5 lesson).  The codebooks stay
+    -- full-corpus; only the measured statistic is sampled.
     WITH e2 AS (
         SELECT vec_id, embedding FROM embeddings
+    ), probe AS (
+        SELECT vec_id, embedding FROM e2
+        WHERE vec_id % 17 = 3 AND vec_id < 17408
     ), coarse AS (
         SELECT vec_id AS gid, embedding AS ce FROM e2
         WHERE vec_id % 250 = 0
@@ -6884,7 +7077,7 @@ def q_hierarchical_assign_counts(
                        ORDER BY {_COS_DOT.format(a='e.embedding', b='c.ce')}
                            DESC, c.gid ASC
                    ) AS rn
-            FROM e2 e CROSS JOIN owned c
+            FROM probe e CROSS JOIN owned c
         ) WHERE rn = 1
     ), hier AS (
         SELECT vec_id, cid FROM (
@@ -6904,7 +7097,7 @@ def q_hierarchical_assign_counts(
                        ORDER BY {_COS_DOT.format(a='e.embedding', b='f.fe')}
                            DESC, f.cid ASC
                    ) AS rn
-            FROM e2 e CROSS JOIN fine f
+            FROM probe e CROSS JOIN fine f
         ) WHERE rn = 1
     )
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,
@@ -6924,6 +7117,13 @@ def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     )
+    # fixed-budget probe sample (see oracle comment): the flat argmax
+    # baseline is quadratic under k-proportional-to-N if the harness
+    # load grows with the corpus
+    probe = e.filter(
+        (F.pmod(F.col("vec_id"), F.lit(17)) == 3)
+        & (F.col("vec_id") < 17408)
+    )
     coarse = e.filter(F.pmod(F.col("vec_id"), F.lit(250)) == 0).select(
         F.col("vec_id").alias("gid"), "embedding"
     )
@@ -6931,10 +7131,10 @@ def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "embedding"
     )
     fine_g = ivf_assign(fine, coarse, id_col="cid", centroid_id_col="gid")
-    hier = hierarchical_assign(e, coarse, fine_g).select(
+    hier = hierarchical_assign(probe, coarse, fine_g).select(
         "vec_id", F.col("cid").alias("__hcid")
     )
-    flat = ivf_assign(e, fine).select(
+    flat = ivf_assign(probe, fine).select(
         "vec_id", F.col("cid").alias("__fcid")
     )
     agree = (F.col("__hcid") == F.col("__fcid")).cast("long")
@@ -8125,10 +8325,11 @@ _TAIL: tuple[str, ...] = (
     "tfidf_top_terms",
     "language_id",
     # r7-green and byte-identical since; demoted in round 8 to fund
-    # the new hamaker_beam_corr gate and the pulse_energy_hist
-    # window-rotation debt
+    # the new hamaker_beam_corr / psrflux_band_flux gates and the
+    # pulse_energy_hist window-rotation debt
     "jones_beam_corr",
     "json_props_stats",
+    "resample_hourly_ffill",
     # r6-green and byte-identical since r6; demoted in the round-7
     # second wave to fund the five new gates (candidate_sift,
     # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
@@ -8195,6 +8396,7 @@ _PROMOTE: tuple[str, ...] = (
     # the r7-green byte-identical jones_beam_corr and json_props_stats
     "hamaker_beam_corr",
     "pulse_energy_hist",
+    "psrflux_band_flux",
     # round 7 third wave: new gates (funded by demoting the r4-green
     # byte-identical tfidf_top_terms and the r3-green byte-identical
     # language_id)
@@ -8227,7 +8429,6 @@ _PROMOTE: tuple[str, ...] = (
     "bigram_lm_quality",
     "dsir_importance",
     "bm25_search",
-    "resample_hourly_ffill",
     "dq_profile_events",
     "key_skew_report",
 )

@@ -128,8 +128,17 @@ def build(src: str, dst: str, factor: int) -> None:
             "from src"
         ),
         "documents": (
+            # replica token at BOTH ends: the suffix varies the
+            # shingle set (dedup keeps real work); the PREFIX shifts
+            # the head bytes so raster/perceptual hashes differ across
+            # replicas too — with suffix only, image_phash_pairs'
+            # 16x16 raster (first 256 chars) was byte-identical in
+            # every replica and the 10x probe measured the planted
+            # exact-clone pair blow-up (249x output rows), not the
+            # operator (round-8 finding; ninth-wave lesson 3 class)
             "select doc_id + {r}*{doc} as doc_id, "
-            "case when {r} = 0 then text else text || ' zrep{r}' end as text, "
+            "case when {r} = 0 then text "
+            "else 'z{r} ' || text || ' zrep{r}' end as text, "
             "lang, source, n_chars from src"
         ),
         "embeddings": (
