@@ -791,28 +791,56 @@ def dhash_band_exprs(
     hash_w: int = 8,
     hash_h: int = 8,
     n_bands: int = 4,
+    stretch_len_expr: str | None = None,
 ) -> list[str]:
     """SQL expression strings (one per 16-bit band) computing the
-    dHash of a character raster: ``s_col`` is a string of at least
-    src_w*src_h characters read row-major, pixel value = code point.
+    dHash of a character raster: ``s_col`` is a string read row-major,
+    pixel value = code point.
+
+    With ``stretch_len_expr`` unset, ``s_col`` must be a pre-built
+    raster of at least src_w*src_h characters and the resample gather
+    indices are compile-time constants.  With it set (a SQL expression
+    for the string's length, e.g. ``greatest(length(s), 1)``), the
+    raster is STRETCH-RESAMPLED from the whole string: raster offset o
+    reads char floor(o*len/npix) — what a real decode-and-resize does
+    (the frame is always full of content).  The pad-to-raster
+    convention this replaces gave every short payload an identical
+    all-padding tail, which collided entire Hamming bands corpus-wide
+    (scale probe: 68x at 10x from one 15k-doc band bucket); a real
+    image pipeline never produces a constant region, and neither does
+    the stretch.  A string of length exactly src_w*src_h stretches to
+    the identity mapping, so both modes agree there (tested).
 
     Band values are small non-negative ints (< 2^(bits/n_bands)), so
     none of the 64-bit sign/shift portability traps apply — the
     Hamming distance is the SUM of per-band xor popcounts.  The text
-    is portable SQL (ascii/substring/CASE); Spark wraps it in
+    is portable SQL (ascii/substring/CASE/floor); Spark wraps it in
     ``F.expr`` and the DuckDB oracle embeds it verbatim — one
-    generator, zero cross-engine drift.
+    generator, zero cross-engine drift.  The stretched index divides
+    by npix in DOUBLE: o*len is an exact integer in double range, so
+    the correctly-rounded quotient floors identically on any IEEE-754
+    engine.
     """
     nbits = hash_w * hash_h
     if nbits % n_bands != 0:
         raise ValueError("n_bands must divide the bit count")
     per = nbits // n_bands
+    npix = src_w * src_h
     offs = dhash_fixed_offsets(src_w, src_h, hash_w, hash_h)
+
+    def idx(o: int) -> str:
+        if stretch_len_expr is None:
+            return str(o + 1)
+        return (
+            f"CAST(floor(({o} * CAST({stretch_len_expr} AS DOUBLE))"
+            f" / {npix}.0) AS INT) + 1"
+        )
+
     out = []
     for b in range(n_bands):
         terms = [
-            f"(CASE WHEN ascii(substring({s_col}, {oa + 1}, 1)) > "
-            f"ascii(substring({s_col}, {ob + 1}, 1)) "
+            f"(CASE WHEN ascii(substring({s_col}, {idx(oa)}, 1)) > "
+            f"ascii(substring({s_col}, {idx(ob)}, 1)) "
             f"THEN {1 << (bit - b * per)} ELSE 0 END)"
             for bit, oa, ob in offs[b * per : (b + 1) * per]
         ]
@@ -873,10 +901,17 @@ def phash_near_dup_pairs(
     n_bands: int = 4,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over a corpus whose
-    'image' is a fixed src_w x src_h character raster (first
-    src_w*src_h chars, space-padded — ``media_from_documents``
-    convention: deterministic stand-in payloads so the plumbing is
-    real while decoders stay stubbed).
+    'image' is a src_w x src_h character raster STRETCH-RESAMPLED
+    from the whole text (``media_from_documents``-style deterministic
+    stand-in payloads so the plumbing is real while decoders stay
+    stubbed).  Stretching — raster offset o reads char
+    floor(o*len/npix) — is what a real decode-and-resize produces: a
+    frame full of content.  The first-256-chars-space-padded
+    convention this replaces made every short document's raster tail
+    a constant all-padding region, so entire 16-bit Hamming bands
+    collided corpus-wide (one 15k-doc bucket at the 10x scale probe =
+    111M candidate pairs, 68x wall-clock); no real image has a
+    constant frame, and no stretched raster does either.
 
     Candidate generation is the SimHash/LSH band trick in Hamming
     space: the 64 dHash bits split into ``n_bands`` keys; any pair
@@ -893,12 +928,13 @@ def phash_near_dup_pairs(
     """
     if not 0 <= max_dist < n_bands:
         raise ValueError("banding guarantees recall only for max_dist < n_bands")
-    exprs = dhash_band_exprs("__s", src_w, src_h, n_bands=n_bands)
-    npix = src_w * src_h
+    exprs = dhash_band_exprs(
+        "__s", src_w, src_h, n_bands=n_bands,
+        stretch_len_expr="greatest(length(__s), 1)",
+    )
     hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.rpad(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, npix),
-               npix, " ").alias("__s"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__s"),
     ).select(
         "__id",
         *[F.expr(e).cast("long").alias(f"b{i}") for i, e in enumerate(exprs)],

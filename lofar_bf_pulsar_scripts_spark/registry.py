@@ -8130,33 +8130,68 @@ def q_subband_dm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual-hash (dHash) near-dup pairs over character rasters
 # --------------------------------------------------------------------
 
-_PHASH_SRC = 16  # 16x16 raster from the first 256 chars
+_PHASH_SRC = 16  # 16x16 raster stretch-resampled from the whole text
 _PHASH_MAX_DIST = 3
 
 
 def _phash_band_exprs_sql() -> list[str]:
     from .operators.multimodal import dhash_band_exprs
 
-    return dhash_band_exprs("__s", _PHASH_SRC, _PHASH_SRC, n_bands=4)
+    return dhash_band_exprs(
+        "__s", _PHASH_SRC, _PHASH_SRC, n_bands=4,
+        stretch_len_expr="greatest(length(__s), 1)",
+    )
+
+
+# Planted near-dups (the planted-triple / planted-DM recovery
+# pattern): every 97th doc gets an exact copy (hamming 0) and every
+# 101st a copy whose SINGLE stretched-sampled char at raster offset 16
+# (= source char floor(16*len/256), 0-indexed; the only OTHER sampled
+# offset that can share that char at any corpus length is bit 0's own
+# second operand, so at most dHash bit 0 flips) is replaced —
+# hamming <= 1.  After the stretch fix removed the padding-artifact
+# pairs, the synthetic corpus has no organic near-dups at sf0.01;
+# planting keeps the gate's output non-empty at every SF and growing
+# linearly with the corpus.  ONE expression string feeds both engines.
+_PHASH_C0 = (
+    "CAST(floor((16 * CAST(greatest(length(text), 1) AS DOUBLE))"
+    " / 256.0) AS INT)"
+)
+_PHASH_MUT_EXPR = (
+    f"concat(substring(text, 1, {_PHASH_C0}), '~', "
+    f"substring(text, {_PHASH_C0} + 2, greatest(length(text), 1)))"
+)
+_PHASH_PLANT_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000000 AS doc_id, text
+    FROM documents WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id, {_PHASH_MUT_EXPR} AS text
+    FROM documents WHERE doc_id % 101 = 0
+"""
 
 
 def _phash_oracle() -> str:
     e0, e1, e2, e3 = _phash_band_exprs_sql()
     return f"""
-    -- image near-dup via perceptual hash (dHash): the document text's
-    -- first 256 chars stand in for a 16x16 grayscale raster
-    -- (media_from_documents convention); nearest-neighbor resample to
-    -- 9x8 collapses to FIXED byte offsets, so the 64-bit hash is the
-    -- same portable ascii/substring/CASE expression text the Spark
-    -- side wraps in F.expr (one generator, zero drift).  Candidates
-    -- come from 16-bit Hamming bands — pigeonhole guarantees any pair
-    -- within {_PHASH_MAX_DIST} differing bits shares a band — and the
-    -- exact popcount verifies.
-    WITH s AS (
-        SELECT doc_id,
-               rpad(substring(coalesce(text, ''), 1, {_PHASH_SRC * _PHASH_SRC}),
-                    {_PHASH_SRC * _PHASH_SRC}, ' ') AS __s
-        FROM documents
+    -- image near-dup via perceptual hash (dHash): the document text
+    -- stands in for a 16x16 grayscale raster, STRETCH-RESAMPLED over
+    -- the whole string (raster offset o reads char floor(o*len/256) —
+    -- what a real decode-and-resize does; the space-padded first-256
+    -- convention gave every short doc an identical all-padding tail
+    -- that collided whole Hamming bands corpus-wide).  The 64-bit
+    -- hash is the same portable ascii/substring/CASE/floor expression
+    -- text the Spark side wraps in F.expr (one generator, zero
+    -- drift).  Candidates come from 16-bit Hamming bands — pigeonhole
+    -- guarantees any pair within {_PHASH_MAX_DIST} differing bits
+    -- shares a band — and the exact popcount verifies.  The corpus
+    -- carries planted exact + single-sampled-char near-dups (see
+    -- _PHASH_PLANT_SQL) recovered by the operator.
+    WITH planted AS ({_PHASH_PLANT_SQL}
+    ), s AS (
+        SELECT doc_id, coalesce(text, '') AS __s
+        FROM planted
     ), h AS (
         SELECT doc_id AS id, {e0} AS b0, {e1} AS b1, {e2} AS b2, {e3} AS b3
         FROM s
@@ -8186,9 +8221,21 @@ def _phash_oracle() -> str:
 def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import phash_near_dup_pairs
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = (
+        d.unionByName(
+            d.filter("doc_id % 97 = 0").select(
+                (F.col("doc_id") + 2000000000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            d.filter("doc_id % 101 = 0").select(
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
+                F.expr(_PHASH_MUT_EXPR).alias("text"),
+            )
+        )
+    )
     return phash_near_dup_pairs(
-        d, "doc_id", "text", max_dist=_PHASH_MAX_DIST,
+        corpus, "doc_id", "text", max_dist=_PHASH_MAX_DIST,
         src_w=_PHASH_SRC, src_h=_PHASH_SRC,
     )
 

@@ -1805,6 +1805,57 @@ def test_dhash_column_path_matches_numpy_resize(spark):
             assert bands[b] == want, (mid, b)
 
 
+def test_dhash_stretch_resample_semantics(spark):
+    """Stretch mode == fixed mode on the Python-stretched raster: for
+    any string s, the stretched-band exprs over s equal the fixed-
+    offset exprs over ''.join(s[o*len//256] for o in range(256)); a
+    string of length exactly 256 is the identity (both modes agree on
+    the raw string).  This pins floor(o*len/npix) cross-engine."""
+    import random
+
+    from lofar_bf_pulsar_scripts_spark.operators.multimodal import (
+        dhash_band_exprs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    texts = [
+        "".join(chr(32 + rng.randrange(95)) for _ in range(n))
+        for n in (1, 7, 44, 100, 255, 256, 300, 577)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    stretched = dhash_band_exprs(
+        "text", 16, 16, n_bands=4,
+        stretch_len_expr="greatest(length(text), 1)",
+    )
+    got = {
+        r["doc_id"]: [r[f"b{i}"] for i in range(4)]
+        for r in df.select(
+            "doc_id",
+            *[F.expr(e).alias(f"b{i}") for i, e in enumerate(stretched)],
+        ).collect()
+    }
+    fixed_exprs = dhash_band_exprs("text", 16, 16, n_bands=4)
+    rasters = [
+        (i, "".join(t[(o * len(t)) // 256] for o in range(256)))
+        for i, t in enumerate(texts)
+    ]
+    want = {
+        r["doc_id"]: [r[f"b{i}"] for i in range(4)]
+        for r in spark.createDataFrame(
+            rasters, "doc_id long, text string"
+        ).select(
+            "doc_id",
+            *[F.expr(e).alias(f"b{i}") for i, e in enumerate(fixed_exprs)],
+        ).collect()
+    }
+    assert got == want
+    # length == npix: stretch is the identity mapping
+    assert rasters[5][1] == texts[5]
+
+
 def test_phash_near_dup_banding_recall(spark):
     """A pair within max_dist flipped SAMPLED bytes must be found
     (pigeonhole over 4 bands); editing only non-sampled bytes gives
