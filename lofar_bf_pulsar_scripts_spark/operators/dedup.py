@@ -554,6 +554,109 @@ def near_dedup_stats(
     )
 
 
+def incremental_near_dup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    band_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    tau_num: int = 5,
+    tau_den: int = 10,
+) -> DataFrame:
+    """Near-dup screen of a NEW batch against an already-ingested
+    corpus — the shape a 100 TB training-data lake actually runs
+    daily: the corpus's MinHash band keys live in an at-rest store
+    (``lake.write_minhash_bands``, built once at ingest), so a batch
+    probe never re-shingles or shuffles the corpus.
+
+    Plan shape: the batch's band keys (a few rows per batch doc) are
+    BROADCAST against one linear scan of the band store — the corpus
+    side of the candidate join has no Exchange (plan-asserted).  The
+    exact-Jaccard verification then touches only candidate corpus
+    docs: a broadcast left-semi prunes the corpus text scan before
+    any shingling.  Work = O(|store| + |batch| + |candidates| ·
+    doc_len); the corpus never pays a shuffle and its text is read
+    only for docs that already share a bucket with the batch.
+
+    Returns one row per batch doc: (new_id, n_dups = verified
+    near-dup count in the corpus, min_dup_id = smallest verified
+    corpus id, -1 when none — the doc is novel).  Batch docs that are
+    themselves stored (re-crawls) are matched by id inequality.
+    Threshold is the exact integer cross-multiplication
+    tau_den·|inter| >= tau_num·|union| (engine-portable, same as
+    ``verified_near_dup_edges``)."""
+    bsig = minhash_signature(
+        batch, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    bb = lsh_buckets(
+        bsig, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    cands = (
+        band_store.join(F.broadcast(bb), on=["band", "bucket"])
+        .filter(F.col(id_col) != F.col("new_id"))
+        .select("new_id", F.col(id_col).alias("dup_id"))
+        .distinct()
+    )
+    cand_docs = corpus.join(
+        F.broadcast(
+            cands.select(F.col("dup_id").alias(id_col)).distinct()
+        ),
+        on=id_col,
+        how="leftsemi",
+    )
+    shd_b = (
+        shingle_rows(batch, id_col, text_col, shingle_k)
+        .distinct()
+        .select(F.col(id_col).alias("new_id"), "shingle")
+    )
+    shd_c = (
+        shingle_rows(cand_docs, id_col, text_col, shingle_k)
+        .distinct()
+        .select(F.col(id_col).alias("dup_id"), "shingle")
+    )
+    nb = shd_b.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nb"))
+    nc = shd_c.groupBy("dup_id").agg(F.count(F.lit(1)).alias("__nc"))
+    inter = (
+        cands.join(shd_b, "new_id")
+        .join(shd_c, ["dup_id", "shingle"])
+        .groupBy("new_id", "dup_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    union = F.col("__nb") + F.col("__nc") - F.col("__i")
+    verified = (
+        cands.join(inter, ["new_id", "dup_id"], "left")
+        .join(nb, "new_id")
+        .join(nc, "dup_id")
+        .withColumn("__i", F.coalesce("__i", F.lit(0)))
+        .filter(
+            (union > 0)
+            & (F.lit(int(tau_den)) * F.col("__i")
+               >= F.lit(int(tau_num)) * union)
+        )
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("dup_id").alias("min_dup_id"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("new_id"))
+        .join(verified, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce("min_dup_id", F.lit(-1)).cast("long").alias(
+                "min_dup_id"
+            ),
+        )
+    )
+
+
 def span_dedup_stats(
     df: DataFrame,
     k: int = 8,

@@ -171,6 +171,54 @@ def ensure_lsh_signatures(
     return path
 
 
+def write_minhash_bands(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> None:
+    """At-rest MinHash band store for the documents corpus: (id, band,
+    bucket) rows — the text-dedup mirror of the sign-LSH signature
+    store above.  The corpus is minhashed ONCE at ingest; every later
+    incremental batch probe (``dedup.incremental_near_dup``) reads
+    these integer band keys instead of re-shingling 100 TB of text —
+    the store is ~4 short rows per document, orders of magnitude
+    smaller than the corpus it indexes."""
+    from ..operators.dedup import lsh_buckets, minhash_signature
+
+    sigs = minhash_signature(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    lsh_buckets(
+        sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    ).write.mode("overwrite").parquet(path)
+
+
+def ensure_minhash_bands(
+    docs: DataFrame,
+    path: str,
+    **kwargs,
+) -> str:
+    """Build the at-rest MinHash band store once (atomic tmp-dir
+    rename, first build wins); later calls are a no-op."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        write_minhash_bands(docs, tmp, **kwargs)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    return path
+
+
 def write_pq_codes(
     assigned: DataFrame,
     path: str,

@@ -123,6 +123,20 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         _lsh_store_path(sf_dir, kind="semdedup", stride=64),
     )
     out["semdedup_assign"] = round(_time.time() - t0, 3)
+
+    # mirrors q_incremental_near_dup: corpus MinHash band store
+    from .plans.lake import ensure_minhash_bands
+
+    d = load_table(spark, "documents", sf_dir)
+    t0 = _time.time()
+    ensure_minhash_bands(
+        d,
+        _lsh_store_path(
+            sf_dir, kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2
+        ),
+        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
+    )
+    out["minhash_bands"] = round(_time.time() - t0, 3)
     return out
 
 
@@ -1653,6 +1667,99 @@ def q_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return near_dedup_stats(d, tau_num=5, tau_den=10)
+
+
+def _incremental_near_dup_oracle(tau_num: int = 5, tau_den: int = 10) -> str:
+    """Batch-vs-corpus near-dup from scratch: the at-rest band store
+    is an implementation detail of the Spark side (content = the
+    corpus's lsh_buckets rows, proven identical by construction in
+    ensure_minhash_bands), so the oracle recomputes signatures for
+    everything and probes the batch subset against them."""
+    sig_cols = ",\n               ".join(
+        _minhash_sig_sql(i) for i in range(_NUM_MINHASH)
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR) AS bucket "
+        "FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM base
+    ), shd AS (
+        SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), hashed AS (
+        SELECT doc_id, {_minhash_x_sql('s')} AS x FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM hashed GROUP BY doc_id
+    ), buckets AS (
+        {branches}
+    ), batch AS (
+        SELECT doc_id FROM documents WHERE doc_id % 41 = 7
+    ), cands AS (
+        SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS dup_id
+        FROM buckets nb
+        JOIN batch ba ON ba.doc_id = nb.doc_id
+        JOIN buckets cb
+          ON cb.band = nb.band AND cb.bucket = nb.bucket
+         AND cb.doc_id != nb.doc_id
+    ), inter AS (
+        SELECT c.new_id, c.dup_id, count(*) AS i
+        FROM cands c
+        JOIN shd a ON a.doc_id = c.new_id
+        JOIN shd b ON b.doc_id = c.dup_id AND b.s = a.s
+        GROUP BY 1, 2
+    ), ver AS (
+        SELECT c.new_id, count(*) AS n_dups, min(c.dup_id) AS min_dup_id
+        FROM cands c
+        JOIN sizes na ON na.doc_id = c.new_id
+        JOIN sizes nc ON nc.doc_id = c.dup_id
+        LEFT JOIN inter ON inter.new_id = c.new_id
+                       AND inter.dup_id = c.dup_id
+        WHERE na.n + nc.n - coalesce(inter.i, 0) > 0
+          AND {tau_den} * coalesce(inter.i, 0)
+              >= {tau_num} * (na.n + nc.n - coalesce(inter.i, 0))
+        GROUP BY 1
+    )
+    SELECT b.doc_id AS new_id,
+           CAST(coalesce(v.n_dups, 0) AS BIGINT) AS n_dups,
+           CAST(coalesce(v.min_dup_id, -1) AS BIGINT) AS min_dup_id
+    FROM batch b LEFT JOIN ver v ON v.new_id = b.doc_id
+    """
+
+
+@_register(
+    "incremental_near_dup",
+    _incremental_near_dup_oracle(),
+    "Daily-batch near-dup against the at-rest MinHash band store "
+    "(corpus minhashed ONCE at ingest): batch band keys broadcast "
+    "against one linear store scan — no corpus shuffle, no corpus "
+    "re-shingle — then exact-Jaccard verify over semi-join-pruned "
+    "candidate docs only",
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_near_dup
+    from .plans.lake import ensure_minhash_bands
+
+    d = load_table(spark, "documents", sf_dir)
+    store = _lsh_store_path(
+        sf_dir, kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2
+    )
+    ensure_minhash_bands(
+        d, store, num_hashes=_NUM_MINHASH, shingle_k=3,
+        bands=4, rows_per_band=2,
+    )
+    batch = d.filter("doc_id % 41 = 7")
+    return incremental_near_dup(
+        batch, d, spark.read.parquet(store), tau_num=5, tau_den=10
+    )
 
 
 @_register(
@@ -8377,6 +8484,10 @@ _TAIL: tuple[str, ...] = (
     "jones_beam_corr",
     "json_props_stats",
     "resample_hourly_ffill",
+    # r2-green (driver + judge re-verified r7) and byte-identical
+    # since; demoted in the round-8 second wave to fund the new
+    # incremental_near_dup gate
+    "value_histogram",
     # r6-green and byte-identical since r6; demoted in the round-7
     # second wave to fund the five new gates (candidate_sift,
     # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
@@ -8444,6 +8555,10 @@ _PROMOTE: tuple[str, ...] = (
     "hamaker_beam_corr",
     "pulse_energy_hist",
     "psrflux_band_flux",
+    # round 8 second wave: the NEW store-backed incremental near-dup
+    # gate, funded by demoting the r2-green byte-identical
+    # value_histogram
+    "incremental_near_dup",
     # round 7 third wave: new gates (funded by demoting the r4-green
     # byte-identical tfidf_top_terms and the r3-green byte-identical
     # language_id)

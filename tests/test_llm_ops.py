@@ -1612,6 +1612,56 @@ def test_near_dedup_pipeline_drops_verified_only(spark):
     assert stats["n_kept"] == 4 - stats["n_dropped"]
 
 
+def test_incremental_near_dup_hand_case(spark, tmp_path):
+    """Batch probe against an at-rest band store: an exact re-crawl
+    verifies against its original AND a 3/5-Jaccard neighbor; a novel
+    doc comes back (n_dups 0, min_dup_id -1)."""
+    from lofar_bf_pulsar_scripts_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        ensure_minhash_bands,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),   # J(1,2) = 3/5 >= 5/10
+            (3, "x y z w q r"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bands")
+    ensure_minhash_bands(corpus, store)
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c d e f"),  # exact text of doc 1
+            (11, "totally novel words appear here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["new_id"]: (r["n_dups"], r["min_dup_id"])
+        for r in incremental_near_dup(
+            batch, corpus, spark.read.parquet(store),
+            tau_num=5, tau_den=10,
+        ).collect()
+    }
+    # doc 10: J(10,1)=1 verifies; J(10,2)=3/5 verifies IF LSH banding
+    # put them in a shared bucket (identical sig slices for >= 1 of 4
+    # bands is likely but not guaranteed at J=0.6) — assert at least
+    # the exact dup, and min over whatever verified
+    assert got[10][0] >= 1 and got[10][1] == 1
+    assert got[11] == (0, -1)
+    # ensure_minhash_bands is first-build-wins: a second call must not
+    # rebuild (the _SUCCESS marker short-circuits)
+    import os
+
+    mtime = os.path.getmtime(os.path.join(store, "_SUCCESS"))
+    ensure_minhash_bands(corpus, store)
+    assert os.path.getmtime(os.path.join(store, "_SUCCESS")) == mtime
+
+
 def test_hierarchical_assign_matches_flat_on_separated_clusters(spark):
     """When coarse cells are well separated, two-level routing gives
     the same assignment as the flat argmax; a deliberately

@@ -409,3 +409,15 @@ def test_pulse_energy_hist_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan
+
+
+def test_incremental_near_dup_plan(spark):
+    """The batch probe BROADCASTS against the at-rest band store scan
+    (the corpus side of the candidate join pays no Exchange) and the
+    verify stage touches only semi-join-pruned candidate docs — the
+    whole batch-vs-100TB screen runs without a corpus shuffle or
+    cartesian."""
+    plan = _plan(spark, "incremental_near_dup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
