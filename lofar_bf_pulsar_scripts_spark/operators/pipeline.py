@@ -451,6 +451,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_buckets: int = 64,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """First-fit-decreasing packing of documents into context windows
     of ``max_tokens``: returns (doc_id, n_tokens, bucket, pack_id,
@@ -463,10 +464,22 @@ def pack_sequences(
     scan (C-speed per-doc probe instead of a Python inner loop) — the
     same greedy-local trade the reference's scheduler makes (W10).
     Pack totals are computed inside the same batch (np.bincount), so
-    no second exchange/join is needed."""
-    bucketed = df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(id_col), F.lit("pack")), F.lit(n_buckets))
-    )
+    no second exchange/join is needed.
+
+    ``bucket_col`` names an EXISTING column to pack within instead of
+    the hash bucket — per-source packing for corpora whose sources
+    must not mix inside a context window (curriculum / provenance
+    separation); pack_ids are then ``<bucket value>_<i>``."""
+    if bucket_col is None:
+        bucketed = df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit("pack")), F.lit(n_buckets)),
+        )
+        bcol, btype = "bucket", "long"
+    else:
+        bucketed = df
+        bcol = bucket_col
+        btype = df.schema[bucket_col].dataType.simpleString()
 
     def pack(pdf):
         import numpy as np
@@ -474,7 +487,7 @@ def pack_sequences(
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        bucket = int(pdf["bucket"].iloc[0])
+        bucket = pdf[bcol].iloc[0]
         toks = pdf[tokens_col].to_numpy(dtype=np.int64)
         cap = np.empty(len(toks), dtype=np.int64)  # open-pack capacities
         assign = np.empty(len(toks), dtype=np.int64)
@@ -497,18 +510,18 @@ def pack_sequences(
             if len(toks)
             else np.zeros(0, dtype=np.int64)
         )
-        out = pdf[[id_col, tokens_col, "bucket"]].copy()
+        out = pdf[[id_col, tokens_col, bcol]].copy()
         out["pack_id"] = [f"{bucket}_{a}" for a in assign]
         out["pack_tokens"] = totals[assign]
         return out
 
     id_type = df.schema[id_col].dataType.simpleString()
     tok_type = df.schema[tokens_col].dataType.simpleString()
-    return bucketed.groupBy("bucket").applyInPandas(
+    return bucketed.groupBy(bcol).applyInPandas(
         pack,
         schema=(
             f"{id_col} {id_type}, {tokens_col} {tok_type}, "
-            "bucket long, pack_id string, pack_tokens long"
+            f"{bcol} {btype}, pack_id string, pack_tokens long"
         ),
     )
 

@@ -5650,6 +5650,239 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _training_pipeline_oracle(tau_num: int = 5, tau_den: int = 10) -> str:
+    """The WHOLE training-data prep funnel from scratch: Gopher
+    quality -> near-dup removal -> contamination screen -> BPE token
+    budget -> per-source FFD packing.  Every stage reuses the SQL
+    fragment of the gate that pins it alone (gopher_rules,
+    near_dedup_pipeline, contamination_screen, bpe_apply_counts,
+    sequence_packing); the per-source FFD recursion advances each
+    source's capacity list independently (join on source + step)."""
+    sig_cols = ",\n               ".join(
+        _minhash_sig_sql(i) for i in range(_NUM_MINHASH)
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR) AS bucket "
+        "FROM sigs"
+        for b in range(4)
+    )
+    pos = (
+        "NULLIF(list_position("
+        "list_transform(f.caps, x -> x >= d.nb), true), 0)"
+    )
+    return rf"""
+    WITH RECURSIVE alldocs AS (
+        SELECT doc_id, source, coalesce(text, '') AS text FROM documents
+    ), corpus AS (
+        SELECT * FROM alldocs WHERE doc_id % 97 != 0
+    ), gd AS (
+        SELECT doc_id, source,
+               {_TOKENS_SQL} AS w,
+               length(regexp_replace(trim(text), '\s+', '', 'g'))
+                   AS sum_len,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+               regexp_split_to_array(text, '\n') AS lines
+        FROM corpus
+    ), gf AS (
+        SELECT doc_id, source,
+               (len(w) >= 50 AND len(w) <= 100000)
+               AND (sum_len >= 3 * len(w) AND sum_len <= 10 * len(w))
+               AND (10 * n_sym <= len(w))
+               AND (5 * len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                    >= 4 * len(w))
+               -- stopword rule deliberately absent: it assumes
+               -- English prose (q_training_data_pipeline tunes the
+               -- battery to the six structural rules)
+               AND (10 * len(list_filter(lines,
+                        x -> regexp_matches(x, '^\s*[-*•]')))
+                    <= 9 * len(lines))
+               AND (10 * len(list_filter(lines,
+                        x -> regexp_matches(x, '\.\.\.\s*$')))
+                    <= 3 * len(lines)) AS pass_all
+        FROM gd
+    ), passing AS MATERIALIZED (
+        SELECT doc_id, source FROM gf WHERE pass_all
+    ), toks AS (
+        SELECT doc_id, {_TOKENS_SQL} AS w FROM alldocs
+    ), sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM toks
+    ), shd AS MATERIALIZED (
+        SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), hashed AS (
+        SELECT sh.doc_id, {_minhash_x_sql('s')} AS x
+        FROM sh JOIN passing p ON p.doc_id = sh.doc_id
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM hashed GROUP BY doc_id
+    ), buckets AS (
+        {branches}
+    ), pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM buckets a
+        JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pinter AS (
+        SELECT p.ia, p.ib, count(*) AS i
+        FROM pairs p
+        JOIN shd a ON a.doc_id = p.ia
+        JOIN shd b ON b.doc_id = p.ib AND b.s = a.s
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT p.ia, p.ib
+        FROM pairs p
+        JOIN sizes na ON na.doc_id = p.ia
+        JOIN sizes nb ON nb.doc_id = p.ib
+        LEFT JOIN pinter ON pinter.ia = p.ia AND pinter.ib = p.ib
+        WHERE na.n + nb.n - coalesce(pinter.i, 0) > 0
+          AND {tau_den} * coalesce(pinter.i, 0)
+              >= {tau_num} * (na.n + nb.n - coalesce(pinter.i, 0))
+    ), sym AS MATERIALIZED (
+        SELECT ia AS n, ib AS m FROM edges
+        UNION
+        SELECT ib AS n, ia AS m FROM edges
+    ), reach(n, r) AS (
+        SELECT n, n FROM (SELECT DISTINCT n FROM sym) nodes
+        UNION
+        SELECT s.m, reach.r FROM reach JOIN sym s ON s.n = reach.n
+    ), comp AS (
+        SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+    ), dup_dropped AS (
+        SELECT node AS doc_id FROM comp WHERE component < node
+    ), survivors AS MATERIALIZED (
+        SELECT p.doc_id, p.source
+        FROM passing p LEFT JOIN dup_dropped dd USING (doc_id)
+        WHERE dd.doc_id IS NULL
+    ), bench_sh AS (
+        SELECT DISTINCT s FROM shd
+        WHERE doc_id % 97 = 0
+    ), cont AS (
+        SELECT sv.doc_id,
+               count(*) AS n_sh,
+               count(*) FILTER (WHERE bs.s IS NOT NULL) AS n_hit
+        FROM survivors sv
+        JOIN shd ON shd.doc_id = sv.doc_id
+        LEFT JOIN bench_sh bs ON bs.s = shd.s
+        GROUP BY 1
+    ), contaminated AS (
+        SELECT doc_id FROM cont WHERE 2 * n_hit > n_sh
+    ), kept AS MATERIALIZED (
+        SELECT sv.doc_id, sv.source
+        FROM survivors sv LEFT JOIN contaminated c USING (doc_id)
+        WHERE c.doc_id IS NULL
+    ), dw AS (
+        SELECT t.doc_id, t.tok AS word, count(*) AS mult
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM alldocs) t
+        JOIN kept k ON k.doc_id = t.doc_id
+        WHERE t.tok != '' GROUP BY 1, 2
+    ), vocab AS (
+        SELECT DISTINCT word FROM dw
+    ), seg AS (
+        SELECT word, {_bpe_apply_sql('word')} AS sgs FROM vocab
+    ), counted AS (
+        SELECT word,
+               CAST((length(sgs) - length(replace(sgs, ' ', ''))) / 2
+                   AS BIGINT) AS n_sym
+        FROM seg
+    ), per_doc AS (
+        SELECT dw.doc_id, CAST(sum(dw.mult * c.n_sym) AS BIGINT) AS nb
+        FROM dw JOIN counted c USING (word) GROUP BY 1
+    ), kept_bpe AS MATERIALIZED (
+        SELECT k.doc_id, k.source, coalesce(p.nb, 0) AS nb
+        FROM kept k LEFT JOIN per_doc p USING (doc_id)
+    ), pk AS MATERIALIZED (
+        SELECT source, doc_id, nb,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY nb DESC, doc_id
+               ) AS i
+        FROM kept_bpe WHERE doc_id < 300
+    ), pkn AS MATERIALIZED (
+        SELECT source, count(*) AS n FROM pk GROUP BY source
+    ), fit(source, i, caps) AS (
+        SELECT source, 0, []::BIGINT[] FROM pkn
+        UNION ALL
+        SELECT f.source, f.i + 1,
+               CASE WHEN {pos} IS NULL
+                    THEN list_append(f.caps, greatest(1024 - d.nb, 0))
+                    ELSE f.caps[1:{pos}-1] || [f.caps[{pos}] - d.nb]
+                         || f.caps[{pos}+1:len(f.caps)]
+               END
+        FROM fit f JOIN pk d ON d.source = f.source AND d.i = f.i + 1
+    ), packs AS (
+        SELECT f.source, len(f.caps) AS n_packs
+        FROM fit f JOIN pkn ON pkn.source = f.source AND pkn.n = f.i
+    ), pack_doc_stats AS (
+        SELECT source, count(*) AS packed_docs,
+               CAST(sum(nb) AS BIGINT) AS packed_tokens
+        FROM pk GROUP BY source
+    ), inp AS (
+        SELECT source, count(*) AS n_input FROM corpus GROUP BY source
+    ), fq AS (
+        SELECT source, count(*) AS n_fail FROM gf
+        WHERE NOT pass_all GROUP BY source
+    ), nd AS (
+        SELECT p.source, count(*) AS n_dup
+        FROM passing p JOIN dup_dropped dd USING (doc_id) GROUP BY 1
+    ), nc AS (
+        SELECT sv.source, count(*) AS n_cont
+        FROM survivors sv JOIN contaminated c USING (doc_id) GROUP BY 1
+    ), ks AS (
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(nb) AS BIGINT) AS bpe_tokens
+        FROM kept_bpe GROUP BY source
+    )
+    SELECT i.source,
+           CAST(i.n_input AS BIGINT) AS n_input,
+           CAST(coalesce(fq.n_fail, 0) AS BIGINT) AS n_fail_quality,
+           CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_dropped,
+           CAST(coalesce(nc.n_cont, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(ks.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(ks.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           CAST(coalesce(pd.packed_docs, 0) AS BIGINT) AS packed_docs,
+           CAST(coalesce(pd.packed_tokens, 0) AS BIGINT) AS packed_tokens,
+           CAST(coalesce(pp.n_packs, 0) AS BIGINT) AS n_packs
+    FROM inp i
+    LEFT JOIN fq USING (source)
+    LEFT JOIN nd USING (source)
+    LEFT JOIN nc USING (source)
+    LEFT JOIN ks USING (source)
+    LEFT JOIN pack_doc_stats pd USING (source)
+    LEFT JOIN packs pp USING (source)
+    """
+
+
+@_register(
+    "training_data_pipeline",
+    _training_pipeline_oracle(),
+    "END-TO-END training-data prep funnel (the LLM-data dual of "
+    "blind_search_pipeline): Gopher quality -> near-dup removal -> "
+    "contamination screen vs held-out benchmark -> committed-BPE "
+    "token budget -> per-source FFD context-window packing, one "
+    "plan, per-source funnel stats",
+)
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.datapipe import training_data_stats
+
+    d = load_table(spark, "documents", sf_dir)
+    # the stopword rule assumes English prose; the synthetic corpus
+    # has none of the 8 Gopher stopwords, so the battery is tuned to
+    # the six structural rules (quality_rules doc in datapipe.py)
+    return training_data_stats(
+        d, list(_BPE_MERGES),
+        quality_rules=(
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_alpha_words", "r_bullet_lines", "r_ellipsis_lines",
+        ),
+    )
+
+
 @_register(
     "quality_classifier",
     rf"""
@@ -8484,10 +8717,11 @@ _TAIL: tuple[str, ...] = (
     "jones_beam_corr",
     "json_props_stats",
     "resample_hourly_ffill",
-    # r2-green (driver + judge re-verified r7) and byte-identical
-    # since; demoted in the round-8 second wave to fund the new
-    # incremental_near_dup gate
-    "value_histogram",
+    # r3/r2-green and byte-identical since; demoted in the round-8
+    # second wave to fund the new incremental_near_dup and
+    # training_data_pipeline gates
+    "stratified_sample",
+    "source_quota_sample",
     # r6-green and byte-identical since r6; demoted in the round-7
     # second wave to fund the five new gates (candidate_sift,
     # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
@@ -8556,9 +8790,10 @@ _PROMOTE: tuple[str, ...] = (
     "pulse_energy_hist",
     "psrflux_band_flux",
     # round 8 second wave: the NEW store-backed incremental near-dup
-    # gate, funded by demoting the r2-green byte-identical
-    # value_histogram
+    # and end-to-end training-data pipeline gates, funded by demoting
+    # the byte-identical stratified_sample / source_quota_sample
     "incremental_near_dup",
+    "training_data_pipeline",
     # round 7 third wave: new gates (funded by demoting the r4-green
     # byte-identical tfidf_top_terms and the r3-green byte-identical
     # language_id)

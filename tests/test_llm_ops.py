@@ -1612,6 +1612,49 @@ def test_near_dedup_pipeline_drops_verified_only(spark):
     assert stats["n_kept"] == 4 - stats["n_dropped"]
 
 
+def test_training_data_pipeline_hand_funnel(spark):
+    """Every stage of the funnel exercised by one hand-built corpus:
+    a quality-fail doc, a near-dup pair (min-id kept), a doc that is
+    a verbatim copy of the held-out benchmark doc (contaminated),
+    and a clean doc — per-source counts land exactly."""
+    from lofar_bf_pulsar_scripts_spark.plans.datapipe import (
+        training_data_stats,
+    )
+
+    words = lambda pre, n: " ".join(f"{pre}{i:02d}" for i in range(n))  # noqa: E731
+    bench_text = words("bw", 60)
+    near = words("nd", 60)
+    docs = spark.createDataFrame(
+        [
+            (0, "s", bench_text),             # benchmark (0 % 97 == 0)
+            (1, "s", words("cl", 60)),        # clean
+            (2, "s", near),                   # near-dup pair, kept
+            (3, "s", near + " extraword"),    # near-dup pair, dropped
+            (4, "s", bench_text),             # contaminated (copy of bench)
+            (5, "s", words("sh", 10)),        # quality fail (< 50 words)
+        ],
+        "doc_id long, source string, text string",
+    )
+    row = training_data_stats(
+        docs, [("b", "w")],
+        quality_rules=(
+            "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_alpha_words", "r_bullet_lines", "r_ellipsis_lines",
+        ),
+    ).first()
+    assert row["source"] == "s"
+    assert row["n_input"] == 5
+    assert row["n_fail_quality"] == 1
+    assert row["n_dup_dropped"] == 1
+    assert row["n_contaminated"] == 1
+    assert row["n_kept"] == 2
+    assert row["bpe_tokens"] > 0
+    # both kept docs are under the pack bound and fit one window each
+    assert row["packed_docs"] == 2
+    assert row["packed_tokens"] == row["bpe_tokens"]
+    assert 1 <= row["n_packs"] <= 2
+
+
 def test_incremental_near_dup_hand_case(spark, tmp_path):
     """Batch probe against an at-rest band store: an exact re-crawl
     verifies against its original AND a 3/5-Jaccard neighbor; a novel

@@ -421,3 +421,13 @@ def test_incremental_near_dup_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_data_pipeline_plan(spark):
+    """The end-to-end prep funnel never goes quadratic: candidates
+    are bucket-bounded equi-joins, the contamination benchmark is a
+    broadcast, and no stage introduces a cartesian."""
+    plan = _plan(spark, "training_data_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
