@@ -29,6 +29,14 @@ Usage:
     python tools/scale_probe.py run    [--base /root/testdata/sf0.1] \
         [--scaled /tmp/scale_sf1] [--factor 10] [--repeats 2] [--queries a,b]
 
+At factor 100 set SPARK_GRAFT_DRIVER_MEM=48g (session.py default is
+8g; the single local JVM is both driver and all executors, and the
+100x corpus GC-thrashes an 8g heap).  Dedup-family queries are NOT
+valid 100x probes on this corpus: replicas differ only by a suffix
+token, so at 100x every doc has 99 GENUINE near-duplicates and the
+measurement is clone density, not operator shape (SCALE.md tenth
+wave, second decade).
+
 ``run`` prints one JSON object per query with base/scaled wall times
 (min over repeats after a warmup), the ratio, and the scaling exponent
 log(t_scaled/t_base)/log(factor); plus a summary line.
