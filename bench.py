@@ -74,13 +74,25 @@ def main() -> None:
         # normalized (divide totals by the mean canary) instead of
         # read as code regressions — r5->r6 committed records
         # differed up to 2.5x on identical code from machine
-        # conditions alone.
-        t0 = time.time()
-        spark.range(0, 50_000_000, 1, 32).selectExpr(
-            # double product: the long sum-of-squares overflows int64
-            "sum(CAST(id AS DOUBLE) * id) AS s"
-        ).write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        # conditions alone. Min of 3 runs: a single sub-second sample
+        # is GC/scheduler-noise-dominated (r8 measured 1.8x start/end
+        # drift on an idle machine from one-shot sampling alone).
+        # 400M rows, min of 3. Calibration note (r8, idle machine):
+        # canary_start still reads ~1.5-2x canary_end because the JVM
+        # matures over the 150 s run (C2/GC state), NOT contention —
+        # even 6 warmup invocations don't close it. Interpretation
+        # rule (README): contention shows as BOTH samples elevated
+        # versus the ~0.1-0.25 s idle reference; normalize totals by
+        # the MEAN of the pair.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 400_000_000, 1, 32).selectExpr(
+                # double product: long sum-of-squares overflows int64
+                "sum(CAST(id AS DOUBLE) * id) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
 
     # One-time at-rest store builds happen BEFORE the canary and are
     # reported as their own field: on a cold container the first query
