@@ -469,7 +469,12 @@ def pack_sequences(
     ``bucket_col`` names an EXISTING column to pack within instead of
     the hash bucket — per-source packing for corpora whose sources
     must not mix inside a context window (curriculum / provenance
-    separation); pack_ids are then ``<bucket value>_<i>``."""
+    separation); pack_ids are then ``<bucket value>_<i>``. NOTE the
+    output schema differs by mode: hash-bucket mode emits a ``bucket
+    long`` column; bucket_col mode passes the caller's column through
+    with its own name and type. NULL bucket values are mapped to the
+    sentinel bucket ``'__null__'`` (string bucket_col) / ``-1``
+    (numeric) rather than silently packing as a ``'None_0'`` pack_id."""
     if bucket_col is None:
         bucketed = df.withColumn(
             "bucket",
@@ -477,9 +482,12 @@ def pack_sequences(
         )
         bcol, btype = "bucket", "long"
     else:
-        bucketed = df
         bcol = bucket_col
         btype = df.schema[bucket_col].dataType.simpleString()
+        sentinel = F.lit("__null__") if btype == "string" else F.lit(-1)
+        bucketed = df.withColumn(
+            bcol, F.coalesce(F.col(bcol), sentinel.cast(btype))
+        )
 
     def pack(pdf):
         import numpy as np

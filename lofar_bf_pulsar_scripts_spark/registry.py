@@ -40,20 +40,22 @@ class QuerySpec:
 _SPECS: list[QuerySpec] = []
 
 
-def _lsh_store_path(sf_dir: str, **params) -> str:
+def _lsh_store_path(sf_dir: str, src_table: str = "embeddings", **params) -> str:
     """Deterministic per-(source data, params) location for an
-    at-rest derived store (LSH signatures / PQ codes) under the
-    system tempdir, so repeated gate/bench runs in one container
-    reuse the build. The key includes the source parquet's (size,
-    mtime) fingerprint: regenerating the data IN PLACE at the same
-    sf_dir moves the key, so a cached store built from old data can
+    at-rest derived store (LSH signatures / PQ codes / MinHash bands)
+    under the system tempdir, so repeated gate/bench runs in one
+    container reuse the build. The key includes the SOURCE parquet's
+    (size, mtime) fingerprint — pass src_table to name the table the
+    store is actually derived from (e.g. 'documents' for the MinHash
+    band store), so regenerating that table IN PLACE at the same
+    sf_dir moves the key and a cached store built from old data can
     never be silently probed against new data (the same
     stale-artifact hazard caldata's sha256 manifest guards)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    src = os.path.join(os.path.abspath(sf_dir), f"{src_table}.parquet")
     try:
         st = os.stat(src)
         fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
@@ -132,7 +134,8 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     ensure_minhash_bands(
         d,
         _lsh_store_path(
-            sf_dir, kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2
+            sf_dir, src_table="documents",
+            kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
         ),
         num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
     )
@@ -1750,7 +1753,8 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     store = _lsh_store_path(
-        sf_dir, kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2
+        sf_dir, src_table="documents",
+        kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
     )
     ensure_minhash_bands(
         d, store, num_hashes=_NUM_MINHASH, shingle_k=3,
@@ -8494,12 +8498,18 @@ def _phash_band_exprs_sql() -> list[str]:
 # planting keeps the gate's output non-empty at every SF and growing
 # linearly with the corpus.  ONE expression string feeds both engines.
 _PHASH_C0 = (
-    "CAST(floor((16 * CAST(greatest(length(text), 1) AS DOUBLE))"
-    " / 256.0) AS INT)"
+    "CAST(floor((16 * CAST(greatest(length(coalesce(text, '')), 1)"
+    " AS DOUBLE)) / 256.0) AS INT)"
 )
+# NULL text must be normalized BEFORE concat: Spark's concat() returns
+# NULL if any argument is NULL while DuckDB's skips NULLs, so a raw
+# NULL-text doc would mutate to NULL-then-'' on Spark but '~' on
+# DuckDB — coalesce inside the shared expression keeps both engines on
+# the same input string.
 _PHASH_MUT_EXPR = (
-    f"concat(substring(text, 1, {_PHASH_C0}), '~', "
-    f"substring(text, {_PHASH_C0} + 2, greatest(length(text), 1)))"
+    f"concat(substring(coalesce(text, ''), 1, {_PHASH_C0}), '~', "
+    f"substring(coalesce(text, ''), {_PHASH_C0} + 2, "
+    f"greatest(length(coalesce(text, '')), 1)))"
 )
 _PHASH_PLANT_SQL = f"""
     SELECT doc_id, text FROM documents
