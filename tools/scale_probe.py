@@ -25,17 +25,31 @@ same per-user session structure, which is how a real corpus grows.
 
 Usage:
     python tools/scale_probe.py build  [--src /root/testdata/sf0.1] \
-        [--dst /tmp/scale_sf1] [--factor 10]
+        [--dst /tmp/scale_sf1] [--factor 10] [--docs-mode distinct|realistic]
     python tools/scale_probe.py run    [--base /root/testdata/sf0.1] \
         [--scaled /tmp/scale_sf1] [--factor 10] [--repeats 2] [--queries a,b]
 
 At factor 100 set SPARK_GRAFT_DRIVER_MEM=48g (session.py default is
 8g; the single local JVM is both driver and all executors, and the
-100x corpus GC-thrashes an 8g heap).  Dedup-family queries are NOT
-valid 100x probes on this corpus: replicas differ only by a suffix
-token, so at 100x every doc has 99 GENUINE near-duplicates and the
-measurement is clone density, not operator shape (SCALE.md tenth
-wave, second decade).
+100x corpus GC-thrashes an 8g heap).
+
+``--docs-mode`` picks the documents replica mutation:
+
+* ``distinct`` (default, the historical mode): replica token at both
+  ends of the text. Replica copies of a doc still share ~95% of
+  their word shingles, so at 100x every doc has 99 GENUINE
+  above-threshold near-duplicates and dedup-family probes measure
+  clone density, not operator shape (SCALE.md tenth wave, second
+  decade). Fine for every non-dedup query.
+* ``realistic`` (VERDICT r8 item 1): replica r>0 renames EVERY word
+  injectively (word -> word_q{r}q). A bijection on the token
+  alphabet preserves within-replica Jaccard EXACTLY (exact dups stay
+  exact, organic near-dups keep their similarity) while cross-replica
+  Jaccard drops to 0 — far below any dedup threshold. Duplicate
+  density per doc is therefore CONSTANT as the corpus grows, which is
+  how a real 100 TB corpus scales, and the dedup-family 100x probe
+  measures the operator. Exact-substring spans likewise never match
+  across replicas, so span_dedup has constant per-doc work too.
 
 ``run`` prints one JSON object per query with base/scaled wall times
 (min over repeats after a warmup), the ratio, and the scaling exponent
@@ -98,7 +112,7 @@ def _strides(con, src: str) -> dict[str, int]:
     }
 
 
-def build(src: str, dst: str, factor: int) -> None:
+def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -147,6 +161,22 @@ def build(src: str, dst: str, factor: int) -> None:
             "select doc_id + {r}*{doc} as doc_id, "
             "case when {r} = 0 then text "
             "else 'z{r} ' || text || ' zrep{r}' end as text, "
+            "lang, source, n_chars from src"
+        )
+        if docs_mode == "distinct"
+        else (
+            # realistic mode: injective per-replica word renaming —
+            # the tokenizer splits on \s+ and lowercases, so suffixing
+            # every non-space run with the lowercase tag '_q{r}q' is a
+            # bijection on the token alphabet: within-replica shingle
+            # Jaccard is IDENTICAL to the source corpus, cross-replica
+            # Jaccard is 0. n_chars is kept from the source row on
+            # purpose (token COUNT is unchanged and no gated query
+            # derives n_chars from text).
+            "select doc_id + {r}*{doc} as doc_id, "
+            "case when {r} = 0 then text "
+            "else regexp_replace(text, '(\\S+)', '\\1_q{r}q', 'g') "
+            "end as text, "
             "lang, source, n_chars from src"
         ),
         "embeddings": (
@@ -239,6 +269,9 @@ def main() -> None:
     b.add_argument("--src", default="/root/testdata/sf0.1")
     b.add_argument("--dst", default="/tmp/scale_sf1")
     b.add_argument("--factor", type=int, default=10)
+    b.add_argument(
+        "--docs-mode", choices=["distinct", "realistic"], default="distinct"
+    )
     r = sub.add_parser("run")
     r.add_argument("--base", default="/root/testdata/sf0.1")
     r.add_argument("--scaled", default="/tmp/scale_sf1")
@@ -247,7 +280,7 @@ def main() -> None:
     r.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     a = ap.parse_args()
     if a.cmd == "build":
-        build(a.src, a.dst, a.factor)
+        build(a.src, a.dst, a.factor, a.docs_mode)
     else:
         run(a.base, a.scaled, a.factor, a.repeats, a.queries.split(","))
 
