@@ -374,6 +374,96 @@ def hierarchical_assign(
     return corpus.join(best, on=id_col)
 
 
+def routing_tree_assign(
+    corpus: DataFrame,
+    levels: list[DataFrame],
+    level_id_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L-level IVF routing tree (VERDICT r8 item 3 — the general form
+    of ``hierarchical_assign``): ``levels`` are centroid tables
+    coarsest to finest; ``levels[0]`` carries (level_id_cols[0],
+    vec_col), every deeper ``levels[i]`` additionally carries its
+    parent's id column ``level_id_cols[i-1]`` (normally produced by
+    ``ivf_assign(levels[i], levels[i-1])`` — codebook-sized jobs,
+    negligible beside the corpus pass).
+
+    Scale shape: with a codebook k proportional to N (the SemDeDup
+    ingest contract), two-level routing through a CONSTANT-stride
+    coarse codebook still pays N x k1 dots with k1 itself linear in
+    N — the measured N^1.5-ish floor. An L-level tree with branching
+    b = k^(1/L) pays N * L * b dots: L=3 turns the corpus cost into
+    N^(4/3). Every level is one broadcast join + one
+    map-side-collapsing argmax; the vector rides inside the argmax
+    struct, so levels do NOT re-join the corpus (L aggregation
+    exchanges on ``id_col`` + the single final assignment join).
+
+    Transitive leaf ownership is enforced top-down: a level-i
+    centroid routes traffic only if some leaf centroid descends from
+    it (semi-filter chain), else vectors routed into a childless cell
+    would vanish from the assignment (the hierarchical_assign
+    lesson, measured at 2.3% of the 100x corpus)."""
+    if len(levels) != len(level_id_cols) or not levels:
+        raise ValueError("levels and level_id_cols must match, non-empty")
+    # transitive ownership, finest to coarsest
+    owned = list(levels)
+    for i in range(len(levels) - 2, -1, -1):
+        owned[i] = owned[i].join(
+            F.broadcast(
+                owned[i + 1].select(level_id_cols[i]).distinct()
+            ),
+            on=level_id_cols[i],
+            how="leftsemi",
+        )
+    routed = corpus.select(F.col(id_col), F.col(vec_col))
+    parent: str | None = None
+    for i, (lvl, lid) in enumerate(zip(owned, level_id_cols)):
+        sel = [
+            F.col(lid).alias("__lid"),
+            F.col(vec_col).alias("__lvec"),
+        ]
+        if parent is not None:
+            sel.append(F.col(parent).alias("__lpar"))
+        cent = F.broadcast(lvl.select(*sel))
+        if parent is None:
+            j = routed.crossJoin(cent)
+        else:
+            j = routed.join(
+                cent, routed["__grp"] == cent["__lpar"]
+            ).drop("__lpar")
+        best = (
+            j.select(
+                id_col,
+                F.col("__lid"),
+                F.col(vec_col),
+                dot(F.col(vec_col), F.col("__lvec")).alias("__score"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__score"),
+                        (-F.col("__lid")).alias("n"),
+                        F.col("__lid").alias("lid"),
+                        F.col(vec_col).alias("v"),
+                    )
+                ).alias("__b")
+            )
+            .select(
+                F.col(id_col),
+                F.col("__b.v").alias(vec_col),
+                F.col("__b.lid").alias("__grp"),
+            )
+        )
+        routed = best
+        parent = lid
+    assign = routed.select(
+        F.col(id_col), F.col("__grp").alias(level_id_cols[-1])
+    )
+    return corpus.join(assign, on=id_col)
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries: DataFrame,

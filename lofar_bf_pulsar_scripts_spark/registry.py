@@ -2113,6 +2113,33 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16_table(d)
 
 
+# ~1.2x-geometric branching candidates: dense enough that the chosen
+# b sits within ~20% of the ideal cube root (a pure power-of-two grid
+# left b at 16 when the ideal was 31.5 at the 100x probe — nearly 2x
+# the per-vector dot count), sparse enough for an exact-integer VALUES
+# scan in both engines.
+_ROUTING_BRANCHES = (
+    2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 160, 192, 224, 256,
+)
+
+
+def _routing_branch(n: int) -> int:
+    """Routing-tree branching factor: largest candidate b with
+    b^3 <= n // 64 (min 2) — exact integer arithmetic, the
+    bit-for-bit twin of the hierarchical gates' ``bb`` SQL CTE (no
+    pow/log floating point that could round differently across
+    engines)."""
+    best = 2
+    for v in _ROUTING_BRANCHES:
+        if v * v * v <= n // 64:
+            best = v
+    return best
+
+
+_ROUTING_BRANCH_VALUES = ",".join(f"({v})" for v in _ROUTING_BRANCHES)
+
+
 _COS_DOT = (
     "list_aggregate(list_transform(generate_series(1, len({a})), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
@@ -7284,46 +7311,100 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "hierarchical_assign_counts",
     f"""
-    -- two-level IVF assignment (the k-proportional-to-N ingest
-    -- shape): flat argmax is N x k dots — quadratic when the
-    -- codebook grows with the corpus — so vectors route through a
-    -- coarse codebook (stride 250) to its group's fine centroids
-    -- (stride 64).  Both argmaxes deterministic (dot desc, id asc).
+    -- THREE-level IVF routing tree (the k-proportional-to-N ingest
+    -- shape, VERDICT r8 item 3): with the codebook growing as N/64,
+    -- a constant-stride coarse level still pays N x k1 dots with k1
+    -- itself linear in N (the measured N^1.5-ish floor of the
+    -- two-level r7/r8 gate).  Branching b = largest power of two
+    -- with b^3 <= N//64 (EXACT integer arithmetic — both engines
+    -- agree bit-for-bit, no pow/log rounding) gives level strides
+    -- 64*b^2 / 64*b / 64, so the corpus pays ~3b dots per vector:
+    -- N^(4/3) total.  All argmaxes deterministic (dot desc, id asc).
     -- The gate pins the RESULTING assignment per fine centroid.
     WITH e2 AS (
         SELECT vec_id, embedding FROM embeddings
-    ), coarse AS (
-        SELECT vec_id AS gid, embedding AS ce FROM e2
-        WHERE vec_id % 250 = 0
+    ), nn AS (
+        SELECT count(*) AS n FROM e2
+    ), bb AS (
+        SELECT coalesce(max(v), 2) AS b
+        FROM (VALUES {_ROUTING_BRANCH_VALUES}) t(v), nn
+        WHERE CAST(v AS BIGINT) * v * v <= nn.n // 64
+    ), l1 AS (
+        SELECT vec_id AS g1, embedding AS ce FROM e2, bb
+        WHERE vec_id % (64 * bb.b * bb.b) = 0
+    ), l2 AS (
+        SELECT vec_id AS g2, embedding AS me FROM e2, bb
+        WHERE vec_id % (64 * bb.b) = 0
     ), fine AS (
         SELECT vec_id AS cid, embedding AS fe FROM e2
         WHERE vec_id % 64 = 0
-    ), fine_g AS (
-        SELECT cid, fe, gid FROM (
-            SELECT f.cid, f.fe, c.gid,
+    ), l2g AS (
+        -- codebook prep: mids route to l1, fines to mids (flat
+        -- argmax, codebook-sized jobs)
+        SELECT g2, me, g1 FROM (
+            SELECT m.g2, m.me, c.g1,
+                   row_number() OVER (
+                       PARTITION BY m.g2
+                       ORDER BY {_COS_DOT.format(a='m.me', b='c.ce')}
+                           DESC, c.g1 ASC
+                   ) AS rn
+            FROM l2 m CROSS JOIN l1 c
+        ) WHERE rn = 1
+    ), p1 AS (
+        -- tree-prep ownership: fines route through l1 cells that own
+        -- a mid (routing_tree_assign's semi-filter), never flat over
+        -- all mids — the prep itself must be sub-quadratic when the
+        -- codebook grows with the corpus
+        SELECT g1, ce FROM l1
+        WHERE g1 IN (SELECT g1 FROM l2g)
+    ), f1 AS (
+        SELECT cid, fe, g1 FROM (
+            SELECT f.cid, f.fe, c.g1,
                    row_number() OVER (
                        PARTITION BY f.cid
                        ORDER BY {_COS_DOT.format(a='f.fe', b='c.ce')}
-                           DESC, c.gid ASC
+                           DESC, c.g1 ASC
                    ) AS rn
-            FROM fine f CROSS JOIN coarse c
+            FROM fine f CROSS JOIN p1 c
         ) WHERE rn = 1
-    ), owned AS (
-        -- corpus routes only to coarse groups that OWN a fine
-        -- centroid (else a vector whose nearest cell is empty of
-        -- fines would vanish from the assignment) — mirrors the
-        -- operator's leftsemi filter
-        SELECT c.gid, c.ce FROM coarse c
-        WHERE c.gid IN (SELECT gid FROM fine_g)
-    ), vg AS (
-        SELECT vec_id, embedding, gid FROM (
-            SELECT e.vec_id, e.embedding, c.gid,
+    ), fine_g AS (
+        SELECT cid, fe, g2 FROM (
+            SELECT f.cid, f.fe, m.g2,
+                   row_number() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY {_COS_DOT.format(a='f.fe', b='m.me')}
+                           DESC, m.g2 ASC
+                   ) AS rn
+            FROM f1 f JOIN l2g m USING (g1)
+        ) WHERE rn = 1
+    ), ol2 AS (
+        -- transitive leaf ownership (mirrors routing_tree_assign's
+        -- semi-filter chain): traffic only routes into cells that
+        -- own a fine centroid
+        SELECT g2, me, g1 FROM l2g
+        WHERE g2 IN (SELECT g2 FROM fine_g)
+    ), ol1 AS (
+        SELECT g1, ce FROM l1
+        WHERE g1 IN (SELECT g1 FROM ol2)
+    ), v1 AS (
+        SELECT vec_id, embedding, g1 FROM (
+            SELECT e.vec_id, e.embedding, c.g1,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {_COS_DOT.format(a='e.embedding', b='c.ce')}
-                           DESC, c.gid ASC
+                           DESC, c.g1 ASC
                    ) AS rn
-            FROM e2 e CROSS JOIN owned c
+            FROM e2 e CROSS JOIN ol1 c
+        ) WHERE rn = 1
+    ), v2 AS (
+        SELECT vec_id, embedding, g2 FROM (
+            SELECT v.vec_id, v.embedding, m.g2,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS_DOT.format(a='v.embedding', b='m.me')}
+                           DESC, m.g2 ASC
+                   ) AS rn
+            FROM v1 v JOIN ol2 m USING (g1)
         ) WHERE rn = 1
     ), assigned AS (
         SELECT vec_id, cid FROM (
@@ -7333,7 +7414,7 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY {_COS_DOT.format(a='v.embedding', b='f.fe')}
                            DESC, f.cid ASC
                    ) AS rn
-            FROM vg v JOIN fine_g f USING (gid)
+            FROM v2 v JOIN fine_g f USING (g2)
         ) WHERE rn = 1
     )
     SELECT CAST(cid AS BIGINT) AS cid,
@@ -7341,29 +7422,39 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
     FROM assigned GROUP BY cid
     """,
-    "two-level IVF ingest assignment (similarity.hierarchical_"
-    "assign): N x (k1 + k/k1) dot products instead of the quadratic "
-    "N x k flat argmax when the codebook grows with the corpus; "
-    "both levels broadcast joins + map-side-collapsing argmaxes",
+    "three-level IVF routing tree (similarity.routing_tree_assign): "
+    "N * 3 * (N/64)^(1/3) dot products instead of the two-level "
+    "N^1.5 floor when the codebook grows with the corpus; every "
+    "level a broadcast join + map-side-collapsing argmax, vectors "
+    "ride the argmax struct so levels never re-join the corpus",
 )
 def q_hierarchical_assign_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .operators.similarity import hierarchical_assign, ivf_assign
+    from .operators.similarity import ivf_assign, routing_tree_assign
 
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     )
-    coarse = e.filter(F.pmod(F.col("vec_id"), F.lit(250)) == 0).select(
-        F.col("vec_id").alias("gid"), "embedding"
+    b = _routing_branch(e.count())
+    l1 = e.filter(
+        F.pmod(F.col("vec_id"), F.lit(64 * b * b)) == 0
+    ).select(F.col("vec_id").alias("g1"), "embedding")
+    l2 = e.filter(F.pmod(F.col("vec_id"), F.lit(64 * b)) == 0).select(
+        F.col("vec_id").alias("g2"), "embedding"
     )
     fine = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    fine_g = ivf_assign(
-        fine, coarse, id_col="cid", centroid_id_col="gid"
+    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    # fine codebook routes THROUGH the tree too (k x b dots, not the
+    # flat k x k/b) — mirrored by the oracle's p1/f1 CTEs
+    fine_g = routing_tree_assign(
+        fine, [l1, l2g], ["g1", "g2"], id_col="cid"
+    ).select("cid", "embedding", "g2")
+    assigned = routing_tree_assign(
+        e, [l1, l2g, fine_g], ["g1", "g2", "cid"]
     )
-    assigned = hierarchical_assign(e, coarse, fine_g)
     return assigned.groupBy(F.col("cid").cast("long").alias("cid")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("vec_id").alias("sum_vec_ids"),
@@ -7378,8 +7469,10 @@ def q_hierarchical_assign_counts(
     -- hierarchical assignment equals the flat argmax, in ppm —
     -- quantifies the documented routing approximation as DATA
     -- instead of a docstring caveat.  Flat argmax over the stride-64
-    -- codebook; two-level route via the stride-250 coarse groups
-    -- (restricted to groups owning a fine centroid).
+    -- codebook; THREE-level route via the power-of-two branching
+    -- tree (strides 64*b^2 / 64*b / 64, b^3 <= N//64 — the same
+    -- exact-integer bb CTE as hierarchical_assign_counts), each
+    -- level restricted to cells transitively owning a fine centroid.
     --
     -- The comparison runs over a FIXED-BUDGET deterministic sample
     -- (vec_id % 17 = 3, id-capped at 1024 samples): the flat argmax
@@ -7394,34 +7487,83 @@ def q_hierarchical_assign_counts(
     ), probe AS (
         SELECT vec_id, embedding FROM e2
         WHERE vec_id % 17 = 3 AND vec_id < 17408
-    ), coarse AS (
-        SELECT vec_id AS gid, embedding AS ce FROM e2
-        WHERE vec_id % 250 = 0
+    ), nn AS (
+        SELECT count(*) AS n FROM e2
+    ), bb AS (
+        SELECT coalesce(max(v), 2) AS b
+        FROM (VALUES {_ROUTING_BRANCH_VALUES}) t(v), nn
+        WHERE CAST(v AS BIGINT) * v * v <= nn.n // 64
+    ), l1 AS (
+        SELECT vec_id AS g1, embedding AS ce FROM e2, bb
+        WHERE vec_id % (64 * bb.b * bb.b) = 0
+    ), l2 AS (
+        SELECT vec_id AS g2, embedding AS me FROM e2, bb
+        WHERE vec_id % (64 * bb.b) = 0
     ), fine AS (
         SELECT vec_id AS cid, embedding AS fe FROM e2
         WHERE vec_id % 64 = 0
-    ), fine_g AS (
-        SELECT cid, fe, gid FROM (
-            SELECT f.cid, f.fe, c.gid,
+    ), l2g AS (
+        SELECT g2, me, g1 FROM (
+            SELECT m.g2, m.me, c.g1,
+                   row_number() OVER (
+                       PARTITION BY m.g2
+                       ORDER BY {_COS_DOT.format(a='m.me', b='c.ce')}
+                           DESC, c.g1 ASC
+                   ) AS rn
+            FROM l2 m CROSS JOIN l1 c
+        ) WHERE rn = 1
+    ), p1 AS (
+        -- tree-prep ownership: fines route through l1 cells that own
+        -- a mid (routing_tree_assign's semi-filter), never flat over
+        -- all mids — the prep itself must be sub-quadratic when the
+        -- codebook grows with the corpus
+        SELECT g1, ce FROM l1
+        WHERE g1 IN (SELECT g1 FROM l2g)
+    ), f1 AS (
+        SELECT cid, fe, g1 FROM (
+            SELECT f.cid, f.fe, c.g1,
                    row_number() OVER (
                        PARTITION BY f.cid
                        ORDER BY {_COS_DOT.format(a='f.fe', b='c.ce')}
-                           DESC, c.gid ASC
+                           DESC, c.g1 ASC
                    ) AS rn
-            FROM fine f CROSS JOIN coarse c
+            FROM fine f CROSS JOIN p1 c
         ) WHERE rn = 1
-    ), owned AS (
-        SELECT c.gid, c.ce FROM coarse c
-        WHERE c.gid IN (SELECT gid FROM fine_g)
-    ), vg AS (
-        SELECT vec_id, embedding, gid FROM (
-            SELECT e.vec_id, e.embedding, c.gid,
+    ), fine_g AS (
+        SELECT cid, fe, g2 FROM (
+            SELECT f.cid, f.fe, m.g2,
+                   row_number() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY {_COS_DOT.format(a='f.fe', b='m.me')}
+                           DESC, m.g2 ASC
+                   ) AS rn
+            FROM f1 f JOIN l2g m USING (g1)
+        ) WHERE rn = 1
+    ), ol2 AS (
+        SELECT g2, me, g1 FROM l2g
+        WHERE g2 IN (SELECT g2 FROM fine_g)
+    ), ol1 AS (
+        SELECT g1, ce FROM l1
+        WHERE g1 IN (SELECT g1 FROM ol2)
+    ), v1 AS (
+        SELECT vec_id, embedding, g1 FROM (
+            SELECT e.vec_id, e.embedding, c.g1,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {_COS_DOT.format(a='e.embedding', b='c.ce')}
-                           DESC, c.gid ASC
+                           DESC, c.g1 ASC
                    ) AS rn
-            FROM probe e CROSS JOIN owned c
+            FROM probe e CROSS JOIN ol1 c
+        ) WHERE rn = 1
+    ), v2 AS (
+        SELECT vec_id, embedding, g2 FROM (
+            SELECT v.vec_id, v.embedding, m.g2,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS_DOT.format(a='v.embedding', b='m.me')}
+                           DESC, m.g2 ASC
+                   ) AS rn
+            FROM v1 v JOIN ol2 m USING (g1)
         ) WHERE rn = 1
     ), hier AS (
         SELECT vec_id, cid FROM (
@@ -7431,7 +7573,7 @@ def q_hierarchical_assign_counts(
                        ORDER BY {_COS_DOT.format(a='v.embedding', b='f.fe')}
                            DESC, f.cid ASC
                    ) AS rn
-            FROM vg v JOIN fine_g f USING (gid)
+            FROM v2 v JOIN fine_g f USING (g2)
         ) WHERE rn = 1
     ), flat AS (
         SELECT vec_id, cid FROM (
@@ -7456,7 +7598,7 @@ def q_hierarchical_assign_counts(
     "same pattern as lsh_recall_at_5 for the query path)",
 )
 def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import hierarchical_assign, ivf_assign
+    from .operators.similarity import ivf_assign, routing_tree_assign
 
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
@@ -7468,16 +7610,25 @@ def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.col("vec_id"), F.lit(17)) == 3)
         & (F.col("vec_id") < 17408)
     )
-    coarse = e.filter(F.pmod(F.col("vec_id"), F.lit(250)) == 0).select(
-        F.col("vec_id").alias("gid"), "embedding"
+    b = _routing_branch(e.count())
+    l1 = e.filter(
+        F.pmod(F.col("vec_id"), F.lit(64 * b * b)) == 0
+    ).select(F.col("vec_id").alias("g1"), "embedding")
+    l2 = e.filter(F.pmod(F.col("vec_id"), F.lit(64 * b)) == 0).select(
+        F.col("vec_id").alias("g2"), "embedding"
     )
     fine = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    fine_g = ivf_assign(fine, coarse, id_col="cid", centroid_id_col="gid")
-    hier = hierarchical_assign(probe, coarse, fine_g).select(
-        "vec_id", F.col("cid").alias("__hcid")
-    )
+    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    # fine codebook routes THROUGH the tree too (k x b dots, not the
+    # flat k x k/b) — mirrored by the oracle's p1/f1 CTEs
+    fine_g = routing_tree_assign(
+        fine, [l1, l2g], ["g1", "g2"], id_col="cid"
+    ).select("cid", "embedding", "g2")
+    hier = routing_tree_assign(
+        probe, [l1, l2g, fine_g], ["g1", "g2", "cid"]
+    ).select("vec_id", F.col("cid").alias("__hcid"))
     flat = ivf_assign(probe, fine).select(
         "vec_id", F.col("cid").alias("__fcid")
     )
@@ -8727,6 +8878,29 @@ _TAIL: tuple[str, ...] = (
     "jones_beam_corr",
     "json_props_stats",
     "resample_hourly_ffill",
+    # r7/r8-green with driver rows in CORRECTNESS_r07/r08 and
+    # byte-identical this round; demoted in round 9 to fund the
+    # VERDICT r8 item-6 rotation of the longest-unrotated r2/r3-era
+    # greens back through the driver window (their recent rows stand)
+    "candidate_sift",
+    "single_pulse_cands",
+    "timing_fit_drift",
+    "blind_search_pipeline",
+    "hybrid_rrf_search",
+    "quality_classifier",
+    "visibility_windows",
+    "bpe_apply_counts",
+    "semantic_dedup_stats",
+    "gopher_rules",
+    "bigram_lm_quality",
+    "dsir_importance",
+    "bm25_search",
+    "dq_profile_events",
+    "key_skew_report",
+    "subband_dm_search",
+    "pii_redaction_stats",
+    "psrflux_band_flux",
+    "pulse_energy_hist",
     # r3/r2-green and byte-identical since; demoted in the round-8
     # second wave to fund the new incremental_near_dup and
     # training_data_pipeline gates
@@ -8754,17 +8928,52 @@ _TAIL: tuple[str, ...] = (
     "tsky_map_lookup",
     "channel_sefd",
     "catalog_union",
-    "dedup_documents",
     "nearest_supplier",
     "top_customer_per_nation",
     "token_stats",
     "lsh_bucket_sizes",
     "dup_clusters",
     "lta_superquery_manifest",
-    # r3-green and textually unchanged in r4; demoted to free head-50
-    # slots for embedding_quantize + frame_offsets (new in r3, never
-    # driver-gated) and the new r4 gates per the rotation rule. Their
-    # r3 rows stand.
+    # (round 9: the r3-demoted block — trimmed_stats, sigma_clip_
+    # events, scrunch_user_hour, altaz_positions, dispersion_delays,
+    # pulsar_derived, fold_event_counts, doc_fingerprint_groups,
+    # fold_profile, fold_subints, rebin_events, profile_stats,
+    # above_avg_orders, value_histogram, rotated_profile,
+    # pivot_event_values, event_pairs_within_minute, bilinear_gain —
+    # plus dedup_documents rotated back INTO the head after 5+ rounds
+    # on byte-stability audits only: VERDICT r8 item 6.)
+)
+
+
+# Queries pulled to the FRONT of the ordering regardless of file
+# position: new gates register at the end of the module, but the
+# driver's correctness window is the first 50 entries — promotion is
+# how a NEW query lands inside it (the _TAIL demotions below fund the
+# slots).
+_PROMOTE: tuple[str, ...] = (
+    # round 9, changed this round (ADVICE fixes + VERDICT items): the
+    # MinHash-band store key fix (incremental_near_dup fn), the phash
+    # NULL-coalesce (image_phash_pairs oracle + fn text), the
+    # span_dedup shuffle rewrite, the pack_sequences NULL-bucket
+    # guard (sequence_packing / tokenize_pack_pipeline /
+    # training_data_pipeline consume it), the Hamaker evaluator's
+    # derived-dims refactor (hamaker_beam_corr), and the round-9
+    # hierarchical-ingest / streaming-funnel work
+    "hamaker_beam_corr",
+    "incremental_near_dup",
+    "training_data_pipeline",
+    "image_phash_pairs",
+    "span_dedup_docs",
+    "near_dedup_pipeline",
+    "sequence_packing",
+    "tokenize_pack_pipeline",
+    "hierarchical_assign_counts",
+    "hier_assign_agreement",
+    "streaming_funnel_exact",
+    # round 9 rotation (VERDICT r8 item 6): the 19 longest-unrotated
+    # greens — driver-gated last in r2/r3, byte-stability audits
+    # since — re-enter the head, funded by demoting 19 r7/r8-green
+    # byte-identical entries (see the _TAIL round-9 block)
     "trimmed_stats",
     "sigma_clip_events",
     "scrunch_user_hour",
@@ -8783,61 +8992,7 @@ _TAIL: tuple[str, ...] = (
     "pivot_event_values",
     "event_pairs_within_minute",
     "bilinear_gain",
-)
-
-
-# Queries pulled to the FRONT of the ordering regardless of file
-# position: new gates register at the end of the module, but the
-# driver's correctness window is the first 50 entries — promotion is
-# how a NEW query lands inside it (the _TAIL demotions below fund the
-# slots).
-_PROMOTE: tuple[str, ...] = (
-    # round 8: the NEW hamaker_beam_corr gate and pulse_energy_hist —
-    # the one r7-changed spec that never appeared in any driver
-    # window (VERDICT r7 item 3) — enter the head, funded by demoting
-    # the r7-green byte-identical jones_beam_corr and json_props_stats
-    "hamaker_beam_corr",
-    "pulse_energy_hist",
-    "psrflux_band_flux",
-    # round 8 second wave: the NEW store-backed incremental near-dup
-    # and end-to-end training-data pipeline gates, funded by demoting
-    # the byte-identical stratified_sample / source_quota_sample
-    "incremental_near_dup",
-    "training_data_pipeline",
-    # round 7 third wave: new gates (funded by demoting the r4-green
-    # byte-identical tfidf_top_terms and the r3-green byte-identical
-    # language_id)
-    "subband_dm_search",
-    "image_phash_pairs",
-    # round 7 second wave: new gates (funded by demoting the
-    # r6-green byte-identical doc_chunks, url_canonical,
-    # vocab_coverage, bpe_token_counts, text_quality)
-    "candidate_sift",
-    "single_pulse_cands",
-    "timing_fit_drift",
-    "pii_redaction_stats",
-    "span_dedup_docs",
-    # round 7: new gates
-    "blind_search_pipeline",
-    "near_dedup_pipeline",
-    "hybrid_rrf_search",
-    "hierarchical_assign_counts",
-    "hier_assign_agreement",
-    "quality_classifier",
-    "tokenize_pack_pipeline",
-    "visibility_windows",
-    "bpe_apply_counts",
-    # round 7: changed Spark fn or oracle text (advice fixes, store-
-    # backed SemDeDup re-gate, content-keyed comb verdict, funnel
-    # state-fn rewrite) — every changed spec must sit in the window
-    "semantic_dedup_stats",
-    "streaming_funnel_exact",
-    "gopher_rules",
-    "bigram_lm_quality",
-    "dsir_importance",
-    "bm25_search",
-    "dq_profile_events",
-    "key_skew_report",
+    "dedup_documents",
 )
 
 

@@ -1,0 +1,111 @@
+"""Round-9 operators: the L-level IVF routing tree (VERDICT r8
+item 3) and the rewritten span-dedup shuffle shape."""
+import pytest
+
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+    ivf_assign,
+    routing_tree_assign,
+)
+from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+
+def _axis(axis, a, b, dims=8):
+    return [
+        (a if i == axis else (b if i == axis + 1 else 0.0))
+        for i in range(dims)
+    ]
+
+
+def test_routing_tree_three_levels_matches_flat_on_separated(spark):
+    """With well-separated cells at every level, the 3-level route
+    equals the flat argmax."""
+    l1 = spark.createDataFrame(
+        [(0, _axis(0, 1.0, 0.0)), (1, _axis(4, 1.0, 0.0))],
+        "g1 long, embedding array<double>",
+    )
+    l2 = spark.createDataFrame(
+        [
+            (10, _axis(0, 1.0, 0.5)),
+            (11, _axis(0, 1.0, -0.5)),
+            (20, _axis(4, 1.0, 0.5)),
+        ],
+        "g2 long, embedding array<double>",
+    )
+    fine = spark.createDataFrame(
+        [
+            (100, _axis(0, 1.0, 0.6)),
+            (101, _axis(0, 1.0, 0.4)),
+            (110, _axis(0, 1.0, -0.6)),
+            (200, _axis(4, 1.0, 0.6)),
+        ],
+        "cid long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # argmax is by DOT product: positive second components
+            # always favor fine 100 (weight 0.6) over 101 (0.4)
+            (0, _axis(0, 2.0, 1.3)),   # -> g1 0, g2 10, fine 100
+            (1, _axis(0, 2.0, 0.7)),   # -> fine 100 too
+            (2, _axis(0, 2.0, -1.2)),  # -> g2 11, fine 110
+            (3, _axis(4, 3.0, 2.0)),   # -> g1 1, fine 200
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    fine_g = ivf_assign(fine, l2, id_col="cid", centroid_id_col="g2")
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in routing_tree_assign(
+            corpus, [l1, l2g, fine_g], ["g1", "g2", "cid"]
+        ).collect()
+    }
+    assert got == {0: 100, 1: 100, 2: 110, 3: 200}
+    flat = {
+        r["vec_id"]: r["cid"] for r in ivf_assign(corpus, fine).collect()
+    }
+    assert got == flat
+
+
+def test_routing_tree_childless_cells_never_drop_vectors(spark):
+    """A level-1 cell with no descendants must receive no traffic —
+    every vector still gets an assignment (the ownership
+    semi-filter chain)."""
+    e = (
+        load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 400)
+    )
+    l1 = e.filter(F.pmod("vec_id", F.lit(100)) == 0).select(
+        F.col("vec_id").alias("g1"), "embedding"
+    )
+    l2 = e.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("g2"), "embedding"
+    )
+    fine = e.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    # orphan one mid cell: drop every fine assigned to g2 = 0, so that
+    # mid (and possibly its l1 parent) owns nothing
+    fine_g = ivf_assign(fine, l2, id_col="cid", centroid_id_col="g2").filter(
+        F.col("g2") != 0
+    )
+    if fine_g.count() == 0:
+        pytest.skip("degenerate codebook: all fines in cell 0")
+    out = routing_tree_assign(e, [l1, l2g, fine_g], ["g1", "g2", "cid"])
+    assert out.count() == e.count()
+    assert out.filter(F.col("cid").isNull()).count() == 0
+    # every assigned cid is a surviving fine centroid
+    valid = {r["cid"] for r in fine_g.select("cid").collect()}
+    got = {r["cid"] for r in out.select("cid").distinct().collect()}
+    assert got <= valid
+
+
+def test_routing_tree_validates_args(spark):
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001").limit(4)
+    with pytest.raises(ValueError):
+        routing_tree_assign(e, [e], ["a", "b"])
+    with pytest.raises(ValueError):
+        routing_tree_assign(e, [], [])
