@@ -6831,13 +6831,11 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "streaming_funnel_exact",
-    """
-    -- batch dual of the stateful streaming funnel tracker
-    -- (applyInPandasWithState, §2.9): strict-order min-chain on the
-    -- integer-microsecond axis — identical to event_funnel semantics
-    -- at microsecond resolution.
+# batch dual of BOTH streaming funnels (the applyInPandasWithState
+# tracker and the chained stream-stream join restatement): strict-
+# order min-chain on the integer-microsecond axis — identical to
+# event_funnel semantics at microsecond resolution.
+_FUNNEL_ORACLE_SQL = """
     WITH ev AS (
         SELECT user_id, event_type AS ty,
                datediff('microsecond',
@@ -6867,7 +6865,12 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT CAST(2 AS INTEGER), 'purchase', CAST(count(*) AS BIGINT),
            CAST(sum(user_id) AS BIGINT) FROM u2
-    """,
+    """
+
+
+@_register(
+    "streaming_funnel_exact",
+    _FUNNEL_ORACLE_SQL,
     "§2.9 stateful streaming funnel, hash-gated: the "
     "applyInPandasWithState step tracker over a bounded replay "
     "matches the batch strict-order min-chain exactly (two-integer "
@@ -6893,6 +6896,41 @@ def q_streaming_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_bounded_to_memory(
         spark, tr, "q_stream_funnel_exact", mode="append"
+    )
+    return out.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("user").alias("sum_user_id"),
+    )
+
+
+@_register(
+    "streaming_funnel_joins_exact",
+    _FUNNEL_ORACLE_SQL,
+    "§2.9 JVM-only streaming funnel (VERDICT r8 item 8): the greedy "
+    "min-chain as chained time-interval stream-stream joins + "
+    "streaming dedup — zero Python in the stream, state evicted at "
+    "the watermark by the conversion-window range condition; "
+    "hash-gated against the same batch strict-order oracle as the "
+    "stateful tracker",
+)
+def q_streaming_funnel_joins_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.funnel_stream import streaming_funnel_joins
+    from .tables import stream_events
+
+    stage = _stage_events_dir(sf_dir)
+    stream = stream_events(spark, stage).filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    # conversion window >= the replay's span -> gate-exact unbounded
+    # semantics (production sets the real conversion window here)
+    reach = streaming_funnel_joins(
+        stream, ["view", "click", "purchase"], window="3650 days"
+    )
+    out = _run_bounded_to_memory(
+        spark, reach, "q_stream_funnel_joins_exact", mode="append"
     )
     return out.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -8970,6 +9008,7 @@ _PROMOTE: tuple[str, ...] = (
     "hierarchical_assign_counts",
     "hier_assign_agreement",
     "streaming_funnel_exact",
+    "streaming_funnel_joins_exact",
     # round 9 rotation (VERDICT r8 item 6): the 19 longest-unrotated
     # greens — driver-gated last in r2/r3, byte-stability audits
     # since — re-enter the head, funded by demoting 19 r7/r8-green

@@ -103,6 +103,35 @@ def test_routing_tree_childless_cells_never_drop_vectors(spark):
     assert got <= valid
 
 
+def test_streaming_funnel_joins_matches_tracker(spark):
+    """The chained-join funnel and the applyInPandasWithState tracker
+    compute the same per-step reach sets on a bounded replay."""
+    from lofar_bf_pulsar_scripts_spark.registry import (
+        q_streaming_funnel_exact,
+        q_streaming_funnel_joins_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r["step_idx"], r["step"]): (r["n_users"], r["sum_user_id"])
+        for r in q_streaming_funnel_exact(spark, sf).collect()
+    }
+    b = {
+        (r["step_idx"], r["step"]): (r["n_users"], r["sum_user_id"])
+        for r in q_streaming_funnel_joins_exact(spark, sf).collect()
+    }
+    assert a == b and len(a) == 3
+
+
+def test_streaming_funnel_joins_rejects_empty_steps(spark):
+    from lofar_bf_pulsar_scripts_spark.streaming.funnel_stream import (
+        streaming_funnel_joins,
+    )
+
+    with pytest.raises(ValueError):
+        streaming_funnel_joins(spark.range(1), [])
+
+
 def test_routing_tree_validates_args(spark):
     e = load_table(spark, "embeddings", "/root/testdata/sf0.001").limit(4)
     with pytest.raises(ValueError):
