@@ -103,6 +103,76 @@ def test_routing_tree_childless_cells_never_drop_vectors(spark):
     assert got <= valid
 
 
+def test_realistic_replica_preserves_within_replica_jaccard(tmp_path):
+    """scale_probe --docs-mode realistic: the per-replica word rename
+    is a bijection on the token alphabet, so within-replica 3-shingle
+    Jaccard is EXACTLY the source corpus's and cross-replica Jaccard
+    is zero — duplicate density per doc constant as the corpus grows
+    (the eleventh-wave measurement's validity rests on this)."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    dst = str(tmp_path / "rep")
+    subprocess.run(
+        [
+            sys.executable, "tools/scale_probe.py", "build",
+            "--src", "/root/testdata/sf0.001", "--dst", dst,
+            "--factor", "3", "--docs-mode", "realistic",
+        ],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    con = duckdb.connect()
+    jac = """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct([
+                   lower(w[i]) || ' ' || lower(w[i+1]) || ' ' || lower(w[i+2])
+                   for i in range(1, len(w) - 1)
+               ]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+              FROM read_parquet('{p}') WHERE text IS NOT NULL)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id ia, b.doc_id ib,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) j
+    FROM t a JOIN t b ON {cond}
+    """
+    src = "/root/testdata/sf0.001/documents.parquet"
+    n = con.execute(f"SELECT max(doc_id)+1 FROM read_parquet('{src}')").fetchone()[0]
+    # source-corpus pairwise Jaccard (first 20 docs for speed)
+    base = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            jac.format(p=src, cond="a.doc_id < b.doc_id AND a.doc_id < 20 AND b.doc_id < 20")
+        ).fetchall()
+    }
+    # replica-1 internal pairs must match base exactly
+    rep = {
+        (r[0] - n, r[1] - n): r[2]
+        for r in con.execute(
+            jac.format(
+                p=f"{dst}/documents.parquet",
+                cond=f"a.doc_id < b.doc_id AND a.doc_id >= {n} "
+                     f"AND b.doc_id < {n}+20 AND a.doc_id >= {n} AND b.doc_id >= {n}",
+            )
+        ).fetchall()
+    }
+    assert base and rep.keys() == base.keys()
+    for k in base:
+        assert rep[k] == base[k], k
+    # cross-replica pairs (same source doc, replicas 0 vs 1) share nothing
+    cross = con.execute(
+        jac.format(
+            p=f"{dst}/documents.parquet",
+            cond=f"b.doc_id = a.doc_id + {n} AND a.doc_id < 20",
+        )
+    ).fetchall()
+    assert cross and all(r[2] == 0.0 for r in cross)
+
+
 def test_streaming_funnel_joins_matches_tracker(spark):
     """The chained-join funnel and the applyInPandasWithState tracker
     compute the same per-step reach sets on a bounded replay."""
