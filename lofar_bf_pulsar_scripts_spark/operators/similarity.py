@@ -250,22 +250,54 @@ def ivf_assign(
     centroid_id_col: str = "cid",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid (max dot). Centroids broadcast; assignment is map-side."""
-    c = F.broadcast(
-        centroids.select(
-            F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
-        )
+    centroid (max dot, ties to the smaller centroid id).
+
+    Fully MAP-SIDE (r9 rewrite): the codebook is collapsed into one
+    broadcast candidate array and the argmax is an in-row
+    ``transform`` (each dot computed exactly once) + ``aggregate``
+    fold — the corpus pays zero exchanges, where the previous
+    crossJoin + groupBy(id) argmax exploded N x k rows and shuffled
+    the corpus once per call. Fold order is irrelevant: argmax under
+    the total order (score desc, id asc) over a fixed candidate set
+    is order-independent, so results are bit-identical to the
+    aggregation form the DuckDB oracles mirror. The single-row
+    candidate array carries the same bytes the codebook broadcast
+    always did — feasibility at scale is unchanged (a codebook too
+    big for one array was already too big to broadcast; that regime
+    belongs to ``routing_tree_assign``)."""
+    cands = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(centroid_id_col).alias("i"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("__cands")
     )
-    scored = corpus.crossJoin(c).select(
-        *corpus.columns,
-        F.col("__cid"),
-        dot(F.col(vec_col), F.col("__cvec")).alias("__score"),
+    v = F.col(vec_col)
+    scored = F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(dot(v, c["v"]).alias("s"), c["i"].alias("i")),
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("__score"), (-F.col("__cid")).alias("n"),
-                       F.col("__cid").alias("cid"))).alias("__b")
-    ).select(F.col(id_col), F.col("__b.cid").alias(centroid_id_col))
-    return corpus.join(best, on=id_col)
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("s"),
+            F.lit(None)
+            .cast(centroids.schema[centroid_id_col].dataType)
+            .alias("i"),
+        ),
+        lambda acc, c: F.when(
+            (c["s"] > acc["s"])
+            | ((c["s"] == acc["s"]) & (c["i"] < acc["i"])),
+            c,
+        ).otherwise(acc),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cands))
+        .withColumn(centroid_id_col, best["i"])
+        .drop("__cands")
+        .filter(F.col(centroid_id_col).isNotNull())
+    )
 
 
 def hierarchical_assign(
@@ -394,10 +426,19 @@ def routing_tree_assign(
     coarse codebook still pays N x k1 dots with k1 itself linear in
     N — the measured N^1.5-ish floor. An L-level tree with branching
     b = k^(1/L) pays N * L * b dots: L=3 turns the corpus cost into
-    N^(4/3). Every level is one broadcast join + one
-    map-side-collapsing argmax; the vector rides inside the argmax
-    struct, so levels do NOT re-join the corpus (L aggregation
-    exchanges on ``id_col`` + the single final assignment join).
+    N^(4/3). The whole route is MAP-SIDE: each level's children are
+    pre-grouped into per-parent candidate ARRAYS (codebook-sized
+    ``collect_list`` builds, broadcast), a level is one broadcast
+    hash join on the parent cell id plus an in-row
+    ``transform``/``aggregate`` argmax over the candidate array —
+    the corpus pays ZERO exchanges end-to-end (the r9 rewrite of the
+    original per-level argmax aggregation, which shuffled the corpus
+    L+1 times and was the measured base-cost floor at small N).
+    Per-candidate dots are computed exactly once (scored via
+    ``transform``, THEN folded), and the fold's comparison order is
+    irrelevant: argmax under the total order (score desc, id asc)
+    over the same candidate set is order-independent, so results are
+    bit-identical to the aggregation form the oracle mirrors.
 
     Transitive leaf ownership is enforced top-down: a level-i
     centroid routes traffic only if some leaf centroid descends from
@@ -416,52 +457,42 @@ def routing_tree_assign(
             on=level_id_cols[i],
             how="leftsemi",
         )
-    routed = corpus.select(F.col(id_col), F.col(vec_col))
-    parent: str | None = None
+    out = corpus
     for i, (lvl, lid) in enumerate(zip(owned, level_id_cols)):
-        sel = [
-            F.col(lid).alias("__lid"),
-            F.col(vec_col).alias("__lvec"),
-        ]
-        if parent is not None:
-            sel.append(F.col(parent).alias("__lpar"))
-        cent = F.broadcast(lvl.select(*sel))
-        if parent is None:
-            j = routed.crossJoin(cent)
-        else:
-            j = routed.join(
-                cent, routed["__grp"] == cent["__lpar"]
-            ).drop("__lpar")
-        best = (
-            j.select(
-                id_col,
-                F.col("__lid"),
-                F.col(vec_col),
-                dot(F.col(vec_col), F.col("__lvec")).alias("__score"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("__score"),
-                        (-F.col("__lid")).alias("n"),
-                        F.col("__lid").alias("lid"),
-                        F.col(vec_col).alias("v"),
-                    )
-                ).alias("__b")
-            )
-            .select(
-                F.col(id_col),
-                F.col("__b.v").alias(vec_col),
-                F.col("__b.lid").alias("__grp"),
-            )
+        child = F.struct(
+            F.col(lid).alias("i"), F.col(vec_col).alias("v")
         )
-        routed = best
-        parent = lid
-    assign = routed.select(
-        F.col(id_col), F.col("__grp").alias(level_id_cols[-1])
-    )
-    return corpus.join(assign, on=id_col)
+        if i == 0:
+            cands = lvl.agg(F.collect_list(child).alias("__cands"))
+            j = out.crossJoin(F.broadcast(cands))
+        else:
+            cands = lvl.groupBy(
+                F.col(level_id_cols[i - 1]).alias("__par")
+            ).agg(F.collect_list(child).alias("__cands"))
+            j = out.join(
+                F.broadcast(cands), out["__grp"] == cands["__par"]
+            ).drop("__par", "__grp")
+        v = F.col(vec_col)
+        scored = F.transform(
+            F.col("__cands"),
+            lambda c: F.struct(
+                dot(v, c["v"]).alias("s"), c["i"].alias("i")
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("-inf")).alias("s"),
+                F.lit(None).cast(lvl.schema[lid].dataType).alias("i"),
+            ),
+            lambda acc, c: F.when(
+                (c["s"] > acc["s"])
+                | ((c["s"] == acc["s"]) & (c["i"] < acc["i"])),
+                c,
+            ).otherwise(acc),
+        )
+        out = j.withColumn("__grp", best["i"]).drop("__cands")
+    return out.withColumnRenamed("__grp", level_id_cols[-1])
 
 
 def ivf_topk(

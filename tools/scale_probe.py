@@ -109,6 +109,9 @@ def _strides(con, src: str) -> dict[str, int]:
         "user": q(f"select max(user_id)+1 from '{src}/events.parquet'"),
         "doc": q(f"select max(doc_id)+1 from '{src}/documents.parquet'"),
         "vec": q(f"select max(vec_id)+1 from '{src}/embeddings.parquet'"),
+        "dims": q(
+            f"select len(embedding) from '{src}/embeddings.parquet' limit 1"
+        ),
     }
 
 
@@ -180,9 +183,28 @@ def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
             "lang, source, n_chars from src"
         ),
         "embeddings": (
+            # Per-replica dimension ROTATION + sign flip past d
+            # replicas (r9; replaces the old +r*0.001 dim-1 nudge).
+            # The nudge left every replica of a vector nearly
+            # identical in embedding space, so occupancy-sensitive
+            # operators saw a degenerate corpus: all ~factor copies
+            # of a vector argmax into the SAME cluster and SemDeDup's
+            # within-cell pair-compare went quadratic (measured exp
+            # 1.15 at 100x — the corpus, not the operator). A cyclic
+            # shift by r mod d preserves norms and every WITHIN-
+            # replica dot exactly (duplicate/cluster structure per
+            # replica == the source corpus, the realistic-docs-mode
+            # philosophy), while cross-replica dots are decorrelated;
+            # the global sign flip for r >= d keeps within-replica
+            # dots unchanged (dot(-a,-b)=dot(a,b)) and decorrelates
+            # the r vs r+d pairs that share a shift.
             "select vec_id + {r}*{vec} as vec_id, "
-            "cast(list_concat([embedding[1] + {r} * 0.001], embedding[2:]) "
-            "as FLOAT[]) as embedding, label from src"
+            "case when {r} = 0 then embedding else "
+            "cast(list_transform(list_concat("
+            "embedding[({r} % {dims}) + 1:], "
+            "embedding[1:({r} % {dims})]), "
+            "x -> (case when {r} < {dims} then 1.0 else -1.0 end) * x) "
+            "as FLOAT[]) end as embedding, label from src"
         ),
     }
     for t in TABLES:
@@ -196,9 +218,23 @@ def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
                 replica_sql[t].format(r=r, **s) for r in range(factor)
             ]
             sql = " union all ".join(f"({p})" for p in parts)
-        con.execute(f"copy ({sql}) to '{out}' (format parquet)")
+        # Row-group sizing (r9): DuckDB's default ~122k-row groups
+        # gave the 100x embeddings file TWO row groups, capping Spark
+        # scan parallelism at 2 tasks (splits only materialize where a
+        # row group starts) — a map-side zero-shuffle operator then
+        # measured 3.4x slower at 100x purely from the harness's file
+        # layout, while a real 100 TB corpus has thousands of groups.
+        # Target ~64 groups per replica table so scan stages see
+        # cluster-like split counts (group size still >=4096 rows so
+        # scans stay efficient).
+        n_src = con.execute("select count(*) from src").fetchone()[0]
+        n_total = n_src if t in FIXED else n_src * factor
+        rg = min(122_880, max(4096, n_total // 64))
+        con.execute(
+            f"copy ({sql}) to '{out}' (format parquet, row_group_size {rg})"
+        )
         n = con.execute(f"select count(*) from '{out}'").fetchone()[0]
-        print(f"built {t}: {n} rows", file=sys.stderr)
+        print(f"built {t}: {n} rows (row_group_size {rg})", file=sys.stderr)
 
 
 def run(base: str, scaled: str, factor: int, repeats: int, names: list[str]) -> None:
