@@ -431,3 +431,66 @@ def test_training_data_pipeline_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_zero_corpus_exchange(spark):
+    """The r9 map-side ivf_assign: the codebook collapses into ONE
+    broadcast candidate array and the argmax folds in-row, so the
+    corpus pays ZERO exchanges — no hashpartitioning anywhere in the
+    plan (the only exchanges are the codebook's SinglePartition
+    collect_list and its broadcast)."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    cent = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    plan = (
+        ivf_assign(e, cent)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_routing_tree_zero_corpus_exchange(spark):
+    """The r9 routing_tree_assign: every level is a broadcast join on
+    the parent cell id + an in-row argmax over that parent's candidate
+    array. The only hash exchanges allowed are the CODEBOOK-side
+    per-parent collect_list groupings (they partition on parent ids);
+    a corpus-side shuffle would hash-partition on vec_id or the
+    routing column __grp — pin that it never appears."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ivf_assign,
+        routing_tree_assign,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    l1 = e.filter(F.pmod(F.col("vec_id"), F.lit(256)) == 0).select(
+        F.col("vec_id").alias("g1"), "embedding"
+    )
+    l2 = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("g2"), "embedding"
+    )
+    fine = e.filter(F.pmod(F.col("vec_id"), F.lit(16)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    fine_g = routing_tree_assign(
+        fine, [l1, l2g], ["g1", "g2"], id_col="cid"
+    ).select("cid", "embedding", "g2")
+    assigned = routing_tree_assign(
+        e, [l1, l2g, fine_g], ["g1", "g2", "cid"]
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(__grp" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
