@@ -4273,17 +4273,42 @@ def _stage_events_dir(sf_dir: str) -> str:
     return stage
 
 
+def _state_partitions(sf_dir: str) -> int:
+    """Size the stateful-shuffle partition count from the staged
+    source volume: one state store per ~8 MB of input, floor 2,
+    cap 32 (the session's parallelism).  Every stateful operator in
+    a chain allocates one store instance PER partition PER
+    micro-batch, so a multi-operator stream (the funnel chain runs
+    ~10 stateful operators) pays a fixed commit cost linear in the
+    partition count — measured min-of-3 at sf0.01:
+    streaming_funnel_joins_exact 8.11 s at 8 partitions vs 5.57 s at
+    2, while the single-operator gates are flat.  A constant is
+    wrong at both ends (8 overpays the replay gates, 8 underpays a
+    100 TB stream); bytes/8MB tracks the real driver of useful state
+    parallelism."""
+    import os
+
+    size = os.path.getsize(f"{sf_dir}/events.parquet")
+    return max(2, min(32, size // (8 << 20)))
+
+
 def _run_bounded_to_memory(
-    spark: SparkSession, agg: DataFrame, name: str, mode: str = "complete"
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    mode: str = "complete",
+    sf_dir: str | None = None,
 ):
     """Bounded-replay drive for the gated streaming queries: delegates
     to the single fold_stream.run_bounded driver with the replay
-    settings (availableNow drain, 8 shuffle partitions for the
-    tiny-keyspace state stores)."""
+    settings (availableNow drain; state partitions sized from the
+    staged source volume when ``sf_dir`` is given — see
+    ``_state_partitions`` — else the legacy 8)."""
     from .streaming.fold_stream import run_bounded
 
+    parts = _state_partitions(sf_dir) if sf_dir is not None else 8
     return run_bounded(
-        agg, name, mode=mode, available_now=True, shuffle_partitions=8
+        agg, name, mode=mode, available_now=True, shuffle_partitions=parts
     )
 
 
@@ -4302,7 +4327,9 @@ def q_streaming_fold_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = streaming_fold_subints(
         stream, FOLD_PERIOD, FOLD_NBINS, dump_seconds="1 day", watermark="1 minute"
     )
-    out = _run_bounded_to_memory(spark, agg, "q_stream_fold_replay")
+    out = _run_bounded_to_memory(
+        spark, agg, "q_stream_fold_replay", sf_dir=sf_dir
+    )
     return out.select(
         F.col("win_start").cast("double").alias("win_start_epoch"),
         "bin",
@@ -4354,7 +4381,9 @@ def q_streaming_fold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("npts"),
         )
     )
-    out = _run_bounded_to_memory(spark, agg, "q_stream_fold_exact")
+    out = _run_bounded_to_memory(
+        spark, agg, "q_stream_fold_exact", sf_dir=sf_dir
+    )
     return out.select(
         F.col("win.start").cast("long").alias("win_day_epoch"),
         "bin",
@@ -4388,7 +4417,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, key_col=["user_id", "event_type"], watermark="1 minute"
     ).select("user_id", "event_type")
     out = _run_bounded_to_memory(
-        spark, dd, "q_stream_dedup_exact", mode="append"
+        spark, dd, "q_stream_dedup_exact", mode="append", sf_dir=sf_dir
     )
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types")
@@ -4439,7 +4468,9 @@ def q_streaming_sessions_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_events_dir(sf_dir)
     stream = stream_events(spark, stage).select("user_id", "ts")
     ss = streaming_sessions(stream, ["user_id"], ts_col="ts", gap="1 hour")
-    out = _run_bounded_to_memory(spark, ss, "q_stream_sessions")
+    out = _run_bounded_to_memory(
+        spark, ss, "q_stream_sessions", sf_dir=sf_dir
+    )
     return out.select(
         "user_id",
         F.unix_micros(F.col("session_start")).alias("session_start_us"),
@@ -4520,7 +4551,7 @@ def q_streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_ts_col="k_ts", value_col="sval",
     )
     out = _run_bounded_to_memory(
-        spark, joined, "q_stream_asof", mode="append"
+        spark, joined, "q_stream_asof", mode="append", sf_dir=sf_dir
     )
     return out.select(
         F.col("key").alias("user_id"),
@@ -6916,7 +6947,7 @@ def q_streaming_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["view", "click", "purchase"], ts_col="ts_us"
     )
     out = _run_bounded_to_memory(
-        spark, tr, "q_stream_funnel_exact", mode="append"
+        spark, tr, "q_stream_funnel_exact", mode="append", sf_dir=sf_dir
     )
     return out.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -6951,7 +6982,7 @@ def q_streaming_funnel_joins_exact(
         stream, ["view", "click", "purchase"], window="3650 days"
     )
     out = _run_bounded_to_memory(
-        spark, reach, "q_stream_funnel_joins_exact", mode="append"
+        spark, reach, "q_stream_funnel_joins_exact", mode="append", sf_dir=sf_dir
     )
     return out.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -7749,7 +7780,9 @@ def q_streaming_crossmatch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sep_sq_mas2").cast("decimal(38,0)")).alias("__s"),
         F.min("sep_sq_mas2").alias("min_sep_sq"),
     )
-    out = _run_bounded_to_memory(spark, agg, "q_stream_xmatch_exact")
+    out = _run_bounded_to_memory(
+        spark, agg, "q_stream_xmatch_exact", sf_dir=sf_dir
+    )
     return out.select(
         "bucket",
         "n_pairs",
