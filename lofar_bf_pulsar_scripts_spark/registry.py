@@ -9034,6 +9034,15 @@ _TAIL: tuple[str, ...] = (
     # pivot_event_values, event_pairs_within_minute, bilinear_gain —
     # plus dedup_documents rotated back INTO the head after 5+ rounds
     # on byte-stability audits only: VERDICT r8 item 6.)
+    # r8-green with fresh driver rows in CORRECTNESS_r08 and
+    # byte-identical this round; demoted in the round-9 third session
+    # to fund the head slots for the five streaming gates whose Spark
+    # source changed with the volume-sized state-partition law
+    "chunk_dedup_stats",
+    "minhash_signatures",
+    "contamination_screen",
+    "repetition_stats",
+    "temperature_mix_counts",
 )
 
 
@@ -9063,6 +9072,14 @@ _PROMOTE: tuple[str, ...] = (
     "hier_assign_agreement",
     "streaming_funnel_exact",
     "streaming_funnel_joins_exact",
+    # round-9 third session: every bounded-replay gate's Spark fn now
+    # routes through the volume-sized state-partition law — changed
+    # source must re-gate (the funnel pair above already promoted)
+    "streaming_fold_exact",
+    "streaming_dedup_exact",
+    "streaming_sessions_exact",
+    "streaming_asof_exact",
+    "streaming_crossmatch_exact",
     # round 9 rotation (VERDICT r8 item 6): the 19 longest-unrotated
     # greens — driver-gated last in r2/r3, byte-stability audits
     # since — re-enter the head, funded by demoting 19 r7/r8-green
