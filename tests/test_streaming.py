@@ -734,3 +734,23 @@ def test_streaming_crossmatch_two_batches_equals_batch(spark, tmp_path):
     want = {r.cat_id_cat: (r.n, r.s) for r in batch.collect()}
     assert got == want
     assert set(got) == {1, 2}
+
+
+def test_state_partitions_law(tmp_path):
+    """One state store is allocated per shuffle partition per
+    micro-batch, so the bounded-replay driver sizes partitions from
+    staged source volume: bytes/8MB clamped to [2, 32]. Pin the law's
+    endpoints and its midpoint so a silent constant regression (the
+    old fixed 8) fails with a named cause."""
+    from lofar_bf_pulsar_scripts_spark.registry import _state_partitions
+
+    def with_size(n_bytes: int) -> int:
+        d = tmp_path / f"sf_{n_bytes}"
+        d.mkdir()
+        (d / "events.parquet").write_bytes(b"\0" * n_bytes)
+        return _state_partitions(str(d))
+
+    assert with_size(1) == 2  # floor: a replay gate never pays for 8
+    assert with_size(2_000_000) == 2  # sf0.1-sized staging
+    assert with_size(211_000_000) == 25  # the 100x probe's volume
+    assert with_size(8 << 30) == 32  # cap at session parallelism
