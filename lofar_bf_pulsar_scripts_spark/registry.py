@@ -4273,23 +4273,34 @@ def _stage_events_dir(sf_dir: str) -> str:
     return stage
 
 
-def _state_partitions(sf_dir: str) -> int:
+def _state_partitions(sf_dir: str, n_stateful: int = 1) -> int:
     """Size the stateful-shuffle partition count from the staged
-    source volume: one state store per ~8 MB of input, floor 2,
-    cap 32 (the session's parallelism).  Every stateful operator in
-    a chain allocates one store instance PER partition PER
-    micro-batch, so a multi-operator stream (the funnel chain runs
-    ~10 stateful operators) pays a fixed commit cost linear in the
-    partition count — measured min-of-3 at sf0.01:
-    streaming_funnel_joins_exact 8.11 s at 8 partitions vs 5.57 s at
-    2, while the single-operator gates are flat.  A constant is
-    wrong at both ends (8 overpays the replay gates, 8 underpays a
-    100 TB stream); bytes/8MB tracks the real driver of useful state
-    parallelism."""
+    source volume AND the number of stateful operators in the plan:
+    ``isqrt(bytes // (16 KB * n_stateful))``, floor 2, cap 32 (the
+    session's parallelism).
+
+    Cost model: a micro-batch pays useful work ~ bytes/p plus a
+    per-partition commit overhead ~ c * n_stateful * p (every
+    stateful operator allocates one state-store instance PER
+    partition PER micro-batch), so wall is minimized at
+    p* = sqrt(bytes / (c * n_stateful)) — a SQUARE-ROOT law, not the
+    linear bytes/8MB first shipped this round.  The linear law's
+    floor of 2 starved every sf0.1 stream (measured min-of-2:
+    streaming_asof_exact 5.26 s at 2 parts vs 1.9-2.1 s at 8-32;
+    funnel tracker 3.02 -> 1.5; sessions 1.71 -> 1.2), while the
+    10-operator funnel join chain still prefers few partitions
+    (sf0.1: 7.56 s at 4 vs 13.45 s at 16; sf0.01: 5.57 s at 2 vs
+    8.11 s at 8) — volume and operator count pull in opposite
+    directions and only their RATIO under a sqrt lands every
+    measured sweet spot: sf0.01 single -> 3 (flat 2..8 measured),
+    sf0.1 single -> 11 (8-32 flat, 2 is 2.5x worse), sf0.1 chain
+    -> 3 (best 4), 100x probe single -> 32, chain -> 32 (probed
+    green at 26).  The 16 KB constant is the fitted c."""
+    import math
     import os
 
     size = os.path.getsize(f"{sf_dir}/events.parquet")
-    return max(2, min(32, size // (8 << 20)))
+    return max(2, min(32, math.isqrt(size // (16_384 * max(1, n_stateful)))))
 
 
 def _run_bounded_to_memory(
@@ -4298,15 +4309,22 @@ def _run_bounded_to_memory(
     name: str,
     mode: str = "complete",
     sf_dir: str | None = None,
+    n_stateful: int = 1,
 ):
     """Bounded-replay drive for the gated streaming queries: delegates
     to the single fold_stream.run_bounded driver with the replay
     settings (availableNow drain; state partitions sized from the
-    staged source volume when ``sf_dir`` is given — see
-    ``_state_partitions`` — else the legacy 8)."""
+    staged source volume and the plan's stateful-operator count when
+    ``sf_dir`` is given — see ``_state_partitions`` — else the
+    legacy 8).  ``n_stateful`` is the caller's count of stateful
+    operators in the streaming plan (joins, dropDuplicates,
+    watermarked aggregations); single-operator gates take the
+    default."""
     from .streaming.fold_stream import run_bounded
 
-    parts = _state_partitions(sf_dir) if sf_dir is not None else 8
+    parts = (
+        _state_partitions(sf_dir, n_stateful) if sf_dir is not None else 8
+    )
     return run_bounded(
         agg, name, mode=mode, available_now=True, shuffle_partitions=parts
     )
@@ -6981,8 +6999,15 @@ def q_streaming_funnel_joins_exact(
     reach = streaming_funnel_joins(
         stream, ["view", "click", "purchase"], window="3650 days"
     )
+    # 3-step chain = 2 stream-stream joins (2 state stores each) +
+    # inter-stage and final dropDuplicates: ~8 stateful operators
     out = _run_bounded_to_memory(
-        spark, reach, "q_stream_funnel_joins_exact", mode="append", sf_dir=sf_dir
+        spark,
+        reach,
+        "q_stream_funnel_joins_exact",
+        mode="append",
+        sf_dir=sf_dir,
+        n_stateful=8,
     )
     return out.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -738,19 +738,24 @@ def test_streaming_crossmatch_two_batches_equals_batch(spark, tmp_path):
 
 def test_state_partitions_law(tmp_path):
     """One state store is allocated per shuffle partition per
-    micro-batch, so the bounded-replay driver sizes partitions from
-    staged source volume: bytes/8MB clamped to [2, 32]. Pin the law's
-    endpoints and its midpoint so a silent constant regression (the
-    old fixed 8) fails with a named cause."""
+    micro-batch PER STATEFUL OPERATOR, so the bounded-replay driver
+    sizes partitions as isqrt(bytes // (16KB * n_stateful)) clamped
+    to [2, 32] — the optimum of work/p + c*n*p. Pin the measured
+    sweet spots so a silent constant regression (the old fixed 8, or
+    the r9 linear bytes/8MB law whose floor starved every sf0.1
+    stream) fails with a named cause."""
     from lofar_bf_pulsar_scripts_spark.registry import _state_partitions
 
-    def with_size(n_bytes: int) -> int:
-        d = tmp_path / f"sf_{n_bytes}"
+    def with_size(n_bytes: int, n_stateful: int = 1) -> int:
+        d = tmp_path / f"sf_{n_bytes}_{n_stateful}"
         d.mkdir()
         (d / "events.parquet").write_bytes(b"\0" * n_bytes)
-        return _state_partitions(str(d))
+        return _state_partitions(str(d), n_stateful)
 
     assert with_size(1) == 2  # floor: a replay gate never pays for 8
-    assert with_size(2_000_000) == 2  # sf0.1-sized staging
-    assert with_size(211_000_000) == 25  # the 100x probe's volume
+    assert with_size(221_000) == 3  # sf0.01 single-op (measured flat 2..8)
+    assert with_size(2_045_762) == 11  # sf0.1 single-op (2 was 2.5x worse)
+    assert with_size(2_045_762, 8) == 3  # sf0.1 funnel chain (best 4)
+    assert with_size(221_000, 8) == 2  # sf0.01 chain (measured best 2)
+    assert with_size(211_000_000) == 32  # 100x probe: cap
     assert with_size(8 << 30) == 32  # cap at session parallelism
