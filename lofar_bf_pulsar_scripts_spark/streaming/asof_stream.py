@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -57,61 +58,70 @@ def make_asof_fn(value_col: str):
                 [], columns=["key", "event_ts", "asof_ts", "asof_value"]
             )
             return
-        rows = pd.concat(chunks, ignore_index=True)
-        rows["__ts"] = rows["__ts"].astype("int64")
-        # mergesort = stable; secondary key __side puts the state row
-        # BEFORE an event at the same instant (inclusive <=), matching
-        # the batch asof_join's (ts, side) ordering
-        rows = rows.sort_values(["__ts", "__side"], kind="mergesort")
-        out = []
-        # pandas itertuples renames leading-underscore columns — walk
-        # the column arrays directly
-        for ts, side, val in zip(
-            rows["__ts"], rows["__side"], rows[value_col]
-        ):
-            if pd.isna(ts):
-                # a NULL timestamp is unorderable — drop the row
-                # rather than crash the query (int(NaN) raises)
-                continue
-            if side == 0:  # state row
-                if pd.isna(val):
-                    # match the batch asof_join's ignorenulls
-                    # semantics: a NULL-valued state row never
-                    # overwrites the carried value
-                    continue
-                if last_ts is not None and int(ts) < last_ts:
-                    # a LATE state row (older than the carried one)
-                    # must not poison future events with a stale value
-                    continue
-                last_ts, last_val = int(ts), json.dumps(val)
-            else:  # event row
-                out.append(
-                    {
-                        "key": key[0],
-                        "event_ts": int(ts),
-                        "asof_ts": last_ts,
-                        "asof_value": (
-                            None if last_val is None else json.loads(last_val)
-                        ),
-                    }
-                )
+        if len(chunks) == 1:
+            rows = chunks[0]
+        else:
+            rows = pd.concat(chunks, ignore_index=True)
+        # VECTORIZED carry-forward in pure numpy (the row-at-a-time
+        # loop measured exp 0.91 at 10x — linear Python time per row;
+        # a first pandas-Series rewrite LOST at per-user group sizes,
+        # where Series construction overhead beats the loop — numpy
+        # lexsort + maximum.accumulate wins at every group size).
+        # After the (ts, side) sort — side 0 before 1 at the same
+        # instant, matching the batch asof_join's inclusive <= — ts is
+        # monotone within the batch, so the late-state rule ("a state
+        # row OLDER than the carried one never applies") can only
+        # trigger against the CARRY-IN state: one scalar compare.  A
+        # state row is effective iff side==0, value non-NULL (batch
+        # asof ignorenulls semantics) and ts >= the carried-in ts; the
+        # value every row sees is then an integer-index forward-fill
+        # of the effective rows (int64 end-to-end — a float64 ffill
+        # would round composite epoch keys above 2^53), the carry-in
+        # filling the leading gap.
+        ts = rows["__ts"].to_numpy().astype("int64", copy=False)
+        side = rows["__side"].to_numpy()
+        val = rows[value_col].to_numpy()
+        order = np.lexsort((side, ts))  # mergesort-stable by (ts, side)
+        ts, side, val = ts[order], side[order], val[order]
+        eff = (side == 0) & ~pd.isna(val)
+        if last_ts is not None:
+            eff &= ts >= last_ts
+        n = len(ts)
+        # index of the latest effective state row at or before each
+        # position; -1 = none yet (the carry-in serves those)
+        src = np.maximum.accumulate(np.where(eff, np.arange(n), -1))
+        ev = side == 1
+        src_ev = np.maximum(src[ev], 0)
+        has = src[ev] >= 0
+        carry_in_ts, carry_in_val = last_ts, (
+            None if last_val is None else json.loads(last_val)
+        )
+        # exact int64 ffill: carried ts/value gathered by index, the
+        # carry-in (or NULL before any state row ever) filling the rest
+        asof_ts_np = ts[src_ev]
+        asof_ts_mask = ~has  # True = NULL
+        if carry_in_ts is not None:
+            asof_ts_np = np.where(has, asof_ts_np, carry_in_ts)
+            asof_ts_mask = np.zeros(len(has), dtype=bool)
+        asof_val = val[src_ev].astype(object)
+        asof_val[~has] = carry_in_val
+        if eff.any():
+            last_idx = int(np.flatnonzero(eff)[-1])
+            last_ts = int(ts[last_idx])
+            last_val = json.dumps(val[last_idx])
         state.update((last_ts, last_val))
-        # asof_ts mixes ints with None (events before the first state
-        # row): plain DataFrame inference would make the column
-        # float64 and round keys above 2^53 — use the NULLABLE Int64
-        # extension dtype so values stay exact integers end-to-end.
         yield pd.DataFrame(
             {
-                "key": pd.array([r["key"] for r in out], dtype="int64"),
-                "event_ts": pd.array(
-                    [r["event_ts"] for r in out], dtype="int64"
+                "key": pd.array(
+                    np.full(int(ev.sum()), key[0]), dtype="int64"
                 ),
-                "asof_ts": pd.array(
-                    [r["asof_ts"] for r in out], dtype="Int64"
+                "event_ts": pd.array(ts[ev], dtype="int64"),
+                # Int64 extension dtype: NULL before the first state
+                # row, exact integers elsewhere
+                "asof_ts": pd.arrays.IntegerArray(
+                    asof_ts_np.astype("int64"), mask=asof_ts_mask
                 ),
-                "asof_value": pd.array(
-                    [r["asof_value"] for r in out], dtype=object
-                ),
+                "asof_value": pd.array(asof_val, dtype=object),
             }
         )
 
