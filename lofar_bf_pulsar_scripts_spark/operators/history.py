@@ -65,11 +65,18 @@ def resample_ffill(
     first to last event (slot = floor(t/step), integer-exact).
 
     Plan: per-(key, slot) last-value pre-aggregation (max by (t,
-    value) struct — deterministic under duplicate timestamps), a
-    per-key slot-range explode (sequence — bounded by the entity's
-    own time span), and one window last(ignorenulls) forward fill
-    over the key partition. One shuffle on key; the grid fan-out is
-    data-proportional (span/step), never global."""
+    value) struct — deterministic under duplicate timestamps), then
+    the forward fill runs over OBSERVED slots only (one window on
+    the key partition: last(ignorenulls) + lead(slot)), and each
+    observed slot interval-explodes to [slot, next_slot) carrying
+    its filled value.  The grid therefore materializes map-side in
+    the final select — grid-sized data never crosses an exchange and
+    there is no grid-vs-observed join (the previous shape windowed
+    over the exploded GRID after a (key, slot) join: 10x probe exp
+    0.88, output-sized shuffles).  Interval semantics are identical
+    to grid-ffill: slots in [obs_i, obs_{i+1}) see the last non-null
+    value at or before obs_i, including the NULL-before-first-
+    non-null case."""
     slot = F.floor(F.col(time_col) / F.lit(float(step))).cast("long")
     per_slot = (
         events.select(
@@ -80,21 +87,17 @@ def resample_ffill(
         .groupBy(key_col, "slot")
         .agg(F.max("__tv")["{}".format(value_col)].alias("__v"))
     )
-    span = per_slot.groupBy(key_col).agg(
-        F.min("slot").alias("__lo"), F.max("slot").alias("__hi")
+    w_ord = Window.partitionBy(key_col).orderBy("slot")
+    w_fill = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs = per_slot.select(
+        F.col(key_col),
+        F.col("slot").alias("__lo"),
+        F.last("__v", ignorenulls=True).over(w_fill).alias("__vf"),
+        (F.coalesce(F.lead("slot").over(w_ord), F.col("slot") + 1) - 1)
+        .alias("__hi"),
     )
-    grid = span.select(
+    return obs.select(
         key_col,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("slot"),
-    )
-    joined = grid.join(per_slot, [key_col, "slot"], "left")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("slot")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        key_col,
-        "slot",
-        F.last("__v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("__vf").alias("value_ffill"),
     )
