@@ -247,6 +247,29 @@ def run(base: str, scaled: str, factor: int, repeats: int, names: list[str]) -> 
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
+    # Harness lie #3 guard: the declared --factor MUST match the
+    # actual volume ratio of the two directories. A probe once ran
+    # base=<10x dir> scaled=<100x dir> with --factor 100 — an actual
+    # factor of 10 whose exponents came out HALVED and read as
+    # wins. The replica dir NAMES are probe units, not factors:
+    # verify against the data, never the label.
+    import duckdb
+
+    n_base = duckdb.sql(
+        f"select count(*) from '{base}/events.parquet'"
+    ).fetchone()[0]
+    n_scaled = duckdb.sql(
+        f"select count(*) from '{scaled}/events.parquet'"
+    ).fetchone()[0]
+    measured = n_scaled / max(n_base, 1)
+    if not (factor / 1.2 <= measured <= factor * 1.2):
+        raise SystemExit(
+            f"declared --factor {factor} but events rows say "
+            f"{n_scaled}/{n_base} = {measured:.1f}x — exponents would "
+            f"be computed against the wrong log base; fix the dirs or "
+            f"the factor"
+        )
+
     def execute(df):
         # NOT .count(): Catalyst prunes unused columns through a final
         # count, so count() on an Aggregate drops the aggregate
