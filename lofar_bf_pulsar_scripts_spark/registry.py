@@ -6996,18 +6996,18 @@ def q_streaming_funnel_joins_exact(
     )
     # conversion window >= the replay's span -> gate-exact unbounded
     # semantics (production sets the real conversion window here)
-    reach = streaming_funnel_joins(
-        stream, ["view", "click", "purchase"], window="3650 days"
-    )
-    # 3-step chain = 2 stream-stream joins (2 state stores each) +
-    # inter-stage and final dropDuplicates: ~8 stateful operators
+    steps = ["view", "click", "purchase"]
+    reach = streaming_funnel_joins(stream, steps, window="3650 days")
+    # k-step chain = (k-1) stream-stream joins (2 state stores each)
+    # + (k-1) inter-stage and 1 final dropDuplicates: 3k-2 stateful
+    # state-store allocations per partition per micro-batch
     out = _run_bounded_to_memory(
         spark,
         reach,
         "q_stream_funnel_joins_exact",
         mode="append",
         sf_dir=sf_dir,
-        n_stateful=8,
+        n_stateful=3 * len(steps) - 2,
     )
     return out.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users"),
