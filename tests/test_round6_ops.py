@@ -535,3 +535,33 @@ def test_casa_comb_probe_rejects_cumulative_drift(spark):
     got = caldata.attach_casa_beamcorr(df, bc).first()
     # 10.0 is an exact grid point (index 8): its factor is 108
     assert got["casa_factor"] == 108.0
+
+
+def test_resample_ffill_null_values_ignorenulls(spark):
+    """A NULL-valued observation occupies a grid slot but never
+    overwrites the carried value (window last-ignorenulls parity for
+    the interval-explode form), and slots before the first non-null
+    observation forward-fill NULL."""
+    from lofar_bf_pulsar_scripts_spark.operators.history import resample_ffill
+
+    h = 3600.0
+    ev = spark.createDataFrame(
+        [
+            (0, 1.5 * h, 2.0),    # slot 1
+            (0, 4.5 * h, None),   # slot 4: NULL obs -> carries 2.0
+            (0, 6.5 * h, 9.0),    # slot 6
+            (1, 2.5 * h, None),   # leading NULL obs
+            (1, 5.5 * h, 3.0),    # first non-null at slot 5
+        ],
+        "user_id long, t double, value double",
+    )
+    got = {
+        (r["user_id"], r["slot"]): r["value_ffill"]
+        for r in resample_ffill(ev, step=3600).collect()
+    }
+    assert [got[(0, s)] for s in range(1, 7)] == [
+        2.0, 2.0, 2.0, 2.0, 2.0, 9.0
+    ]
+    assert got[(1, 2)] is None and got[(1, 3)] is None
+    assert got[(1, 4)] is None and got[(1, 5)] == 3.0
+    assert len(got) == 10
