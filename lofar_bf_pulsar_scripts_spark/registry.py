@@ -8994,7 +8994,6 @@ _TAIL: tuple[str, ...] = (
     # pulse_energy_hist window-rotation debt
     "jones_beam_corr",
     "json_props_stats",
-    "resample_hourly_ffill",
     # r7/r8-green with driver rows in CORRECTNESS_r07/r08 and
     # byte-identical this round; demoted in round 9 to fund the
     # VERDICT r8 item-6 rotation of the longest-unrotated r2/r3-era
@@ -9007,7 +9006,8 @@ _TAIL: tuple[str, ...] = (
     "quality_classifier",
     "visibility_windows",
     "bpe_apply_counts",
-    "semantic_dedup_stats",
+    # semantic_dedup_stats un-demoted in the round-9 third session:
+    # it imports the map-side-rewritten ivf_assign and must re-gate
     "gopher_rules",
     "bigram_lm_quality",
     "dsir_importance",
@@ -9105,6 +9105,17 @@ _PROMOTE: tuple[str, ...] = (
     "streaming_sessions_exact",
     "streaming_asof_exact",
     "streaming_crossmatch_exact",
+    # round-9 third session: resample_ffill rewritten to the
+    # interval-explode forward fill — operator-level change invisible
+    # to check_window's old fn-source fingerprint (now fixed: the
+    # fingerprint hashes the sources of the SYMBOLS each gate
+    # imports); changed semantics-bearing code must re-gate
+    "resample_hourly_ffill",
+    # flagged by the symbol-level fingerprint: both import ivf_assign,
+    # rewritten map-side this round (bit-identical by argument, but
+    # the gate re-proves it)
+    "ivf_pq_stored_top3",
+    "semantic_dedup_stats",
     # round 9 rotation (VERDICT r8 item 6): the 19 longest-unrotated
     # greens — driver-gated last in r2/r3, byte-stability audits
     # since — re-enter the head, funded by demoting 19 r7/r8-green
