@@ -260,11 +260,19 @@ def ivf_assign(
     the corpus once per call. Fold order is irrelevant: argmax under
     the total order (score desc, id asc) over a fixed candidate set
     is order-independent, so results are bit-identical to the
-    aggregation form the DuckDB oracles mirror. The single-row
-    candidate array carries the same bytes the codebook broadcast
-    always did — feasibility at scale is unchanged (a codebook too
-    big for one array was already too big to broadcast; that regime
-    belongs to ``routing_tree_assign``)."""
+    aggregation form the DuckDB oracles mirror FOR NON-NULL VECTORS.
+    Rows whose embedding is NULL (or whose dots are all NULL) are
+    DROPPED, by contract: NULL > -inf is NULL, so the fold's acc
+    stays (-inf, null) and the final isNotNull filter removes the
+    row — whereas the old struct-max form arbitrarily assigned such
+    rows to the smallest centroid id (null scores sort first).  A
+    null vector has no nearest centroid; silently parking it on
+    centroid 0 skewed that cell's occupancy, so the drop is the
+    intended semantics (round-10 ADVICE: divergence documented).
+    The single-row candidate array carries the same bytes the
+    codebook broadcast always did — feasibility at scale is
+    unchanged (a codebook too big for one array was already too big
+    to broadcast; that regime belongs to ``routing_tree_assign``)."""
     cands = centroids.agg(
         F.collect_list(
             F.struct(

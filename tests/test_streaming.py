@@ -749,7 +749,10 @@ def test_state_partitions_law(tmp_path):
     def with_size(n_bytes: int, n_stateful: int = 1) -> int:
         d = tmp_path / f"sf_{n_bytes}_{n_stateful}"
         d.mkdir()
-        (d / "events.parquet").write_bytes(b"\0" * n_bytes)
+        # sparse file: the law only reads os.path.getsize, and the
+        # 8 GiB case must not materialize 8 GiB in RAM or on disk
+        with open(d / "events.parquet", "wb") as fh:
+            fh.truncate(n_bytes)
         return _state_partitions(str(d), n_stateful)
 
     assert with_size(1) == 2  # floor: a replay gate never pays for 8

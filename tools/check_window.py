@@ -12,53 +12,110 @@ them wherever they sit).
 
 from __future__ import annotations
 
+import importlib
 import inspect
+import re
 import shutil
 import subprocess
 import sys
 import tempfile
+import textwrap
 
 sys.path.insert(0, ".")
 
+# Matches both single-line and parenthesized multi-line import forms
+# (round-10 ADVICE fix: the old `([^\n]+)` captured only "(" for the
+# 7 parenthesized registry imports, yielding empty dep fingerprints).
+_IMPORT_RE = re.compile(
+    r"from\s+\.((?:operators|streaming|plans|functions|sources)\.\w+)"
+    r"\s+import\s+(\([^)]*\)|(?:[^\n\\]|\\\n)+)",
+    re.DOTALL,
+)
 
-def _imported_symbol_sources(fn_source: str, pkg_name: str) -> str:
+
+def _split_names(names: str) -> list[str]:
+    """'(a,\n b as c)' -> ['a', 'b as c']."""
+    out = []
+    for item in re.split(r"[,\n]+", names.strip().strip("()")):
+        item = item.strip().strip("\\").strip()
+        if item:
+            out.append(item)
+    return out
+
+
+def _symbol_source(obj, fallback_label: str) -> str:
+    try:
+        return textwrap.dedent(inspect.getsource(obj))
+    except (TypeError, OSError):
+        return f"{fallback_label}={obj!r}"
+
+
+def _module_symbol_sources(registry_module) -> dict[str, str]:
+    """local-name -> source for every symbol the registry module
+    imports at module level (column-0 `from .x import ...`).  Query
+    functions reference these without a body-level import, so they
+    were invisible to the old fn-body-only scan (round-10 ADVICE)."""
+    src = inspect.getsource(registry_module)
+    out: dict[str, str] = {}
+    for m in _IMPORT_RE.finditer(src):
+        line_start = src.rfind("\n", 0, m.start()) + 1
+        if m.start() != line_start:  # indented => function-body import
+            continue
+        for item in _split_names(m.group(2)):
+            local = re.split(r"\s+as\s+", item)[-1]
+            obj = getattr(registry_module, local, None)
+            out[local] = _symbol_source(obj, local)
+    return out
+
+
+def _dep_fingerprint(
+    fn_source: str, pkg_name: str, module_syms: dict[str, str]
+) -> str:
     """Concatenated sources of the repo SYMBOLS a query function
-    imports in its body (`from .operators.x import f, g` etc.) — an
-    operator-level rewrite must read as a CHANGE to every gate that
-    calls it, not just to gates whose registry-level wrapper text
-    moved (caught in round 9: the resample_ffill interval-explode
-    rewrite was invisible to the fn-source-only fingerprint while
-    its gate sat outside the head-50).  Symbol granularity, not
-    module granularity: a module-level hash flagged 43 gates when
-    similarity.py changed one assign function.  Known limit: a
-    change to a module-level helper an imported function CALLS (but
-    does not lexically contain) is still invisible — the direct
-    operator surface is the fingerprint."""
-    import importlib
-    import re
-    import textwrap
-
+    depends on: body-level `from .operators.x import f as g` imports
+    (multi-line and aliased forms included) plus registry
+    module-level imports whose local name appears in the function
+    body.  An operator-level rewrite must read as a CHANGE to every
+    gate that calls it, not just to gates whose registry wrapper
+    text moved.  Symbol granularity, not module granularity: a
+    module-level hash flagged 43 gates when similarity.py changed
+    one assign function.  Known limit: a change to a helper an
+    imported function CALLS (but does not lexically contain) is
+    still invisible — the direct operator surface is the
+    fingerprint.  Word-match over-inclusion (a module symbol named
+    in a comment/string) only flags extra gates — the conservative
+    direction."""
     parts = []
-    for mod, names in re.findall(
-        r"from \.((?:operators|streaming|plans|functions|sources)\.\w+)"
-        r" import ([^\n]+)",
-        fn_source,
-    ):
+    for mod, names in _IMPORT_RE.findall(fn_source):
         try:
             m = importlib.import_module(f"{pkg_name}.{mod}")
         except Exception as exc:  # pragma: no cover - import failure
             parts.append(f"<unimportable {mod}: {exc!r}>")
             continue
-        for name in re.split(r"[,()]+", names):
-            name = name.strip()
-            if not name or name == "\\":
-                continue
-            obj = getattr(m, name, None)
-            try:
-                parts.append(textwrap.dedent(inspect.getsource(obj)))
-            except (TypeError, OSError):
-                parts.append(f"{mod}.{name}={obj!r}")
+        for item in _split_names(names):
+            orig = re.split(r"\s+as\s+", item)[0]
+            parts.append(_symbol_source(getattr(m, orig, None),
+                                        f"{mod}.{orig}"))
+    for local in sorted(module_syms):
+        if re.search(rf"\b{re.escape(local)}\b", fn_source):
+            parts.append(module_syms[local])
     return "\n".join(parts)
+
+
+def _fingerprint_registry(registry_module, pkg_name, path_norm=None):
+    module_syms = _module_symbol_sources(registry_module)
+    out = {}
+    for s in registry_module._SPECS:
+        oracle = s.oracle or ""
+        if path_norm:
+            # data-file paths embedded at import time differ by
+            # checkout location; normalize so they don't read as
+            # oracle changes
+            oracle = oracle.replace(path_norm, "/root/repo")
+        src = inspect.getsource(s.spark_fn)
+        deps = _dep_fingerprint(src, pkg_name, module_syms)
+        out[s.name] = (oracle, src, deps)
+    return out
 
 
 def snapshot(ref: str) -> dict[str, tuple[str, str, str]]:
@@ -71,19 +128,11 @@ def snapshot(ref: str) -> dict[str, tuple[str, str, str]]:
             if m.startswith("lofar_bf_pulsar_scripts_spark"):
                 del sys.modules[m]
         sys.path.insert(0, tmp)
-        from lofar_bf_pulsar_scripts_spark.registry import _SPECS
+        import lofar_bf_pulsar_scripts_spark.registry as R_old
 
-        out = {}
-        for s in _SPECS:
-            # data-file paths embedded at import time differ by checkout
-            # location; normalize so they don't read as oracle changes
-            oracle = (s.oracle or "").replace(tmp, "/root/repo")
-            src = inspect.getsource(s.spark_fn)
-            deps = _imported_symbol_sources(
-                src, "lofar_bf_pulsar_scripts_spark"
-            )
-            out[s.name] = (oracle, src, deps)
-        return out
+        return _fingerprint_registry(
+            R_old, "lofar_bf_pulsar_scripts_spark", path_norm=tmp
+        )
     finally:
         sys.path.remove(tmp)
         for m in list(sys.modules):
@@ -97,13 +146,7 @@ def main() -> None:
     old = snapshot(ref)
     import lofar_bf_pulsar_scripts_spark.registry as R
 
-    cur = {}
-    for s in R._SPECS:
-        src = inspect.getsource(s.spark_fn)
-        deps = _imported_symbol_sources(
-            src, "lofar_bf_pulsar_scripts_spark"
-        )
-        cur[s.name] = (s.oracle or "", src, deps)
+    cur = _fingerprint_registry(R, "lofar_bf_pulsar_scripts_spark")
     rows_only = {s.name for s in R._SPECS if s.oracle is None}
     head = [s.name for s in R.specs()[:50]]
     changed = sorted(n for n in cur if n in old and cur[n] != old[n])

@@ -121,6 +121,16 @@ def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     s = _strides(con, src)
+    # The rotation+sign replica scheme decorrelates only up to
+    # 2*dims replicas: r and r+2*dims share both shift and sign, so
+    # a larger factor silently reintroduces the degenerate
+    # near-duplicate embedding corpus this scheme was built to fix
+    # (round-10 ADVICE).  Fail loudly instead.
+    assert factor <= 2 * s["dims"], (
+        f"factor {factor} > 2*dims ({2 * s['dims']}): replica r and "
+        f"r+{2 * s['dims']} would be identical up to key shift — "
+        "extend the decorrelation scheme before probing this large"
+    )
     # Per-table SELECT for replica r (r is substituted as a literal).
     replica_sql = {
         "customer": (
