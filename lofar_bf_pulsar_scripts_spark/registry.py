@@ -4273,6 +4273,91 @@ def _stage_events_dir(sf_dir: str) -> str:
     return stage
 
 
+def _stage_events_asof_dir(sf_dir: str) -> tuple[str, int]:
+    """Stage events.parquet plus a 2-row watermark SENTINEL file for
+    the JVM stream-stream as-of gate, and return (stage_dir,
+    horizon_days) where horizon_days covers the staged data's full
+    span in COMPOSITE-key microseconds (ts_s * 2^32) — the gate-exact
+    unbounded-lookback setting.
+
+    Why a sentinel: the join form's outer-NULL rows and final MAX
+    flush only when the watermark PASSES an event, and on a bounded
+    replay the watermark stops at max(data ts) — the trailing events
+    would never emit.  Two rows at user_id = -1 (one per join side)
+    with ts far beyond max_real + horizon advance both sides'
+    watermarks past every real row; the gate filters key < 0 out of
+    the output.  Both sentinel rows ship in ONE extra parquet file in
+    the same staged directory, so availableNow drains everything in a
+    single micro-batch (no late-drop risk) and the no-data commit
+    batch then flushes all state."""
+    import math
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.pardir,
+        ".stream_stage_asof",
+    )
+    stage = os.path.abspath(stage)
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    sentinel = os.path.join(stage, "zz_sentinel.parquet")
+    # NOT inside the staged dir: the streaming parquet source globs
+    # every file there
+    horizon_path = stage + ".horizon_days.txt"
+    src = f"{sf_dir}/events.parquet"
+    st_src = os.stat(src)
+    fresh = (
+        os.path.exists(dst)
+        and os.stat(dst).st_size == st_src.st_size
+        and os.stat(dst).st_mtime == st_src.st_mtime
+        and os.path.exists(sentinel)
+        and os.path.exists(horizon_path)
+    )
+    if fresh:
+        with open(horizon_path) as fh:
+            return stage, int(fh.read().strip())
+    shutil.copy2(src, dst)
+    ts_col = pq.read_table(src, columns=["ts"])["ts"]
+    lo, hi = pc.min(ts_col).as_py(), pc.max(ts_col).as_py()
+    span_s = math.ceil((hi - lo).total_seconds()) + 2
+    # composite keys are ts_s * 2^32 (+ sub-second residue), so the
+    # span in composite MICROSECONDS is span_s * 2^32; round up to
+    # whole days for the INTERVAL literal, +2 days margin
+    horizon_days = math.ceil(span_s * 4294967296 / 86_400_000_000) + 2
+    # the sentinel must clear max_real_composite + horizon even under
+    # conservative watermark propagation (join output watermark =
+    # input - horizon): horizon in real seconds is span_s, so
+    # max + 2*span_s + a day is safely beyond
+    import datetime
+
+    sent_ts = hi + datetime.timedelta(seconds=2 * span_s + 86_400)
+    schema = pq.read_schema(src).remove_metadata()
+    rows = {
+        "event_id": [-1, -2],
+        "ts": [sent_ts, sent_ts],
+        "user_id": [-1, -1],
+        "event_type": ["click", "view"],
+        "value": [1.0, None],
+        "props": ["", ""],
+    }
+    pq.write_table(
+        pa.table(
+            {f.name: pa.array(rows[f.name], type=f.type) for f in schema},
+            schema=schema,
+        ),
+        sentinel,
+    )
+    with open(horizon_path, "w") as fh:
+        fh.write(str(horizon_days))
+    return stage, horizon_days
+
+
 def _state_partitions(sf_dir: str, n_stateful: int = 1) -> int:
     """Size the stateful-shuffle partition count from the staged
     source volume AND the number of stateful operators in the plan:
@@ -4575,6 +4660,91 @@ def q_streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("user_id"),
         F.col("event_ts"),
         F.col("asof_ts"),
+        F.col("asof_value").cast("long").alias("asof_value_micro"),
+    )
+
+
+@_register(
+    "streaming_asof_joins_exact",
+    """
+    -- batch dual of the JVM-ONLY streaming as-of join (§2.9, VERDICT
+    -- r9 item 1): the same composite-key construction as
+    -- streaming_asof_exact (see that gate's header for the key
+    -- algebra), but the streaming side is a stream-stream
+    -- time-interval LEFT OUTER join + per-event MAX instead of the
+    -- Python applyInPandasWithState tracker — zero Python on the
+    -- stream.  The join form is keyed on event IDENTITY
+    -- (user, event_ts), so simultaneous duplicate events collapse to
+    -- one output row by design: the event side is DISTINCT here.
+    WITH base AS (
+        SELECT user_id, event_type, event_id, value,
+               CAST(datediff('microsecond',
+                             TIMESTAMP '1970-01-01 00:00:00',
+                             CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   // 1000000 AS ts_s
+        FROM events WHERE ts IS NOT NULL
+    ), ev AS (
+        SELECT DISTINCT user_id,
+               ts_s * 4294967296 + 4294967295 AS event_ts
+        FROM base WHERE event_type != 'click'
+    ), st AS (
+        SELECT user_id,
+               ts_s * 4294967296 + event_id % 4294967295 AS state_ts,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS sval
+        FROM base WHERE event_type = 'click' AND value IS NOT NULL
+    )
+    SELECT e.user_id, e.event_ts,
+           s.state_ts AS asof_ts,
+           s.sval AS asof_value_micro
+    FROM ev e ASOF LEFT JOIN st s
+      ON e.user_id = s.user_id AND e.event_ts >= s.state_ts
+    """,
+    "§2.9 JVM-only streaming as-of join, hash-gated (asof_stream.py "
+    "stream-stream time-interval left-outer join + per-event max vs "
+    "DuckDB ASOF JOIN; removes the r9 tracker's per-row Python state "
+    "boundary — the funnel_joins pattern applied to getState.py-style "
+    "state attach)",
+)
+def q_streaming_asof_joins_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.asof_stream import streaming_asof_joins
+    from .tables import stream_events
+
+    stage, horizon_days = _stage_events_asof_dir(sf_dir)
+    stream = stream_events(spark, stage).filter(F.col("ts").isNotNull())
+    ts_s = F.floor(F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long")
+    ev = stream.filter(F.col("event_type") != "click").select(
+        "user_id",
+        F.timestamp_micros(
+            ts_s * F.lit(4294967296) + F.lit(4294967295)
+        ).alias("k_ts"),
+    )
+    st = stream.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.timestamp_micros(
+            ts_s * F.lit(4294967296)
+            + F.pmod(F.col("event_id"), F.lit(4294967295))
+        ).alias("k_ts"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("sval"),
+    )
+    joined = streaming_asof_joins(
+        ev, st, key_col="user_id", event_ts_col="k_ts",
+        state_ts_col="k_ts", value_col="sval",
+        horizon=f"{horizon_days} days",
+    )
+    out = _run_bounded_to_memory(
+        spark, joined, "q_stream_asof_joins", mode="append",
+        sf_dir=sf_dir, n_stateful=2,
+    )
+    return out.filter(F.col("key") >= 0).select(
+        F.col("key").alias("user_id"),
+        F.unix_micros(F.col("event_ts")).alias("event_ts"),
+        F.unix_micros(F.col("asof_ts")).alias("asof_ts"),
         F.col("asof_value").cast("long").alias("asof_value_micro"),
     )
 

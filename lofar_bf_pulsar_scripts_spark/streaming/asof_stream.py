@@ -128,6 +128,103 @@ def make_asof_fn(value_col: str):
     return update
 
 
+def streaming_asof_joins(
+    events: DataFrame,
+    states: DataFrame,
+    key_col: str,
+    event_ts_col: str,
+    state_ts_col: str,
+    value_col: str,
+    horizon: str = "150000 days",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """JVM-only streaming as-of join (VERDICT r9 item 1): the
+    stream-table temporal join restated as a stream-stream
+    time-interval LEFT OUTER join + per-event max — the funnel's own
+    winning pattern (``streaming_funnel_joins``), so the whole query
+    lives in the JVM state store: no ``applyInPandasWithState``, no
+    Arrow boundary, no Python workers on the stream (the tracker form
+    measured ~260 k rows/s/node at 100x — the per-row Python state
+    boundary was the last perf-weak shape in the repo).
+
+    Plan: each event equi-joins its key's state rows under
+    ``state.ts <= event.ts AND state.ts > event.ts - horizon``; a
+    per-(key, event_ts) MAX over struct(state_ts, value) then picks
+    the latest state row.  Left outer keeps events with no state in
+    the horizon (NULL asof_*), matching the batch ``asof_join``'s
+    left rows.  NULL-valued state rows are dropped before the join
+    (the batch form's ignorenulls carry); NULL timestamps on either
+    side are dropped.
+
+    Semantics vs the tracker (``streaming_asof_join``): STRONGER on
+    ordering — results are event-time-exact under ANY cross-batch
+    arrival order (the tracker needs per-key in-order arrival; a join
+    buffers out-of-order rows in the state store until the watermark
+    closes them) — and bounded by ``horizon``, the time-range bound
+    every production as-of has (it is what lets Spark evict join
+    state at the watermark; the tracker's one-row-per-key state is
+    the unbounded-lookback trade).  Set ``horizon`` to the replay's
+    full span for gate-exact unbounded semantics.
+
+    Emission contract (bounded replay): append-mode outer-NULL rows
+    and the final MAX flush only once the watermark PASSES an event,
+    so a bounded replay must end with a sentinel row per side beyond
+    ``max(real ts) + horizon`` (the registry gate stages one); a live
+    stream flushes continuously as the watermark advances.
+
+    Scale shape: one stream-stream join + one aggregation, both
+    keyed by (key, time) — state per key bounded by the in-horizon
+    row count (per-key event density x horizon, a constant of the
+    workload, not of corpus size), join fan-out per event = in-
+    horizon state rows for that key.  Ties on state_ts break to the
+    larger value (struct max); gates use unique composite state keys
+    so the argmax is deterministic.
+
+    Output (append): (key long, event_ts, asof_ts, asof_value) — one
+    row per DISTINCT (key, event_ts); duplicate simultaneous events
+    collapse (the aggregation is keyed on event identity = its
+    timestamp).  ts columns must be TIMESTAMP-typed (the join's
+    interval condition and watermark need event-time semantics;
+    composite integer keys ride along via ``timestamp_micros``)."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        events.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(event_ts_col).alias("e_ts"),
+        )
+        .filter(F.col("e_ts").isNotNull())
+        .withWatermark("e_ts", watermark)
+    )
+    st = (
+        states.select(
+            F.col(key_col).cast("long").alias("s_key"),
+            F.col(state_ts_col).alias("s_ts"),
+            F.col(value_col).alias("s_val"),
+        )
+        .filter(F.col("s_ts").isNotNull() & F.col("s_val").isNotNull())
+        .withWatermark("s_ts", watermark)
+    )
+    j = ev.join(
+        st,
+        F.expr(
+            f"key = s_key AND s_ts <= e_ts "
+            f"AND s_ts > e_ts - INTERVAL {horizon}"
+        ),
+        "leftOuter",
+    )
+    return (
+        j.groupBy("key", "e_ts")
+        .agg(F.max(F.struct(F.col("s_ts"), F.col("s_val"))).alias("m"))
+        .select(
+            "key",
+            F.col("e_ts").alias("event_ts"),
+            F.col("m.s_ts").alias("asof_ts"),
+            F.col("m.s_val").alias("asof_value"),
+        )
+    )
+
+
 def streaming_asof_join(
     events: DataFrame,
     states: DataFrame,

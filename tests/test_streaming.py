@@ -762,3 +762,163 @@ def test_state_partitions_law(tmp_path):
     assert with_size(221_000, 8) == 2  # sf0.01 chain (measured best 2)
     assert with_size(211_000_000) == 32  # 100x probe: cap
     assert with_size(8 << 30) == 32  # cap at session parallelism
+
+
+def _drive_asof_joins(spark, out, name, writes):
+    """Start the JVM as-of join stream, apply each write callback with
+    a processAllAvailable barrier between micro-batches, then give the
+    no-data commit batch (watermark-driven flush) a chance to run."""
+    import time
+
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        for w in writes:
+            w()
+            q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_streaming_asof_joins_equals_batch(spark, tmp_path):
+    """JVM-only as-of join (stream-stream time-interval left-outer
+    join + per-event max): bounded replay equals the batch asof_join
+    on distinct events, including outer-NULL rows (no state in
+    horizon) and NULL-valued-state skipping — zero Python on the
+    stream."""
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.operators.asof import asof_join
+    from lofar_bf_pulsar_scripts_spark.streaming.asof_stream import (
+        streaming_asof_joins,
+    )
+
+    ev_schema = "k long, ts long, kind string, v string"
+    src = str(tmp_path / "asofj_src")
+    os.makedirs(src, exist_ok=True)
+    n = [0]
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        n[0] += 1
+
+    write([
+        (1, 10, "state", "a"), (2, 20, "state", "x"),
+        (1, 15, "event", None), (1, 5, "event", None),
+        (3, 7, "event", None),       # no state ever -> outer NULL
+        (1, 15, "event", None),      # duplicate (k, ts): collapses
+        (1, 12, "state", None),      # NULL value: skipped
+    ])
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    out = streaming_asof_joins(
+        stream.filter(F.col("kind") == "event").withColumn(
+            "tss", F.timestamp_micros(F.col("ts"))
+        ),
+        stream.filter(F.col("kind") == "state").withColumn(
+            "tss", F.timestamp_micros(F.col("ts"))
+        ),
+        key_col="k", event_ts_col="tss", state_ts_col="tss",
+        value_col="v", horizon="1 hour",
+    )
+    sentinel = [
+        (-1, 10**12, "event", None), (-1, 10**12, "state", "zz"),
+    ]
+    tbl = _drive_asof_joins(
+        spark, out, "asofj_batch",
+        [lambda: None,
+         lambda: write([(1, 30, "event", None), (1, 40, "state", "b"),
+                        (1, 45, "event", None)]),
+         lambda: write(sentinel)],
+    )
+    got = {
+        (r["key"], r["event_ts"].microsecond): (
+            None if r["asof_ts"] is None else r["asof_ts"].microsecond,
+            r["asof_value"],
+        )
+        for r in tbl.filter("key >= 0").collect()
+    }
+    assert got == {
+        (1, 5): (None, None),
+        (1, 15): (10, "a"),     # one row despite the duplicate event
+        (1, 30): (10, "a"),     # NULL-valued (1,12) state skipped
+        (1, 45): (40, "b"),
+        (3, 7): (None, None),
+    }
+    # batch parity on the full bounded data (distinct events)
+    full = spark.read.parquet(src).filter("k >= 0")
+    b = asof_join(
+        full.filter("kind = 'event'").select("k", "ts").distinct(),
+        full.filter("kind = 'state'").select(
+            "k", F.col("ts").alias("sts"), F.col("v").alias("sv")
+        ),
+        key_cols=["k"], left_ts="ts", right_ts="sts",
+        right_value_cols=["sv"],
+    )
+    batch = {(r["k"], r["ts"]): r["asof_sv"] for r in b.collect()}
+    assert batch == {kk: v for kk, (_, v) in got.items()}
+
+
+def test_streaming_asof_joins_out_of_order_exact(spark, tmp_path):
+    """The join form is event-time-exact under CROSS-BATCH arrival
+    disorder (within the watermark delay): a state row arriving a
+    micro-batch AFTER an event it should serve still serves it —
+    exactly where the Python tracker's in-order caveat made it emit
+    NULL. Also pins the horizon bound: a state older than the horizon
+    is not matched (outer NULL), and a same-instant state matches
+    (inclusive <=)."""
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.streaming.asof_stream import (
+        streaming_asof_joins,
+    )
+
+    ev_schema = "k long, ts long, kind string, v string"
+    src = str(tmp_path / "asofj_ooo")
+    os.makedirs(src, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    out = streaming_asof_joins(
+        stream.filter(F.col("kind") == "event").withColumn(
+            "tss", F.timestamp_micros(F.col("ts"))
+        ),
+        stream.filter(F.col("kind") == "state").withColumn(
+            "tss", F.timestamp_micros(F.col("ts"))
+        ),
+        key_col="k", event_ts_col="tss", state_ts_col="tss",
+        value_col="v", horizon="50 microseconds",
+        watermark="10 seconds",
+    )
+    write([(1, 15, "event", None),      # event first...
+           (2, 100, "event", None),     # horizon: state at 10 is 90 out
+           (3, 30, "event", None)])     # tie: state at exactly 30
+    tbl = _drive_asof_joins(
+        spark, out, "asofj_ooo",
+        [lambda: None,
+         # ...its state arrives one batch LATER with an EARLIER ts
+         lambda: write([(1, 10, "state", "late-but-served"),
+                        (2, 10, "state", "out-of-horizon"),
+                        (3, 30, "state", "tie")]),
+         lambda: write([(-1, 10**12, "event", None),
+                        (-1, 10**12, "state", "zz")])],
+    )
+    got = {
+        (r["key"], r["event_ts"].microsecond): r["asof_value"]
+        for r in tbl.filter("key >= 0").collect()
+    }
+    assert got == {
+        (1, 15): "late-but-served",  # tracker form would say NULL
+        (2, 100): None,              # horizon bound: 90us gap > 50us
+        (3, 30): "tie",              # inclusive <=
+    }
