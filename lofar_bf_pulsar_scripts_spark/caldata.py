@@ -19,6 +19,7 @@ codegen).
 """
 from __future__ import annotations
 
+import functools as _functools
 import math
 import os
 
@@ -839,14 +840,85 @@ def load_hamaker_coeffs(
     return coeffs, center_mhz, range_mhz
 
 
+# --- Real-calibration-data directory knob (VERDICT r9 item 3) ---------
+#
+# The r9 loaders (load_hamaker_coeffs, load_senstable) made the real
+# mscorpol / Wijnholds files *parsable*; this knob makes them
+# *routable*: export SPARK_GRAFT_CALDATA_DIR=/path/to/files and every
+# Jones/Aeff consumer — hamaker_element_jones and everything above it
+# (hamaker_jones_from_radec, the hamaker_beam_corr gate,
+# plans/fluxcal.wijnholds_channel_calibration) and
+# resolve_wijnholds_aeff (the wijnholds_aeff_lookup gate) — consumes
+# the real files end-to-end with ZERO code changes.  Unset, every
+# consumer keeps the packaged synthetic fixtures, so driver/gate runs
+# are unaffected.  Recognized files: DefaultCoeff*.cc (mscorpol /
+# LOFAR-ElementResponse Hamaker coefficients) and *senstable*.txt
+# (the $LOFARSOFT lofar_sensitivity_senstable layout).
+
+CALDATA_DIR_ENV = "SPARK_GRAFT_CALDATA_DIR"
+
+
+def caldata_dir() -> str | None:
+    """Directory of real calibration files (from
+    ``$SPARK_GRAFT_CALDATA_DIR``), or None for the packaged
+    fixtures."""
+    d = os.environ.get(CALDATA_DIR_ENV, "").strip()
+    return d or None
+
+
+def _find_caldata_file(patterns: tuple[str, ...]) -> str | None:
+    d = caldata_dir()
+    if not d:
+        return None
+    import glob
+
+    for pat in patterns:
+        hits = sorted(glob.glob(os.path.join(d, pat)))
+        if hits:
+            return hits[0]
+    return None
+
+
+@_functools.lru_cache(maxsize=8)
+def _load_hamaker_cached(path: str, mtime_ns: int):
+    return load_hamaker_coeffs(path)
+
+
+def resolve_hamaker_coeffs() -> tuple[list, float, float]:
+    """(coeffs, center_mhz, range_mhz): the real ``DefaultCoeff*.cc``
+    from the caldata dir when one is present, else the packaged
+    synthetic fixture.  Cached per (path, mtime): the parse is paid
+    once, not per plan build."""
+    p = _find_caldata_file(("DefaultCoeff*.cc", "*.cc"))
+    if p:
+        return _load_hamaker_cached(p, os.stat(p).st_mtime_ns)
+    return (
+        synthetic_hamaker_coeffs(),
+        HAMAKER_FREQ_CENTER_MHZ,
+        HAMAKER_FREQ_RANGE_MHZ,
+    )
+
+
+def resolve_wijnholds_aeff(spark: SparkSession) -> DataFrame:
+    """The Aeff(freq_mhz, el_deg) broadcast dimension: ingested from
+    the real senstable file in the caldata dir when one is present
+    (``load_senstable`` — text scan -> az-mean -> Trec correction),
+    else the packaged parquet built from the synthetic cube by the
+    same pipeline."""
+    p = _find_caldata_file(("*senstable*.txt",))
+    if p:
+        return load_senstable(spark, p)
+    return load_wijnholds_aeff(spark)
+
+
 def hamaker_element_jones(
     df: DataFrame,
     theta_col: Column,
     phi_col: Column,
     freq_mhz_col: Column,
     coeffs: list | None = None,
-    center_mhz: float = HAMAKER_FREQ_CENTER_MHZ,
-    range_mhz: float = HAMAKER_FREQ_RANGE_MHZ,
+    center_mhz: float | None = None,
+    range_mhz: float | None = None,
 ) -> DataFrame:
     """Attach j{00,01,10,11}_{re,im} from the Hamaker expansion.
 
@@ -864,9 +936,20 @@ def hamaker_element_jones(
 
     Input rows must be distinct (they are the group keys). ``coeffs``
     is a bounded model-constant list in ``synthetic_hamaker_coeffs``
-    layout."""
+    layout; left None, it resolves through the caldata-dir knob
+    (real ``DefaultCoeff*.cc`` when ``$SPARK_GRAFT_CALDATA_DIR`` has
+    one, else the synthetic fixture) along with the frequency
+    normalization the file declares."""
     if coeffs is None:
-        coeffs = synthetic_hamaker_coeffs()
+        coeffs, rc, rr = resolve_hamaker_coeffs()
+        if center_mhz is None:
+            center_mhz = rc
+        if range_mhz is None:
+            range_mhz = rr
+    if center_mhz is None:
+        center_mhz = HAMAKER_FREQ_CENTER_MHZ
+    if range_mhz is None:
+        range_mhz = HAMAKER_FREQ_RANGE_MHZ
     # one SQL-text literal, one py4j call: building this as 125
     # F.struct(F.lit(...)*7) objects cost ~2600 py4j round-trips and
     # ~3s of PLAN-construction time per query build (measured; the

@@ -90,6 +90,43 @@ def channel_calibration_table(
     )
 
 
+def wijnholds_channel_calibration(
+    spark,
+    channels: DataFrame,
+    el_deg_col: str = "el_deg",
+    freq_col: str = "freq_mhz",
+    t408_col: str = "t408",
+    tinst_col: str = "tinst_k",
+) -> DataFrame:
+    """Build the per-channel calibration table END-TO-END from the
+    calibration data sources (VERDICT r9 item 3 wiring): Aeff comes
+    from the Wijnholds gain cube through the caldata-dir knob —
+    ``caldata.resolve_wijnholds_aeff`` reads the REAL
+    ``*senstable*.txt`` when ``$SPARK_GRAFT_CALDATA_DIR`` points at a
+    directory containing one (lofar_gain.py:165-193's file), else the
+    packaged synthetic dimension — interpolated at each channel's
+    (freq, el) by the reference's separable np.interp
+    (``wijnholds_aeff_lookup``), then Tsys/SEFD via
+    ``channel_calibration_table``.  One env var swaps the whole
+    fluxcal plan onto real gains with zero code changes.
+
+    ``channels`` needs (chan, freq_mhz, el_deg, t408, tinst_k); the
+    Aeff grid is ~2.6k rows — always a broadcast lookup, the channel
+    table keeps its partitioning."""
+    from ..caldata import resolve_wijnholds_aeff, wijnholds_aeff_lookup
+
+    with_aeff = wijnholds_aeff_lookup(
+        channels,
+        resolve_wijnholds_aeff(spark),
+        freq_col=freq_col,
+        el_col=el_deg_col,
+    )
+    return channel_calibration_table(
+        with_aeff, t408_col=t408_col, freq_col=freq_col,
+        tinst_col=tinst_col,
+    )
+
+
 def calibrate_cube(
     cube: DataFrame,
     calib: DataFrame,

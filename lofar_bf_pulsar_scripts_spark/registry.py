@@ -5795,7 +5795,7 @@ def q_channel_sefd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.8 Wijnholds gain-cube ingest at true 29x361x91 dims + J8 separable interpolation (lofar_gain.py:84-128,165-193)",
 )
 def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .caldata import load_wijnholds_aeff, wijnholds_aeff_lookup
+    from .caldata import resolve_wijnholds_aeff, wijnholds_aeff_lookup
 
     # The packaged 29x91 dimension parquet is built from the
     # full-dimension 952k-value cube by tools/build_caldata.py through
@@ -5805,7 +5805,10 @@ def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production lookup path (broadcast dim, 4-corner bilinear)
     # without re-running the 20 MB text ingest per evaluation — that
     # re-ingest made this the only r5 bench regression (0.9s -> 4.2s).
-    aeff = load_wijnholds_aeff(spark)
+    # resolve_ = the caldata-dir knob: with $SPARK_GRAFT_CALDATA_DIR
+    # set the SAME gate runs off the real senstable file (driver runs
+    # never set it, so the oracle pairing is unchanged).
+    aeff = resolve_wijnholds_aeff(spark)
     ev = load_table(spark, "events", sf_dir).select(
         "event_id",
         (F.lit(110.0) + F.pmod(F.col("value") * 13.0, F.lit(140.0))).alias(
