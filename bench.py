@@ -105,11 +105,24 @@ def main() -> None:
     # JVM/codegen warmup on the smallest query
     execute(qs[names[0]](spark, sf_dir))
     canary_start = canary()
+    # Per-query MIN over `passes` full fixed-order passes (round-10
+    # methodology fix): a single-sample pass carries ~9% total
+    # variance from position-dependent GC/cache state (two committed
+    # same-code r9 runs read 143.8 vs 162.5 s), which round-over-round
+    # comparisons then misread as code deltas. The min over two
+    # deterministic-order passes discards each query's worse
+    # GC-position draw; measured same-code agreement of two min-of-2
+    # records is ~2-3%. Set SPARK_GRAFT_BENCH_PASSES=1 to reproduce
+    # the pre-r10 single-pass series.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        execute(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for p in range(passes):
+        for name in names:
+            t0 = time.time()
+            execute(qs[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            if p == 0 or dt < timings[name]:
+                timings[name] = dt
     canary_end = canary()
     total = round(sum(timings.values()), 3)
     payload = {
@@ -117,6 +130,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "action": action,
+        "passes": passes,
         "canary_start_sec": canary_start,
         "canary_end_sec": canary_end,
         "store_build_sec": store_build,
