@@ -9131,46 +9131,18 @@ _TAIL: tuple[str, ...] = (
     # rows-only by design (no DuckDB-expressible oracle)
     "streaming_fold_replay",
     "approx_sketches",
-    # r4-green and byte-identical since r4; demoted in r5 to free
-    # head-50 slots for the re-gated wijnholds_aeff_lookup, the new
-    # streaming_asof_exact / lsh_ann_topk_stored gates, and the
-    # re-gated acf_hourly (its products were HUGEINT-widened after
-    # the 100x probe exposed the int64 overflow; changed oracle text
-    # must re-gate, so it leaves the tail and tsky_scaled funds it).
-    "qq_normalize_stats",
-    "auto_off_window",
-    "tsky_scaled",
-    # fund the head-50 slots for the NEW temperature_mix_counts,
-    # bloom_incremental_screen and pq_code_histogram gates
-    "off_window_stats",
-    "flux_spectrum",
-    "rollup_pricing",
-    "cube_pricing",
-    "running_revenue",
-    "shipping_priority",
-    "local_supplier_volume",
-    # r5-green and byte-identical since r5; demoted in the round-6
-    # continuation so the changed ivf_pq_top3 (shared-oracle pair of
-    # ivf_pq_stored_top3) stays inside the head-50 next to the seven
-    # new gates (sky_crossmatch family + streaming cross-match,
-    # dm_search, accel_search, harmonics, semantic dedup)
-    "embedding_quantize",
-    "pq_code_histogram",
+    # Round-10 window plan (VERDICT r9 item 5): _PROMOTE below holds
+    # exactly 50 names, so the head-50 IS the promote list and every
+    # name here sits past it.  Everything demoted this round is
+    # r7/r8/r9-green with a standing driver row and byte-identical
+    # since (check_window.py's symbol-level fingerprint is the
+    # referee: any of these whose Spark fn, imported operators, or
+    # oracle text changes must move back into _PROMOTE).
     "pq_adc_top3",
-    # demoted in the round-7 third wave to fund the new
-    # subband_dm_search and image_phash_pairs gates (r4-green /
-    # r3-green, byte-identical since)
     "tfidf_top_terms",
     "language_id",
-    # r7-green and byte-identical since; demoted in round 8 to fund
-    # the new hamaker_beam_corr / psrflux_band_flux gates and the
-    # pulse_energy_hist window-rotation debt
     "jones_beam_corr",
     "json_props_stats",
-    # r7/r8-green with driver rows in CORRECTNESS_r07/r08 and
-    # byte-identical this round; demoted in round 9 to fund the
-    # VERDICT r8 item-6 rotation of the longest-unrotated r2/r3-era
-    # greens back through the driver window (their recent rows stand)
     "candidate_sift",
     "single_pulse_cands",
     "timing_fit_drift",
@@ -9179,8 +9151,6 @@ _TAIL: tuple[str, ...] = (
     "quality_classifier",
     "visibility_windows",
     "bpe_apply_counts",
-    # semantic_dedup_stats un-demoted in the round-9 third session:
-    # it imports the map-side-rewritten ivf_assign and must re-gate
     "gopher_rules",
     "bigram_lm_quality",
     "dsir_importance",
@@ -9191,73 +9161,18 @@ _TAIL: tuple[str, ...] = (
     "pii_redaction_stats",
     "psrflux_band_flux",
     "pulse_energy_hist",
-    # r3/r2-green and byte-identical since; demoted in the round-8
-    # second wave to fund the new incremental_near_dup and
-    # training_data_pipeline gates
     "stratified_sample",
     "source_quota_sample",
-    # r6-green and byte-identical since r6; demoted in the round-7
-    # second wave to fund the five new gates (candidate_sift,
-    # single_pulse_cands, timing_fit_drift, pii_redaction_stats,
-    # span_dedup_docs)
     "doc_chunks",
     "url_canonical",
     "vocab_coverage",
     "bpe_token_counts",
     "text_quality",
-    # r2-green and byte-identical this round; r2 row stands
-    "file_placement",
-    "regex_filter_parts",
-    "hash_split_counts",
-    "ngram_jaccard_pairs",
-    "simhash_docs",
-    "payload_metadata",
-    "rfi_zap_fraction",
-    "orders_without_lineitems",
-    "band_averaged_tsky",
-    "tsky_map_lookup",
-    "channel_sefd",
-    "catalog_union",
-    "nearest_supplier",
-    "top_customer_per_nation",
-    "token_stats",
-    "lsh_bucket_sizes",
-    "dup_clusters",
-    "lta_superquery_manifest",
-    # (round 9: the r3-demoted block — trimmed_stats, sigma_clip_
-    # events, scrunch_user_hour, altaz_positions, dispersion_delays,
-    # pulsar_derived, fold_event_counts, doc_fingerprint_groups,
-    # fold_profile, fold_subints, rebin_events, profile_stats,
-    # above_avg_orders, value_histogram, rotated_profile,
-    # pivot_event_values, event_pairs_within_minute, bilinear_gain —
-    # plus dedup_documents rotated back INTO the head after 5+ rounds
-    # on byte-stability audits only: VERDICT r8 item 6.)
-    # r8-green with fresh driver rows in CORRECTNESS_r08 and
-    # byte-identical this round; demoted in the round-9 third session
-    # to fund the head slots for the five streaming gates whose Spark
-    # source changed with the volume-sized state-partition law
     "chunk_dedup_stats",
     "minhash_signatures",
     "contamination_screen",
     "repetition_stats",
     "temperature_mix_counts",
-)
-
-
-# Queries pulled to the FRONT of the ordering regardless of file
-# position: new gates register at the end of the module, but the
-# driver's correctness window is the first 50 entries — promotion is
-# how a NEW query lands inside it (the _TAIL demotions below fund the
-# slots).
-_PROMOTE: tuple[str, ...] = (
-    # round 9, changed this round (ADVICE fixes + VERDICT items): the
-    # MinHash-band store key fix (incremental_near_dup fn), the phash
-    # NULL-coalesce (image_phash_pairs oracle + fn text), the
-    # span_dedup shuffle rewrite, the pack_sequences NULL-bucket
-    # guard (sequence_packing / tokenize_pack_pipeline /
-    # training_data_pipeline consume it), the Hamaker evaluator's
-    # derived-dims refactor (hamaker_beam_corr), and the round-9
-    # hierarchical-ingest / streaming-funnel work
     "hamaker_beam_corr",
     "incremental_near_dup",
     "training_data_pipeline",
@@ -9266,33 +9181,14 @@ _PROMOTE: tuple[str, ...] = (
     "near_dedup_pipeline",
     "sequence_packing",
     "tokenize_pack_pipeline",
-    "hierarchical_assign_counts",
-    "hier_assign_agreement",
     "streaming_funnel_exact",
     "streaming_funnel_joins_exact",
-    # round-9 third session: every bounded-replay gate's Spark fn now
-    # routes through the volume-sized state-partition law — changed
-    # source must re-gate (the funnel pair above already promoted)
     "streaming_fold_exact",
     "streaming_dedup_exact",
     "streaming_sessions_exact",
     "streaming_asof_exact",
     "streaming_crossmatch_exact",
-    # round-9 third session: resample_ffill rewritten to the
-    # interval-explode forward fill — operator-level change invisible
-    # to check_window's old fn-source fingerprint (now fixed: the
-    # fingerprint hashes the sources of the SYMBOLS each gate
-    # imports); changed semantics-bearing code must re-gate
     "resample_hourly_ffill",
-    # flagged by the symbol-level fingerprint: both import ivf_assign,
-    # rewritten map-side this round (bit-identical by argument, but
-    # the gate re-proves it)
-    "ivf_pq_stored_top3",
-    "semantic_dedup_stats",
-    # round 9 rotation (VERDICT r8 item 6): the 19 longest-unrotated
-    # greens — driver-gated last in r2/r3, byte-stability audits
-    # since — re-enter the head, funded by demoting 19 r7/r8-green
-    # byte-identical entries (see the _TAIL round-9 block)
     "trimmed_stats",
     "sigma_clip_events",
     "scrunch_user_hour",
@@ -9312,6 +9208,81 @@ _PROMOTE: tuple[str, ...] = (
     "event_pairs_within_minute",
     "bilinear_gain",
     "dedup_documents",
+)
+
+
+# Queries pulled to the FRONT of the ordering regardless of file
+# position: new gates register at the end of the module, but the
+# driver's correctness window is the first 50 entries — promotion is
+# how a NEW query lands inside it (the _TAIL demotions above fund the
+# slots).
+#
+# Round-10 plan: exactly 50 names = the whole driver window, stated
+# in one place.  First the 9 gates check_window flags as changed/new
+# since the r9 snapshot (77c1e71): the NEW JVM stream-stream as-of
+# join gate; wijnholds_aeff_lookup (its Aeff grid now resolves
+# through the caldata-dir knob); and the 7 assignment-family gates
+# whose shared ivf_assign/route path was rewritten map-side.  Then
+# the 41 longest-unrotated greens re-enter the window (VERDICT r9
+# item 5 asked for >=15): all 18 r2-era, all 10 r4-era, and 13 of
+# the 16 r5-era gates (spectral_index, tfidf_top_terms, pq_adc_top3
+# rotate next round).  Funded by demoting 22 r9-gated byte-identical
+# entries to _TAIL (their fresh CORRECTNESS_r09 rows stand).
+_PROMOTE: tuple[str, ...] = (
+    # changed/new since the r9 snapshot — must re-gate
+    "streaming_asof_joins_exact",
+    "wijnholds_aeff_lookup",
+    "hierarchical_assign_counts",
+    "hier_assign_agreement",
+    "ivf_topk",
+    "ivf_pq_top3",
+    "ivf_pq_rerank_top3",
+    "ivf_pq_stored_top3",
+    "semantic_dedup_stats",
+    # rotation: r2-era greens (last driver row CORRECTNESS_r02)
+    "band_averaged_tsky",
+    "catalog_union",
+    "channel_sefd",
+    "dup_clusters",
+    "file_placement",
+    "hash_split_counts",
+    "lsh_bucket_sizes",
+    "lta_superquery_manifest",
+    "nearest_supplier",
+    "ngram_jaccard_pairs",
+    "orders_without_lineitems",
+    "payload_metadata",
+    "regex_filter_parts",
+    "rfi_zap_fraction",
+    "simhash_docs",
+    "token_stats",
+    "top_customer_per_nation",
+    "tsky_map_lookup",
+    # rotation: r4-era greens
+    "auto_off_window",
+    "cube_pricing",
+    "flux_spectrum",
+    "local_supplier_volume",
+    "off_window_stats",
+    "qq_normalize_stats",
+    "rollup_pricing",
+    "running_revenue",
+    "shipping_priority",
+    "tsky_scaled",
+    # rotation: r5-era greens
+    "acf2d_user_day",
+    "acf_hourly",
+    "detrend_events",
+    "domain_blocklist_stats",
+    "embedding_near_dups",
+    "embedding_quantize",
+    "frame_offsets",
+    "kmeans_update_step",
+    "polyco_fold",
+    "pq_code_histogram",
+    "salted_event_type_volume",
+    "shuffle_rank_sample",
+    "sketch_exact_check",
 )
 
 
