@@ -5823,6 +5823,102 @@ def q_wijnholds_aeff_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("aeff_m2", 6).alias("aeff_m2"))
 
 
+@_register(
+    "wijnholds_channel_calibration",
+    f"""
+    WITH idxs AS (
+        SELECT i AS idx FROM generate_series(0, 952678) AS t(i)
+    ), cube AS (
+        -- same closed-form regeneration of the full-dimension
+        -- synthetic Wijnholds cube as the wijnholds_aeff_lookup
+        -- oracle (see the comment there); this gate extends the
+        -- lookup END-TO-END through the fluxcal plan: Aeff -> Tsys
+        -- (Haslam scaling + Tinst) -> SEFD, i.e. the whole
+        -- plans/fluxcal.wijnholds_channel_calibration path that the
+        -- caldata-dir knob swaps onto real senstable files
+        SELECT idx,
+               CAST(idx // 32851 AS BIGINT) AS fi,
+               CAST(idx % 91 AS BIGINT) AS el,
+               ((2048 + 16 * (idx % 91) - 8 * (idx // 32851)
+                 + ((idx % 91) * (idx // 32851)) % 32) / 4096.0
+                + ((idx // 91) % 361 - 180) / 1048576.0) AS raw
+        FROM idxs
+    ), avg_el AS (
+        SELECT fi, el, avg(raw) AS m FROM cube GROUP BY 1, 2
+    ), aeff AS (
+        SELECT CAST(fi AS INTEGER) AS gx, CAST(el AS INTEGER) AS gy,
+               m * (400.0
+                    + pow((3.0e8 / ((110.0 + 5.0 * fi) * 1e6)) / 0.2008, 2.55)
+                    + pow(((110.0 + 5.0 * fi) * 1e6) / 1e9, 1.8)
+                    + 2.7) AS gval
+        FROM avg_el
+    ), chans AS (
+        SELECT event_id AS chan,
+               110.0 + (value * 13.0) % 140.0 AS freq_mhz,
+               (value * 7.0) % 90.0 AS el_deg,
+               15.0 + (event_id % 50) AS t408,
+               200.0 + (event_id % 300) AS tinst_k
+        FROM events
+    ), pts AS (
+        SELECT chan, freq_mhz, t408, tinst_k,
+               (freq_mhz - 110.0) / 5.0 AS x,
+               el_deg AS y
+        FROM chans
+    ), corners AS (
+        SELECT p.*,
+               least(CAST(floor(p.x) AS INTEGER), 27) AS x0,
+               least(CAST(floor(p.y) AS INTEGER), 89) AS y0
+        FROM pts p
+    ), interp AS (
+        SELECT c.chan, c.freq_mhz, c.t408, c.tinst_k,
+               g00.gval * (1 - (c.x - c.x0)) * (1 - (c.y - c.y0))
+             + g10.gval * (c.x - c.x0) * (1 - (c.y - c.y0))
+             + g01.gval * (1 - (c.x - c.x0)) * (c.y - c.y0)
+             + g11.gval * (c.x - c.x0) * (c.y - c.y0) AS aeff_m2
+        FROM corners c
+          LEFT JOIN aeff g00 ON g00.gx = c.x0 AND g00.gy = c.y0
+          LEFT JOIN aeff g10 ON g10.gx = c.x0 + 1 AND g10.gy = c.y0
+          LEFT JOIN aeff g01 ON g01.gx = c.x0 AND g01.gy = c.y0 + 1
+          LEFT JOIN aeff g11 ON g11.gx = c.x0 + 1 AND g11.gy = c.y0 + 1
+    )
+    SELECT chan,
+           round(aeff_m2, 6) AS aeff_m2,
+           round(2.7 + t408 * pow(freq_mhz / 408.0, -2.55) + tinst_k, 6)
+               AS tsys_k,
+           round({_SEFD_CONST}
+                 * (2.7 + t408 * pow(freq_mhz / 408.0, -2.55) + tinst_k)
+                 / (aeff_m2 * 10000.0), 6) AS sefd_jy
+    FROM interp
+    """,
+    "D7 end-to-end fluxcal plan through the caldata-dir knob: Wijnholds "
+    "Aeff grid + separable interpolation -> Tsys -> SEFD in one plan "
+    "(lofar_gain.py:165-193,260-297; lofar_fluxcal.py:665-668,741-757)",
+)
+def q_wijnholds_channel_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .plans.fluxcal import wijnholds_channel_calibration
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("chan"),
+        (F.lit(110.0) + F.pmod(F.col("value") * 13.0, F.lit(140.0))).alias(
+            "freq_mhz"
+        ),
+        F.pmod(F.col("value") * 7.0, F.lit(90.0)).alias("el_deg"),
+        (F.lit(15.0) + F.pmod(F.col("event_id"), F.lit(50))).alias("t408"),
+        (F.lit(200.0) + F.pmod(F.col("event_id"), F.lit(300))).alias(
+            "tinst_k"
+        ),
+    )
+    out = wijnholds_channel_calibration(spark, ev)
+    return out.select(
+        "chan",
+        F.round("aeff_m2", 6).alias("aeff_m2"),
+        F.round("tsys_k", 6).alias("tsys_k"),
+        F.round("sefd_jy", 6).alias("sefd_jy"),
+    )
+
+
 # --------------------------------------------------------------------
 # Round 6: Gopher rule battery, bigram-LM quality, Z-order layout,
 # BPE pair counts
@@ -9224,13 +9320,16 @@ _TAIL: tuple[str, ...] = (
 # through the caldata-dir knob); and the 7 assignment-family gates
 # whose shared ivf_assign/route path was rewritten map-side.  Then
 # the 41 longest-unrotated greens re-enter the window (VERDICT r9
-# item 5 asked for >=15): all 18 r2-era, all 10 r4-era, and 13 of
-# the 16 r5-era gates (spectral_index, tfidf_top_terms, pq_adc_top3
-# rotate next round).  Funded by demoting 22 r9-gated byte-identical
-# entries to _TAIL (their fresh CORRECTNESS_r09 rows stand).
+# item 5 asked for >=15): all 18 r2-era, all 10 r4-era, and 12 of
+# the 16 r5-era gates (spectral_index, tfidf_top_terms, pq_adc_top3,
+# shuffle_rank_sample rotate next round — the last slot funds the NEW
+# wijnholds_channel_calibration gate).  Funded by demoting 22
+# r9-gated byte-identical entries to _TAIL (their fresh
+# CORRECTNESS_r09 rows stand).
 _PROMOTE: tuple[str, ...] = (
     # changed/new since the r9 snapshot — must re-gate
     "streaming_asof_joins_exact",
+    "wijnholds_channel_calibration",
     "wijnholds_aeff_lookup",
     "hierarchical_assign_counts",
     "hier_assign_agreement",
@@ -9281,7 +9380,6 @@ _PROMOTE: tuple[str, ...] = (
     "polyco_fold",
     "pq_code_histogram",
     "salted_event_type_volume",
-    "shuffle_rank_sample",
     "sketch_exact_check",
 )
 
