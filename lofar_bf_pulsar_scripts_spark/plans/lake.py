@@ -513,3 +513,78 @@ def cobucketed_join(
     lt = spark.table(left_table).hint("merge")
     rt = spark.table(right_table)
     return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+def write_scan_parallel(
+    df: DataFrame,
+    path: str,
+    rowgroup_bytes: int = 16 * 1024 * 1024,
+    file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with an explicit ROW-GROUP geometry contract
+    (SCALING-RULES rule 2): Spark file splits materialize only where
+    a row group starts, so a downstream map-side plan's task-count
+    ceiling is the file's row-group count — a file written with one
+    giant group serializes every zero-shuffle consumer no matter how
+    many executors the cluster has (measured: a 2-group 100x probe
+    file ran a map-side pipeline 3.4x slower than a shuffled shape;
+    SCALE.md twelfth wave, harness lie #1).
+
+    ``parquet.block.size`` is the writer's row-group target in bytes
+    (a hadoop write option, honored per-write); 16 MB gives a 128 MB
+    HDFS-block-sized file 8 splits and a 1 GB file 64 — small enough
+    to parallelize, large enough that column-chunk encoding stays
+    efficient.  ``spark.sql.files.maxRecordsPerFile`` caps file size
+    only by ROWS, so the file target is enforced the same way
+    compact_parquet_dir sizes its output: callers with a known row
+    width can pre-repartition; this helper enforces the intra-file
+    contract every file obeys regardless of file count.
+
+    Use for every at-rest store the engine builds (band stores, cid
+    stores, PQ codes, shards): ``rowgroup_report`` audits the result.
+    """
+    (
+        df.write.mode(mode)
+        .option("parquet.block.size", int(rowgroup_bytes))
+        # page size bounds the minimum useful group: keep default 1MB
+        # pages from forcing oversized groups on narrow tables
+        .option("parquet.page.size", min(1024 * 1024, int(rowgroup_bytes)))
+        .parquet(path)
+    )
+
+
+def rowgroup_report(spark: SparkSession, path: str) -> DataFrame:
+    """Audit a parquet directory's scan-parallelism geometry: one row
+    per data file with (file, n_rowgroups, n_rows, bytes) read from
+    FOOTER metadata only (pyarrow ParquetFile — content is never
+    decoded; cost is one footer read per file, the same price any
+    Spark scan already pays at planning).
+
+    The driver-side listing is bounded by the file count, not data
+    volume — at 100 TB with 128 MB files that is ~800k footer reads,
+    which is a metadata job to run ON the cluster: for lakes that
+    large, wrap the same pyarrow body in mapInPandas over the
+    binaryFile listing.  Here it is the audit tool the tests and the
+    scale harness use to verify rule 2 before trusting any map-side
+    measurement."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    for f in sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)):
+        meta = _pq.ParquetFile(f).metadata
+        rows.append(
+            (
+                os.path.relpath(f, path),
+                meta.num_row_groups,
+                meta.num_rows,
+                os.path.getsize(f),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "file string, n_rowgroups int, n_rows bigint, bytes bigint"
+    )

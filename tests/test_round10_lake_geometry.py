@@ -1,0 +1,99 @@
+"""Writer-side row-group geometry contract (SCALING-RULES rule 2):
+write_scan_parallel must emit files whose row-group count — the
+task-count ceiling of every zero-shuffle consumer — tracks the
+requested group size, and rowgroup_report must read the truth back
+from footers only."""
+
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.plans.lake import (
+    rowgroup_report,
+    write_scan_parallel,
+)
+
+def _events(spark):
+    # sf0.001 events is ~1000 rows (11 KB compressed) — below a single
+    # 64 KB group, so geometry assertions need a bigger table: 100k
+    # synthetic rows ~ several MB of row data
+    return spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 997).alias("user_id"),
+        F.concat(F.lit("type_"), (F.col("id") % 7)).alias("event_type"),
+        (F.col("id") * 0.123456789).alias("value"),
+    )
+
+
+def test_small_rowgroups_give_many_splits(spark, tmp_path):
+    path = str(tmp_path / "small_groups")
+    # one output file so the group count is attributable to
+    # parquet.block.size, not to file count
+    write_scan_parallel(
+        _events(spark).coalesce(1), path, rowgroup_bytes=64 * 1024
+    )
+    rep = rowgroup_report(spark, path).collect()
+    assert len(rep) == 1
+    row = rep[0]
+    # sf0.001 events ~ a few hundred KB of row data: a 64 KB group
+    # target must yield several groups (the exact count depends on
+    # encoder state; >= 3 is far from the 1-group failure mode)
+    assert row.n_rowgroups >= 3, rep
+    assert row.n_rows == _events(spark).count()
+
+
+def test_huge_rowgroups_collapse_to_one(spark, tmp_path):
+    path = str(tmp_path / "one_group")
+    write_scan_parallel(
+        _events(spark).coalesce(1), path, rowgroup_bytes=512 * 1024 * 1024
+    )
+    rep = rowgroup_report(spark, path).collect()
+    assert len(rep) == 1
+    assert rep[0].n_rowgroups == 1, rep
+
+
+def test_report_totals_match_data(spark, tmp_path):
+    path = str(tmp_path / "multi_file")
+    write_scan_parallel(
+        _events(spark).repartition(4), path, rowgroup_bytes=64 * 1024
+    )
+    rep = rowgroup_report(spark, path)
+    agg = rep.agg(
+        F.sum("n_rows").alias("rows"), F.count(F.lit(1)).alias("files")
+    ).first()
+    assert agg.rows == _events(spark).count()
+    assert agg.files == 4
+    # every file obeys the intra-file contract independently
+    assert rep.filter(F.col("n_rowgroups") < 1).count() == 0
+
+
+def test_scan_splits_follow_rowgroups(spark, tmp_path):
+    """The contract's point: Spark's scan of the small-group file
+    plans more input splits than the one-group file (splits
+    materialize only at row-group starts)."""
+    many = str(tmp_path / "many")
+    one = str(tmp_path / "one")
+    ev = _events(spark).coalesce(1)
+    write_scan_parallel(ev, many, rowgroup_bytes=64 * 1024)
+    write_scan_parallel(ev, one, rowgroup_bytes=512 * 1024 * 1024)
+
+    def n_useful_splits(p):
+        # byte-range split COUNT is size-based either way; what row
+        # groups gate is which splits produce rows (a slice with no
+        # group START in it reads nothing) — so useful parallelism =
+        # the number of NON-EMPTY partitions under tiny split targets
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        try:
+            return (
+                spark.read.parquet(p)
+                .select(F.spark_partition_id().alias("pid"))
+                .distinct()
+                .count()
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+    assert n_useful_splits(one) == 1
+    assert n_useful_splits(many) >= 3
