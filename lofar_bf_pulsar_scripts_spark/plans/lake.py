@@ -20,6 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# Rule-2 geometry default for every at-rest store this module writes:
+# 16 MB row groups keep a zero-shuffle consumer's scan parallelism at
+# the file's group count instead of 1 (SCALING-RULES rule 2;
+# write_scan_parallel below is the general-purpose writer, the store
+# writers inline the same option because they also Hive-partition).
+STORE_ROWGROUP_BYTES = 16 * 1024 * 1024
+
 
 def write_observation_partitioned(
     df: DataFrame,
@@ -79,7 +86,9 @@ def write_embeddings_by_centroid(
     and AQE coalesces small shuffle partitions first."""
     assigned.repartition(F.col(centroid_col)).write.mode(
         "overwrite"
-    ).partitionBy(centroid_col).parquet(path)
+    ).option("parquet.block.size", STORE_ROWGROUP_BYTES).partitionBy(
+        centroid_col
+    ).parquet(path)
 
 
 def ensure_embeddings_by_centroid(
@@ -136,7 +145,9 @@ def write_lsh_signatures(
         df, id_col=id_col, vec_col=vec_col,
         n_tables=n_tables, n_bits=n_bits, dims=dims,
     ).select(id_col, F.col("__tbl").alias("tbl"), F.col("__bkt").alias("bkt"))
-    sig.write.mode("overwrite").partitionBy("tbl", "bkt").parquet(path)
+    sig.write.mode("overwrite").option(
+        "parquet.block.size", STORE_ROWGROUP_BYTES
+    ).partitionBy("tbl", "bkt").parquet(path)
 
 
 def read_lsh_bucket(
@@ -196,7 +207,9 @@ def write_minhash_bands(
     )
     lsh_buckets(
         sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
-    ).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").option(
+        "parquet.block.size", STORE_ROWGROUP_BYTES
+    ).parquet(path)
 
 
 def ensure_minhash_bands(
@@ -242,7 +255,9 @@ def write_pq_codes(
         F.col(centroid_col),
         pq_encode(F.col(vec_col), dims, m_sub, k_codes).alias("codes"),
     )
-    enc.write.mode("overwrite").partitionBy(centroid_col).parquet(path)
+    enc.write.mode("overwrite").option(
+        "parquet.block.size", STORE_ROWGROUP_BYTES
+    ).partitionBy(centroid_col).parquet(path)
 
 
 def ensure_pq_codes(
@@ -385,7 +400,9 @@ def compact_parquet_dir(
         )
     n_files = max(1, -(-total // int(target_file_bytes)))
     df = spark.read.parquet(src)
-    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    df.repartition(n_files).write.mode("overwrite").option(
+        "parquet.block.size", STORE_ROWGROUP_BYTES
+    ).parquet(dst)
     return n_files
 
 
@@ -442,9 +459,9 @@ def write_training_shards(
     )
     # published shards carry DATA columns only — __sk/__rank are
     # internal bookkeeping and must not leak into the release files
-    sharded.drop("__sk", "__rank").write.mode("overwrite").partitionBy(
-        "shard"
-    ).parquet(path)
+    sharded.drop("__sk", "__rank").write.mode("overwrite").option(
+        "parquet.block.size", STORE_ROWGROUP_BYTES
+    ).partitionBy("shard").parquet(path)
     # manifest from the written files: a shard-grouped count touches
     # only footer metadata + the partition column; the rank bounds are
     # arithmetic (shard i is the contiguous slice starting at
@@ -518,7 +535,7 @@ def cobucketed_join(
 def write_scan_parallel(
     df: DataFrame,
     path: str,
-    rowgroup_bytes: int = 16 * 1024 * 1024,
+    rowgroup_bytes: int = STORE_ROWGROUP_BYTES,
     file_bytes: int = 128 * 1024 * 1024,
     mode: str = "overwrite",
 ) -> None:
