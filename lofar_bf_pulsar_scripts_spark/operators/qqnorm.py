@@ -154,6 +154,104 @@ def _regr_exact(y, x, yscale: float, xscale: float):
     return slope, intercept
 
 
+def _grouped_rank_n(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-group 1-based rank and group size WITHOUT a per-group
+    single-task sort — the pipeline.global_rank pattern applied inside
+    groups.  A window ``partitionBy(group).orderBy(value)`` caps
+    parallelism at the number of GROUPS; with a handful of groups
+    (this operator's event_type case) the sort runs on that many
+    tasks no matter how many executors exist.  Here each group's value
+    domain is cut at approximate per-group quantile boundaries,
+    collected ONCE and embedded as literals (so every later job agrees
+    by construction — sampled range partitioning would not), rows get
+    ranked within (group, bucket), and per-bucket offsets (a second
+    driver-bounded collect: groups x buckets rows) lift local ranks to
+    group ranks.  Ties stay inside one bucket (strict ``value >
+    boundary``), NULL values sort first (bucket -1), matching the
+    window form's NULLS FIRST order.  Driver state is bounded by
+    groups x buckets — the same contract as global_rank's bucket
+    count, NOT by data volume."""
+    from pyspark.sql import Window, functions as F
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+    probs = [j / n_buckets for j in range(1, n_buckets)]
+    bounds = (
+        df.groupBy(key.alias("__k"))
+        .agg(F.percentile_approx(value_col, probs, 1000).alias("__bs"))
+        .collect()
+    )
+    bmap = F.create_map(
+        *[
+            x
+            for r in bounds
+            for x in (
+                F.lit(r["__k"]),
+                F.array(*[F.lit(float(b)) for b in (r["__bs"] or [])]),
+            )
+        ]
+    )
+    v = F.col(value_col)
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.aggregate(
+            bmap[key],
+            F.lit(0),
+            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+        )
+    )
+    # offsets need only per-(group, bucket) COUNTS — a plain
+    # aggregation, not the windowed sort (a first cut ranked here too
+    # and paid the full shuffle+sort twice).  The bucket expression is
+    # materialized in a PROJECTION first: grouping by the raw
+    # higher-order-function expression drops the aggregate out of
+    # whole-stage codegen (measured: interpreted evaluation turned a
+    # 20M-row count pass into minutes)
+    counts = sorted(
+        df.select(key.alias("__k"), bucket.alias("__b"))
+        .groupBy("__k", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect(),
+        key=lambda r: (r["__k"], r["__b"]),
+    )
+    local = (
+        df.withColumn("__k", key)
+        .withColumn("__b", bucket)
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("__k", "__b").orderBy(value_col)
+            ),
+        )
+    )
+    offsets: list[tuple[str, int, int]] = []
+    totals: dict[str, int] = {}
+    for r in counts:
+        k = r["__k"]
+        offsets.append((k, r["__b"], totals.get(k, 0)))
+        totals[k] = totals.get(k, 0) + r["__c"]
+    # The offsets ship as a BROADCAST-JOINED dimension, not as
+    # create_map literals: a map-lookup __i gets re-inlined by
+    # CollapseProject into every branch of downstream expression trees
+    # (the Acklam ppf references its argument ~10 times; measured 66 s
+    # vs 4.6 s for the rank itself at 20M rows), while join outputs
+    # are plain attributes that are computed once.
+    odf = local.sparkSession.createDataFrame(
+        [(k, b, off, totals[k]) for k, b, off in offsets],
+        "__k string, __b int, __off bigint, __n bigint",
+    )
+    return (
+        local.join(F.broadcast(odf), ["__k", "__b"])
+        .withColumn("__i", F.col("__lr") + F.col("__off"))
+        .drop("__k", "__b", "__lr", "__off")
+    )
+
+
 def qq_stats_sql(
     df: DataFrame,
     group_cols: list[str],
@@ -161,6 +259,7 @@ def qq_stats_sql(
     osm_lo: float = -1.0,
     osm_hi: float = 1.0,
     exact_scales: tuple[float, float] | None = None,
+    rank_buckets: int | None = None,
 ) -> DataFrame:
     """Pure-SQL Q-Q stats (no pandas UDF): rank -> Filliben quantile
     -> Acklam ppf -> line fit over the central osm range.
@@ -170,25 +269,51 @@ def qq_stats_sql(
 
     ``exact_scales=(value_scale, osm_scale)`` switches the fit from
     engine-native regr_slope/regr_intercept (order-dependent double
-    sums) to the deterministic integer-quantized form (_regr_exact)."""
+    sums) to the deterministic integer-quantized form (_regr_exact).
+
+    ``rank_buckets=B`` replaces the per-group window rank — whose
+    parallelism is capped at the number of groups — with the bucketed
+    rank (``_grouped_rank_n``): per-group quantile boundaries cut each
+    group into ~B rankable slices, so a low-cardinality grouping (the
+    event_type case) still spreads its sort over groups x B tasks.
+    The result is bit-identical with ``exact_scales`` set: ranks move
+    only within ties, tied values contribute identical integer
+    regression terms, and the sums are exact.  Leave None for
+    high-cardinality groupings where the window form is already
+    parallel and pays no extra driver collects."""
     from pyspark.sql import Window, functions as F
 
-    w = Window.partitionBy(*group_cols).orderBy(value_col)
-    n = F.count(F.lit(1)).over(
-        Window.partitionBy(*group_cols).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+    if rank_buckets is None:
+        w = Window.partitionBy(*group_cols).orderBy(value_col)
+        n = F.count(F.lit(1)).over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
-    )
-    i = F.row_number().over(w)
+        i = F.row_number().over(w)
+        base = df.select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            i.alias("__i"),
+            n.alias("__n"),
+        )
+    else:
+        base = _grouped_rank_n(
+            df, group_cols, value_col, int(rank_buckets)
+        ).select(
+            *group_cols, F.col(value_col).alias("__v"), "__i", "__n"
+        )
+    i = F.col("__i")
+    n = F.col("__n")
     m_last = F.pow(F.lit(0.5), F.lit(1.0) / n.cast("double"))
     m = (
         F.when(i == 1, F.lit(1.0) - m_last)
         .when(i == n, m_last)
         .otherwise((i.cast("double") - 0.3175) / (n.cast("double") + 0.365))
     )
-    ranked = df.select(
+    ranked = base.select(
         *group_cols,
-        F.col(value_col).alias("__v"),
+        F.col("__v"),
         norm_ppf_col(m).alias("__osm"),
     ).withColumn(
         "__in",

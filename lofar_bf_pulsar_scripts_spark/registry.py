@@ -5107,8 +5107,13 @@ def q_qq_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.qqnorm import qq_stats_sql
 
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    # rank_buckets: event_type is a ~5-value grouping, so the window
+    # rank's parallelism ceiling is 5 tasks at ANY scale; the bucketed
+    # rank spreads each group's sort over ~32 quantile slices
+    # (bit-identical under exact_scales — ranks move only within ties)
     out = qq_stats_sql(
-        ev, ["event_type"], value_col="value", exact_scales=(1e3, 1e6)
+        ev, ["event_type"], value_col="value", exact_scales=(1e3, 1e6),
+        rank_buckets=32,
     )
     return out.select(
         "event_type",

@@ -220,3 +220,78 @@ def test_global_rank_partition_invariant(spark):
         ).select("doc_id", "rank")
 
     _assert_partition_invariant(build)
+
+
+def test_qq_bucketed_rank_matches_window_rank(spark):
+    """The bucketed rank (rank_buckets=B) must reproduce the window
+    form bit-identically under exact_scales: ranks move only within
+    ties, tied values contribute identical integer regression terms.
+    Includes duplicated values (ties spanning would-be boundaries) and
+    a group smaller than the bucket count."""
+    ev = _events(spark).withColumn(
+        "value", F.round(F.col("value"), 1)  # force many exact ties
+    )
+    tiny = spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.lit(99).alias("grp"),
+        (F.col("id") * 1.5).alias("value"),
+        F.lit(0).alias("ts_us"),
+    )
+    df = ev.unionByName(tiny)
+
+    def run(buckets):
+        out = qq_stats_sql(
+            df, ["grp"], value_col="value", exact_scales=(1e3, 1e6),
+            rank_buckets=buckets,
+        )
+        return _canon(
+            out.select(
+                "grp",
+                F.round("qq_mean", 6).alias("qq_mean"),
+                F.round("qq_rms", 6).alias("qq_rms"),
+            )
+        )
+
+    window_form = run(None)
+    assert run(8) == window_form
+    assert run(32) == window_form
+
+
+def test_qq_bucketed_rank_partition_invariant(spark):
+    ev = _events(spark)
+
+    def build(parts):
+        df = ev.repartition(parts)
+        out = qq_stats_sql(
+            df, ["grp"], value_col="value", exact_scales=(1e3, 1e6),
+            rank_buckets=16,
+        )
+        return out.select(
+            "grp",
+            F.round("qq_mean", 6).alias("qq_mean"),
+            F.round("qq_rms", 6).alias("qq_rms"),
+        )
+
+    _assert_partition_invariant(build)
+
+
+def test_grouped_rank_n_is_a_true_per_group_rank(spark):
+    """Ranks are a permutation of 1..n per group with ties ordered
+    arbitrarily but values non-decreasing along the rank."""
+    from lofar_bf_pulsar_scripts_spark.operators.qqnorm import (
+        _grouped_rank_n,
+    )
+
+    ev = _events(spark, n=500)
+    out = _grouped_rank_n(ev, ["grp"], "value", 8)
+    rows = out.select("grp", "value", "__i", "__n").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append((r["__i"], r.value, r["__n"]))
+    for grp, items in by_grp.items():
+        items.sort()
+        n = len(items)
+        assert [i for i, _, _ in items] == list(range(1, n + 1))
+        assert all(nn == n for _, _, nn in items)
+        vals = [v for _, v, _ in items]
+        assert vals == sorted(vals)
