@@ -100,6 +100,113 @@ def global_rank(
     )
 
 
+def group_value_buckets(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Attach a deterministic, order-preserving, roughly balanced
+    bucket id ``__b`` (and the string group key ``__k``) for a NUMERIC
+    order column: per-group approximate quantile boundaries are
+    collected ONCE and embedded as literals, so every job over the
+    result agrees on bucket membership by construction (the
+    global_rank determinism contract — sampled range partitioning
+    cannot promise that).  Ties always share a bucket (strict
+    ``value > boundary`` compare); NULL order values get bucket -1
+    (the NULLS FIRST position).  This is the machinery that removes
+    per-group single-task sorts from low-cardinality groupings: rank
+    within (group, bucket) or prefix-sum per bucket, then lift with a
+    broadcast-joined per-bucket offset (driver state bounded by
+    groups x buckets, never by data)."""
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+    probs = [j / n_buckets for j in range(1, n_buckets)]
+    bounds = (
+        df.groupBy(key.alias("__k"))
+        .agg(F.percentile_approx(order_col, probs, 1000).alias("__bs"))
+        .collect()
+    )
+    bmap = F.create_map(
+        *[
+            x
+            for r in bounds
+            for x in (
+                F.lit(r["__k"]),
+                F.array(*[F.lit(float(b)) for b in (r["__bs"] or [])]),
+            )
+        ]
+    )
+    v = F.col(order_col)
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.aggregate(
+            bmap[key],
+            F.lit(0),
+            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+        )
+    )
+    # the bucket expression is materialized HERE, in a projection:
+    # grouping or windowing over the raw higher-order expression drops
+    # the stage out of whole-stage codegen (measured: minutes instead
+    # of seconds at 20M rows)
+    return df.withColumn("__k", key).withColumn("__b", bucket)
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    sum_col: str,
+    n_buckets: int = 32,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Per-group running sum of ``sum_col`` ordered by ``order_col``
+    WITHOUT a per-group single-task sort: cumsum within each
+    (group, quantile-bucket) slice, plus the broadcast-joined sum of
+    all earlier buckets.  A window ``partitionBy(group).orderBy(v)``
+    caps the sort at one task per group — with a handful of groups
+    that is a hard parallelism ceiling at any cluster size; here the
+    ceiling is groups x n_buckets.  Ties always share a bucket and the
+    within-bucket frame is RANGE (SQL's default cumulative frame), so
+    the result equals the plain window form row-for-row, tied inputs
+    included.  Offsets ship as a broadcast-joined
+    dimension, not map literals — join outputs are attributes computed
+    once, map lookups get re-inlined into every consumer branch by
+    CollapseProject (measured 14x on the Q-Q ppf chain)."""
+    from pyspark.sql import Window
+
+    local = group_value_buckets(df, group_cols, order_col, n_buckets)
+    bucket_sums = sorted(
+        local.groupBy("__k", "__b")
+        .agg(F.sum(sum_col).alias("__s"))
+        .collect(),
+        key=lambda r: (r["__k"], r["__b"]),
+    )
+    offsets = []
+    running: dict[str, float] = {}
+    for r in bucket_sums:
+        k = r["__k"]
+        offsets.append((k, r["__b"], running.get(k, 0)))
+        running[k] = running.get(k, 0) + (r["__s"] or 0)
+    first = df.schema[sum_col].dataType.simpleString()
+    off_type = "double" if first in ("float", "double") else "bigint"
+    odf = local.sparkSession.createDataFrame(
+        offsets, f"__k string, __b int, __off {off_type}"
+    )
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        local.withColumn("__lc", F.sum(sum_col).over(w))
+        .join(F.broadcast(odf), ["__k", "__b"])
+        .withColumn(out_col, F.col("__lc") + F.col("__off"))
+        .drop("__k", "__b", "__lc", "__off")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -178,56 +178,23 @@ def _grouped_rank_n(
     count, NOT by data volume."""
     from pyspark.sql import Window, functions as F
 
-    key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols]
-    )
-    probs = [j / n_buckets for j in range(1, n_buckets)]
-    bounds = (
-        df.groupBy(key.alias("__k"))
-        .agg(F.percentile_approx(value_col, probs, 1000).alias("__bs"))
-        .collect()
-    )
-    bmap = F.create_map(
-        *[
-            x
-            for r in bounds
-            for x in (
-                F.lit(r["__k"]),
-                F.array(*[F.lit(float(b)) for b in (r["__bs"] or [])]),
-            )
-        ]
-    )
-    v = F.col(value_col)
-    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
-        F.aggregate(
-            bmap[key],
-            F.lit(0),
-            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
-        )
-    )
+    from .pipeline import group_value_buckets
+
+    bucketed = group_value_buckets(df, group_cols, value_col, n_buckets)
     # offsets need only per-(group, bucket) COUNTS — a plain
     # aggregation, not the windowed sort (a first cut ranked here too
-    # and paid the full shuffle+sort twice).  The bucket expression is
-    # materialized in a PROJECTION first: grouping by the raw
-    # higher-order-function expression drops the aggregate out of
-    # whole-stage codegen (measured: interpreted evaluation turned a
-    # 20M-row count pass into minutes)
+    # and paid the full shuffle+sort twice)
     counts = sorted(
-        df.select(key.alias("__k"), bucket.alias("__b"))
-        .groupBy("__k", "__b")
+        bucketed.groupBy("__k", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect(),
         key=lambda r: (r["__k"], r["__b"]),
     )
-    local = (
-        df.withColumn("__k", key)
-        .withColumn("__b", bucket)
-        .withColumn(
-            "__lr",
-            F.row_number().over(
-                Window.partitionBy("__k", "__b").orderBy(value_col)
-            ),
-        )
+    local = bucketed.withColumn(
+        "__lr",
+        F.row_number().over(
+            Window.partitionBy("__k", "__b").orderBy(value_col)
+        ),
     )
     offsets: list[tuple[str, int, int]] = []
     totals: dict[str, int] = {}

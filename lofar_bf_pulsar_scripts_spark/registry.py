@@ -4970,7 +4970,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never sees the raw fact rows)",
 )
 def q_sketch_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.pipeline import grouped_cumsum
 
     ev = load_table(spark, "events", sf_dir)
     tot = ev.groupBy("event_type").agg(
@@ -4980,8 +4980,15 @@ def q_sketch_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.partitionBy("event_type").orderBy("value")
-    cum = counts.withColumn("cum", F.sum("c").over(w))
+    # grouped_cumsum, not a per-event_type window: the window input is
+    # DISTINCT (event_type, value) pairs, which for a continuous value
+    # column is ~row-cardinality — a ~5-group window sort would cap the
+    # cumulative pass at 5 tasks at any corpus size (the same ceiling
+    # the Q-Q gate's bucketed rank removes; row-for-row identical
+    # because ties share a bucket and the within-bucket frame is RANGE)
+    cum = grouped_cumsum(
+        counts, ["event_type"], "value", "c", n_buckets=32, out_col="cum"
+    )
     target = F.ceil(F.lit(0.95) * F.col("n"))
     return (
         cum.join(F.broadcast(tot), "event_type")

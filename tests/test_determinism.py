@@ -295,3 +295,47 @@ def test_grouped_rank_n_is_a_true_per_group_rank(spark):
         assert all(nn == n for _, _, nn in items)
         vals = [v for _, v, _ in items]
         assert vals == sorted(vals)
+
+
+def test_grouped_cumsum_matches_window_form(spark):
+    """grouped_cumsum must equal the plain per-group RANGE-frame
+    cumulative window row-for-row, tied order values included."""
+    from pyspark.sql import Window
+
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        grouped_cumsum,
+    )
+
+    df = _events(spark, n=3000).select(
+        "grp",
+        F.round(F.col("value"), 0).alias("v"),  # heavy ties
+        (F.pmod(F.col("event_id"), 13) + 1).alias("c"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = _canon(df.withColumn("cum", F.sum("c").over(w)))
+    for buckets in (1, 8, 64):
+        got = _canon(
+            grouped_cumsum(df, ["grp"], "v", "c", n_buckets=buckets)
+        )
+        assert got == expect, f"buckets={buckets}"
+
+
+def test_grouped_cumsum_partition_invariant(spark):
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        grouped_cumsum,
+    )
+
+    ev = _events(spark).select(
+        "grp", F.col("value").alias("v"), F.lit(1).alias("c")
+    )
+
+    def build(parts):
+        return grouped_cumsum(
+            ev.repartition(parts), ["grp"], "v", "c", n_buckets=16
+        )
+
+    _assert_partition_invariant(build)
