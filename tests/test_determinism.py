@@ -339,3 +339,49 @@ def test_grouped_cumsum_partition_invariant(spark):
         )
 
     _assert_partition_invariant(build)
+
+
+def test_bucketed_forms_handle_null_order_values(spark):
+    """NULL order values take bucket -1 (the NULLS FIRST position):
+    ranks/cumsums must match the window forms row-for-row even when a
+    group mixes NULLs and values."""
+    from pyspark.sql import Window
+
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        grouped_cumsum,
+    )
+    from lofar_bf_pulsar_scripts_spark.operators.qqnorm import (
+        _grouped_rank_n,
+    )
+
+    df = _events(spark, n=800).select(
+        "grp",
+        F.when(F.pmod(F.col("event_id"), 5) == 0, F.lit(None)).otherwise(
+            F.round(F.col("value"), 0)
+        ).alias("v"),
+        F.lit(1).alias("c"),
+    )
+    # rank: per-group permutation with NULLs occupying the lowest ranks
+    ranked = _grouped_rank_n(df, ["grp"], "v", 8)
+    rows = ranked.select("grp", "v", "__i", "__n").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append((r["__i"], r.v))
+    for grp, items in by_grp.items():
+        items.sort(key=lambda t: t[0])
+        n = len(items)
+        assert [i for i, _ in items] == list(range(1, n + 1))
+        null_ranks = [i for i, v in items if v is None]
+        assert null_ranks == list(range(1, len(null_ranks) + 1)), grp
+        vals = [v for _, v in items if v is not None]
+        assert vals == sorted(vals)
+    # cumsum: row-for-row identical to the window form (Spark windows
+    # order NULLS FIRST by default, matching bucket -1)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = _canon(df.withColumn("cum", F.sum("c").over(w)))
+    got = _canon(grouped_cumsum(df, ["grp"], "v", "c", n_buckets=8))
+    assert got == expect
