@@ -140,6 +140,14 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
     )
     out["minhash_bands"] = round(_time.time() - t0, 3)
+
+    # mirrors q_ivf_topk_filtered: exact-vector cid store (8-centroid
+    # codebook, label travels with the row for filtered ANN)
+    t0 = _time.time()
+    ensure_embeddings_by_centroid(
+        ivf_assign(e, cent8), _lsh_store_path(sf_dir, kind="ivf_cid", ncent=8)
+    )
+    out["ivf_cid_store"] = round(_time.time() - t0, 3)
     return out
 
 
@@ -2262,6 +2270,90 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
     ).select(F.col("vec_id").alias("qid"), "embedding")
     out = ivf_topk(corpus, queries_df, cent, k=5, nprobe=2)
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+
+
+@_register(
+    "ivf_topk_filtered",
+    f"""
+    -- METADATA-FILTERED vector search (the production "where label in
+    -- ..." ANN pattern): identical to the ivf_topk oracle except the
+    -- candidate set keeps only rows matching the predicate — filtered
+    -- AFTER probe selection, so recall semantics equal unfiltered IVF
+    -- restricted to the matching sub-corpus of the probed cells.
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ), assign_scored AS (
+        SELECT e.vec_id, e.embedding, e.label, c.cid,
+               {{cos_assign}} AS score
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, label, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cid ASC
+            ) AS rn FROM assign_scored
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id >= 8 AND vec_id < 13
+    ), probe AS (
+        SELECT qid, qe, cid FROM (
+            SELECT q.qid, q.qe, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {{cos_probe}} DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.qid, a.vec_id,
+               {{cos_cand}}
+               / ({{norm_q}} * {{norm_a}})
+               AS cos
+        FROM probe p JOIN assigned a USING (cid)
+        WHERE a.vec_id != p.qid AND a.label IN (1, 4, 7)
+    )
+    SELECT qid, vec_id, round(cos, 6) + 0.0 AS cos
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rn FROM cand
+    ) WHERE rn <= 5
+    """.format(
+        cos_assign=_COS_DOT.format(a="e.embedding", b="c.ce"),
+        cos_probe=_COS_DOT.format(a="q.qe", b="c.ce"),
+        cos_cand=_COS_DOT.format(a="p.qe", b="a.embedding"),
+        norm_q=_COS_NORM.format(a="p.qe"),
+        norm_a=_COS_NORM.format(a="a.embedding"),
+    ),
+    "metadata-filtered ANN over the cid-partitioned at-rest store: "
+    "partition pruning (nprobe cells) AND parquet predicate pushdown "
+    "(label filter) compose in one scan (similarity.py scale path)",
+)
+def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign, ivf_topk
+    from .plans.lake import ensure_embeddings_by_centroid
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    # the exact-vector cid store (label travels with the row): the
+    # assign is paid once at ingest, a filtered probe is a
+    # partition-pruned scan whose label predicate pushes down to the
+    # parquet reader — PushedFilters + the cid pruning compose, so a
+    # "label IN (...)" restriction costs LESS IO, not a post-scan pass
+    store = _lsh_store_path(sf_dir, kind="ivf_cid", ncent=8)
+    ensure_embeddings_by_centroid(ivf_assign(e, cent), store)
+    stored = spark.read.parquet(store)
+    queries_df = e.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk(
+        stored.filter(F.col("label").isin(1, 4, 7)),
+        queries_df, cent, k=5, nprobe=2,
+    )
     return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
 
 
@@ -9380,8 +9472,10 @@ _PROMOTE: tuple[str, ...] = (
     "running_revenue",
     "shipping_priority",
     "tsky_scaled",
+    # NEW round-10 gate (same-session second wave): filtered ANN over
+    # the cid store — funded by rotating acf2d_user_day to next round
+    "ivf_topk_filtered",
     # rotation: r5-era greens
-    "acf2d_user_day",
     "acf_hourly",
     "detrend_events",
     "domain_blocklist_stats",

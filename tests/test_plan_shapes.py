@@ -494,3 +494,56 @@ def test_routing_tree_zero_corpus_exchange(spark):
     assert "hashpartitioning(__grp" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_filtered_ann_store_scan_pushes_label_predicate(spark, tmp_path):
+    """The filtered-ANN pattern (ivf_topk_filtered gate): a label
+    predicate over the cid-partitioned exact-vector store reaches the
+    parquet reader as PushedFilters, composing with cid partition
+    pruning — a metadata restriction costs LESS IO, never a post-scan
+    pass."""
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        ensure_embeddings_by_centroid,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", SF)
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    store = str(tmp_path / "ivf_cid_store")
+    ensure_embeddings_by_centroid(ivf_assign(e, cent), store)
+    stored = spark.read.parquet(store)
+
+    filtered = stored.filter(F.col("label").isin(1, 4, 7))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2 and "label" in pushed[1][:200], plan[:1000]
+
+    # and with explicit cid restriction, both prunings appear in ONE scan
+    both = stored.filter(
+        F.col("label").isin(1, 4, 7) & F.col("cid").isin(1, 3)
+    )
+    plan2 = both._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "cid" in plan2.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert "label" in plan2.split("PushedFilters", 1)[1][:200]
+
+    # the full operator stays broadcast-shaped: no cartesian anywhere
+    queries_df = e.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 13)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk(
+        stored.filter(F.col("label").isin(1, 4, 7)),
+        queries_df, cent, k=5, nprobe=2,
+    )
+    full_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in full_plan
+    assert "label" in full_plan.split("PushedFilters", 1)[1][:400]
