@@ -605,3 +605,44 @@ def rowgroup_report(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "file string, n_rowgroups int, n_rows bigint, bytes bigint"
     )
+
+
+def upsert_embeddings_by_centroid(
+    batch: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    centroid_col: str = "cid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into the cid-partitioned vector store — the
+    vector-side dual of the MinHash band store's incremental story
+    (dedup.incremental_near_dup): the at-rest corpus pays NOTHING, the
+    new batch is assigned against the existing codebook (map-side,
+    zero batch exchanges beyond the per-cid write repartition) and
+    appended to its centroid directories.  Only the touched cid
+    partitions gain files; readers see the union immediately
+    (partition-pruned probes and SemDeDup slices keep working
+    unchanged).
+
+    Same-id semantics are APPEND (parquet has no merge); dedupe ids
+    upstream or run a compaction that keeps the latest.  The codebook
+    must be the store's own — assigning a batch with a different
+    codebook would split one logical cluster across cid values.  At
+    100 TB a day's batch is ~1/365 of the corpus: this is the
+    difference between re-clustering 100 TB nightly and writing a few
+    hundred GB into existing directories.  Periodically re-fit k ∝ N
+    (SCALING-RULES rule 5) and rebuild; between rebuilds, upsert."""
+    from ..operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        batch, centroids,
+        id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_col,
+    )
+    (
+        assigned.repartition(F.col(centroid_col))
+        .write.mode("append")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+        .partitionBy(centroid_col)
+        .parquet(path)
+    )

@@ -97,3 +97,55 @@ def test_scan_splits_follow_rowgroups(spark, tmp_path):
 
     assert n_useful_splits(one) == 1
     assert n_useful_splits(many) >= 3
+
+
+def test_upsert_embeddings_by_centroid(spark, tmp_path):
+    """Incremental vector ingest: the batch lands in the right cid
+    directories, the union reads back exactly, untouched partitions
+    gain no files, and the batch plan never scans the at-rest store."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        ensure_embeddings_by_centroid,
+        upsert_embeddings_by_centroid,
+    )
+    from lofar_bf_pulsar_scripts_spark.tables import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cent = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    base = e.filter(F.col("vec_id") < 40)
+    batch = e.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    store = str(tmp_path / "cid_store")
+    ensure_embeddings_by_centroid(ivf_assign(base, cent), store)
+
+    import glob
+    import os
+
+    before = {
+        d: len(glob.glob(os.path.join(store, d, "*.parquet")))
+        for d in os.listdir(store)
+        if d.startswith("cid=")
+    }
+    upsert_embeddings_by_centroid(batch, store, cent)
+
+    got = spark.read.parquet(store)
+    expect = ivf_assign(base.unionByName(batch), cent)
+    g = sorted((r.vec_id, r.cid) for r in got.select("vec_id", "cid").collect())
+    x = sorted(
+        (r.vec_id, r.cid) for r in expect.select("vec_id", "cid").collect()
+    )
+    assert g == x
+
+    touched = {r.cid for r in ivf_assign(batch, cent).select("cid").distinct().collect()}
+    after = {
+        d: len(glob.glob(os.path.join(store, d, "*.parquet")))
+        for d in os.listdir(store)
+        if d.startswith("cid=")
+    }
+    for d, n in before.items():
+        cid = int(d.split("=", 1)[1])
+        if cid not in touched:
+            assert after[d] == n, f"untouched partition {d} gained files"
