@@ -1463,3 +1463,132 @@ def semantic_dedup(
             F.coalesce("sum_dropped_ids", F.lit(0)).alias("sum_dropped_ids"),
         )
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    quant_scale: float = 1e3,
+) -> DataFrame:
+    """Exact-integer Gram matrix G = X^T X over the quantized
+    embedding column: (i, j, s) rows for the upper triangle
+    (i <= j, 0-based), with x quantized to floor(x*scale + 0.5) so
+    the per-pair products and their sums are exact integers — the
+    aggregation is order-invariant and DuckDB-oracle-checkable, the
+    same discipline as every exact-mode fit in this repo.
+
+    Shape: one Arrow-batched mapInPandas computes a PARTIAL int64
+    Gram per batch (numpy matmul over the quantized block — dims^2
+    values per partition, never per row; an explode of (i, j) pairs
+    would be N x dims^2 rows), then dims*(dims+1)/2 grouped integer
+    sums combine the partials map-side.  One exchange of
+    partition-count x dims^2 rows total — at 100 TB the reduce input
+    is executor-count-sized, not corpus-sized.
+
+    Overflow headroom: |xq| <= scale * max|x|; a partial over R rows
+    bounds each cell by R * (scale*max|x|)^2.  At scale=1e3 and unit-
+    normalized embeddings that allows R ~ 9e12 rows per PARTITION in
+    int64, and the final combine sums partition partials as
+    decimal(38,0) (int128 headroom, matching DuckDB HUGEINT).  This
+    is the PCA/OPQ ingredient: eigendecompose the (tiny) result on
+    the driver and project map-side (pca_rotation / pca_project)."""
+    import numpy as np
+    import pandas as pd
+
+    d = int(dims)
+    q = float(quant_scale)
+
+    def partial(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            vecs = pdf[vec_col].to_numpy()
+            if len(vecs) == 0:
+                continue
+            x = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                * q
+                + 0.5
+            ).astype(np.int64)
+            acc += x.T @ x
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu.astype("int32"), "j": ju.astype("int32"),
+             "s": acc[iu, ju]}
+        )
+
+    part = df.select(vec_col).filter(F.col(vec_col).isNotNull()).mapInPandas(
+        partial, schema="i int, j int, s long"
+    )
+    return (
+        part.groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .select("i", "j", F.col("s").cast("decimal(38,0)").alias("s"))
+    )
+
+
+def pca_rotation(
+    gram_rows: list,
+    dims: int,
+    out_dims: int,
+    quant_scale: float = 1e3,
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> list[list[float]]:
+    """Driver-side eigendecomposition of the collected Gram rows
+    (dims x dims — bounded by the embedding width, never the corpus):
+    returns the top-``out_dims`` principal directions as a plain
+    nested list (row r = the r-th output component's weights), ready
+    to embed as a plan literal.  ``whiten=True`` scales each
+    direction by 1/sqrt(eigenvalue).  Note this is the UNCENTERED
+    PCA (second-moment) rotation — the OPQ-style energy-compacting
+    pre-rotation for PQ; subtract the mean upstream if centered PCA
+    is wanted."""
+    import numpy as np
+
+    d, k = int(dims), int(out_dims)
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        g[int(r["i"]), int(r["j"])] = float(r["s"])
+        g[int(r["j"]), int(r["i"])] = float(r["s"])
+    g /= float(quant_scale) ** 2
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]  # d x k
+    if whiten:
+        w = w / np.sqrt(np.maximum(vals[order], eps))
+    # deterministic sign convention: make the largest-|w| component
+    # of each direction positive (eigh's sign is arbitrary)
+    for c in range(w.shape[1]):
+        pivot = np.argmax(np.abs(w[:, c]))
+        if w[pivot, c] < 0:
+            w[:, c] = -w[:, c]
+    return [[float(v) for v in w[:, c]] for c in range(w.shape[1])]
+
+
+def pca_project(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Map-side projection onto the PCA rotation: the rotation ships
+    as ONE array-of-arrays plan literal (out_dims x dims — codebook-
+    sized, same feasibility bound as the map-side ivf_assign), each
+    output component an in-row zip_with dot.  Zero exchanges; the
+    scan stage's parallelism is the ceiling (rule 2)."""
+    w = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in row])
+            for row in rotation
+        ]
+    )
+    proj = F.transform(
+        w,
+        lambda row: F.aggregate(
+            F.zip_with(F.col(vec_col), row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.withColumn(out_col, proj.cast("array<double>"))

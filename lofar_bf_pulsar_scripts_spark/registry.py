@@ -2357,6 +2357,48 @@ def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
 
 
+@_register(
+    "pca_gram_matrix",
+    """
+    -- exact-integer Gram matrix G = X^T X (upper triangle) over the
+    -- quantized embeddings: the oracle-checkable half of the PCA /
+    -- OPQ pre-rotation (similarity.gram_matrix -> pca_rotation ->
+    -- pca_project; the 64x64 eigendecomposition itself is driver-side
+    -- numpy and pytest-pinned).  Quantization makes every product and
+    -- sum an exact integer, so the partition-partial numpy matmuls on
+    -- the Spark side must combine to the same HUGEINT DuckDB computes
+    -- row-at-a-time — aggregation order cannot matter.
+    WITH pairs AS (
+        SELECT i.i AS i, j.j AS j
+        FROM generate_series(0, 63) AS i(i)
+        CROSS JOIN generate_series(0, 63) AS j(j)
+        WHERE i.i <= j.j
+    ), q AS (
+        SELECT list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                             AS BIGINT)
+               ) AS xq
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           CAST(sum(CAST(q.xq[p.i + 1] AS HUGEINT) * q.xq[p.j + 1])
+                AS HUGEINT) AS s
+    FROM q CROSS JOIN pairs p
+    GROUP BY p.i, p.j
+    """,
+    "exact-integer second-moment matrix for PCA/OPQ whitening: "
+    "Arrow-batched partial Gram per partition (dims^2 values per "
+    "partition, one executor-count-sized exchange), decimal128 "
+    "combine (similarity.py scale path)",
+)
+def q_pca_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import gram_matrix
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return gram_matrix(e, dims=64, quant_scale=1e3)
+
+
 # Shared CTE block for the sign-LSH oracles (lsh_ann_topk,
 # lsh_recall_at_5): hyperplane p = t*6+b has components h_p[i] =
 # ((1+p*64+i)*2654435761 mod 2^32)/2^32 - 0.5 (every value a dyadic
@@ -9472,13 +9514,14 @@ _PROMOTE: tuple[str, ...] = (
     "running_revenue",
     "shipping_priority",
     "tsky_scaled",
-    # NEW round-10 gate (same-session second wave): filtered ANN over
-    # the cid store — funded by rotating acf2d_user_day to next round
+    # NEW round-10 gates (same-session second wave): filtered ANN over
+    # the cid store and the exact-integer PCA Gram — funded by
+    # rotating acf2d_user_day and domain_blocklist_stats to next round
     "ivf_topk_filtered",
+    "pca_gram_matrix",
     # rotation: r5-era greens
     "acf_hourly",
     "detrend_events",
-    "domain_blocklist_stats",
     "embedding_near_dups",
     "embedding_quantize",
     "frame_offsets",
