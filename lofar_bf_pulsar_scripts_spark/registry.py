@@ -9460,18 +9460,20 @@ _TAIL: tuple[str, ...] = (
 # slots).
 #
 # Round-10 plan: exactly 50 names = the whole driver window, stated
-# in one place.  First the 9 gates check_window flags as changed/new
-# since the r9 snapshot (77c1e71): the NEW JVM stream-stream as-of
-# join gate; wijnholds_aeff_lookup (its Aeff grid now resolves
-# through the caldata-dir knob); and the 7 assignment-family gates
-# whose shared ivf_assign/route path was rewritten map-side.  Then
-# the 41 longest-unrotated greens re-enter the window (VERDICT r9
-# item 5 asked for >=15): all 18 r2-era, all 10 r4-era, and 12 of
-# the 16 r5-era gates (spectral_index, tfidf_top_terms, pq_adc_top3,
-# shuffle_rank_sample rotate next round — the last slot funds the NEW
-# wijnholds_channel_calibration gate).  Funded by demoting 22
-# r9-gated byte-identical entries to _TAIL (their fresh
-# CORRECTNESS_r09 rows stand).
+# in one place.  The changed/new-since-r9 set (check_window vs
+# 77c1e71): the NEW JVM stream-stream as-of join, fluxcal
+# channel-calibration, filtered-ANN and PCA-Gram gates;
+# wijnholds_aeff_lookup (caldata-dir knob); qq_normalize_stats and
+# sketch_exact_check (bucketed rank / grouped cumsum rewrites); and
+# the 7 assignment-family gates whose shared ivf_assign/route path
+# was rewritten map-side.  Then the longest-unrotated greens
+# re-enter the window (VERDICT r9 item 5 asked for >=15): all 18
+# r2-era, all 10 r4-era, and 11 of the 16 r5-era gates
+# (spectral_index, tfidf_top_terms, pq_adc_top3, shuffle_rank_sample,
+# acf2d_user_day, domain_blocklist_stats rotate next round — their
+# slots fund the four NEW gates).  Funded by demoting 22 r9-gated
+# byte-identical entries to _TAIL (their fresh CORRECTNESS_r09 rows
+# stand).
 _PROMOTE: tuple[str, ...] = (
     # changed/new since the r9 snapshot — must re-gate
     "streaming_asof_joins_exact",
