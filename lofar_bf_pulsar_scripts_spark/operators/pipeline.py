@@ -169,8 +169,13 @@ def grouped_cumsum(
     that is a hard parallelism ceiling at any cluster size; here the
     ceiling is groups x n_buckets.  Ties always share a bucket and the
     within-bucket frame is RANGE (SQL's default cumulative frame), so
-    the result equals the plain window form row-for-row, tied inputs
-    included.  Offsets ship as a broadcast-joined
+    for INTEGER ``sum_col`` the result equals the plain window form
+    row-for-row, tied inputs included (integer sums are associative).
+    Float sums are supported but may differ from the window form in
+    the last ulp — the earlier-bucket offset is combined in a
+    different association order, the same caveat as any distributed
+    float sum; decimal inputs are rejected rather than silently
+    rescaled.  Offsets ship as a broadcast-joined
     dimension, not map literals — join outputs are attributes computed
     once, map lookups get re-inlined into every consumer branch by
     CollapseProject (measured 14x on the Q-Q ppf chain)."""
@@ -190,7 +195,16 @@ def grouped_cumsum(
         offsets.append((k, r["__b"], running.get(k, 0)))
         running[k] = running.get(k, 0) + (r["__s"] or 0)
     first = df.schema[sum_col].dataType.simpleString()
-    off_type = "double" if first in ("float", "double") else "bigint"
+    if first in ("float", "double"):
+        off_type = "double"
+    elif first in ("tinyint", "smallint", "int", "bigint"):
+        off_type = "bigint"
+    else:
+        raise TypeError(
+            f"grouped_cumsum: unsupported sum_col type {first!r} — "
+            "integer and float columns only (a decimal offset would "
+            "be silently coerced to bigint and lose its scale)"
+        )
     odf = local.sparkSession.createDataFrame(
         offsets, f"__k string, __b int, __off {off_type}"
     )
