@@ -118,9 +118,17 @@ def group_value_buckets(
     per-group single-task sorts from low-cardinality groupings: rank
     within (group, bucket) or prefix-sum per bucket, then lift with a
     broadcast-joined per-bucket offset (driver state bounded by
-    groups x buckets, never by data)."""
-    key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    groups x buckets, never by data).
+
+    The key is JSON-encoded (ignoreNullFields=false), not concat_ws:
+    concat_ws silently DROPS null arguments, so a NULL group merged
+    with the empty string and ('a', NULL) collided with (NULL, 'a')
+    — caught in round-10 review with a reproduced wrong cumsum; JSON
+    escaping also makes values containing the would-be separator
+    collision-free."""
+    key = F.to_json(
+        F.struct(*[F.col(c) for c in group_cols]),
+        {"ignoreNullFields": "false"},
     )
     probs = [j / n_buckets for j in range(1, n_buckets)]
     bounds = (
@@ -181,6 +189,19 @@ def grouped_cumsum(
     CollapseProject (measured 14x on the Q-Q ppf chain)."""
     from pyspark.sql import Window
 
+    # type gate FIRST — before any cluster job runs (a decimal input
+    # used to pay the full quantile + sum passes before being rejected)
+    first = df.schema[sum_col].dataType.simpleString()
+    if first in ("float", "double"):
+        off_type, zero = "double", 0.0
+    elif first in ("tinyint", "smallint", "int", "bigint"):
+        off_type, zero = "bigint", 0
+    else:
+        raise TypeError(
+            f"grouped_cumsum: unsupported sum_col type {first!r} — "
+            "integer and float columns only (a decimal offset would "
+            "be silently coerced to bigint and lose its scale)"
+        )
     local = group_value_buckets(df, group_cols, order_col, n_buckets)
     bucket_sums = sorted(
         local.groupBy("__k", "__b")
@@ -189,22 +210,14 @@ def grouped_cumsum(
         key=lambda r: (r["__k"], r["__b"]),
     )
     offsets = []
+    # seed with the schema's zero: a Python int 0 under an
+    # '__off double' schema made createDataFrame reject the first
+    # offset of every float group (round-10 review, reproduced)
     running: dict[str, float] = {}
     for r in bucket_sums:
         k = r["__k"]
-        offsets.append((k, r["__b"], running.get(k, 0)))
-        running[k] = running.get(k, 0) + (r["__s"] or 0)
-    first = df.schema[sum_col].dataType.simpleString()
-    if first in ("float", "double"):
-        off_type = "double"
-    elif first in ("tinyint", "smallint", "int", "bigint"):
-        off_type = "bigint"
-    else:
-        raise TypeError(
-            f"grouped_cumsum: unsupported sum_col type {first!r} — "
-            "integer and float columns only (a decimal offset would "
-            "be silently coerced to bigint and lose its scale)"
-        )
+        offsets.append((k, r["__b"], running.get(k, zero)))
+        running[k] = running.get(k, zero) + (r["__s"] or zero)
     odf = local.sparkSession.createDataFrame(
         offsets, f"__k string, __b int, __off {off_type}"
     )

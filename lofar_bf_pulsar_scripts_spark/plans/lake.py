@@ -33,7 +33,12 @@ def write_observation_partitioned(
     path: str,
     partition_cols: tuple[str, ...] = ("obs_id", "sap", "tab", "part"),
 ) -> None:
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    (
+        df.write.mode("overwrite")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def read_observation(spark: SparkSession, path: str) -> DataFrame:
@@ -49,6 +54,7 @@ def write_cube_bucketed(
     """Bucketed managed table (bucketBy requires saveAsTable)."""
     (
         df.write.mode("overwrite")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
         .bucketBy(buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .format("parquet")
@@ -71,6 +77,7 @@ def write_embeddings_by_centroid(
     assigned: DataFrame,
     path: str,
     centroid_col: str = "cid",
+    mode: str = "overwrite",
 ) -> None:
     """IVF-ready on-disk layout: embeddings Hive-partitioned by their
     assigned centroid, so an nprobe-pruned query touches only the
@@ -85,7 +92,7 @@ def write_embeddings_by_centroid(
     it, each cid's rows land in one task -> one file per directory,
     and AQE coalesces small shuffle partitions first."""
     assigned.repartition(F.col(centroid_col)).write.mode(
-        "overwrite"
+        mode
     ).option("parquet.block.size", STORE_ROWGROUP_BYTES).partitionBy(
         centroid_col
     ).parquet(path)
@@ -639,10 +646,9 @@ def upsert_embeddings_by_centroid(
         batch, centroids,
         id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_col,
     )
-    (
-        assigned.repartition(F.col(centroid_col))
-        .write.mode("append")
-        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
-        .partitionBy(centroid_col)
-        .parquet(path)
+    # ONE writer recipe for the store (round-10 review): any future
+    # geometry/repartition change to the full build applies to the
+    # incremental path by construction
+    write_embeddings_by_centroid(
+        assigned, path, centroid_col=centroid_col, mode="append"
     )

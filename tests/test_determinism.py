@@ -385,3 +385,58 @@ def test_bucketed_forms_handle_null_order_values(spark):
     expect = _canon(df.withColumn("cum", F.sum("c").over(w)))
     got = _canon(grouped_cumsum(df, ["grp"], "v", "c", n_buckets=8))
     assert got == expect
+
+
+def test_grouped_cumsum_null_and_colliding_group_keys(spark):
+    """Round-10 review fixes, pinned: a NULL group must NOT merge with
+    the empty string (concat_ws dropped null args), multi-column keys
+    ('a', NULL) / (NULL, 'a') must stay distinct, and a float sum_col
+    must work at all (the int-0 offset seed crashed createDataFrame
+    under the double schema)."""
+    from pyspark.sql import Window
+
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        grouped_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (None, None, 2.0, 1),
+            (None, None, 4.0, 1),
+            ("", "", 2.0, 1),
+            ("", "", 4.0, 1),
+            ("a", None, 1.0, 1),
+            (None, "a", 1.0, 1),
+            ("a", "a", 3.0, 1),
+        ],
+        "g1 string, g2 string, v double, c int",
+    )
+    w = (
+        Window.partitionBy("g1", "g2")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = _canon(df.withColumn("cum", F.sum("c").over(w)))
+    got = _canon(grouped_cumsum(df, ["g1", "g2"], "v", "c", n_buckets=4))
+    assert got == expect
+
+    # float sum_col: dyadic values make every partial sum exact, so
+    # the bucketed form must equal the window form bit-for-bit here
+    fdf = df.withColumn("c", F.col("c") * F.lit(0.5))
+    expectf = _canon(fdf.withColumn("cum", F.sum("c").over(w)))
+    gotf = _canon(grouped_cumsum(fdf, ["g1", "g2"], "v", "c", n_buckets=4))
+    assert gotf == expectf
+
+
+def test_grouped_cumsum_rejects_decimal_before_any_job(spark):
+    import pytest as _pytest
+
+    from lofar_bf_pulsar_scripts_spark.operators.pipeline import (
+        grouped_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1)], "g string, v double, c int"
+    ).withColumn("c", F.col("c").cast("decimal(10,2)"))
+    with _pytest.raises(TypeError, match="decimal"):
+        grouped_cumsum(df, ["g"], "v", "c")
