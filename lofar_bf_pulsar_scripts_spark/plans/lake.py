@@ -652,3 +652,67 @@ def upsert_embeddings_by_centroid(
     write_embeddings_by_centroid(
         assigned, path, centroid_col=centroid_col, mode="append"
     )
+
+
+def delete_from_shards(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    id_col: str = "doc_id",
+) -> dict:
+    """Targeted deletion from a shard store (the right-to-be-forgotten
+    path a training-data release must support): locate which shard
+    partitions contain the ids (ONE scan, column-pruned to
+    (id, shard) — the footer-indexed minimum; at 100 TB this is the
+    cost of not keeping an id->shard index), then rewrite ONLY the
+    touched shard directories under dynamic partition overwrite —
+    untouched shards keep their files byte-identical, so downstream
+    consumers re-read a few hundred MB, not the corpus.
+
+    Returns {"deleted": n, "shards_rewritten": [...]}.  Shard sizes
+    become ragged where deletions land (shard i no longer holds
+    exactly docs_per_shard rows); rebuild with write_training_shards
+    when raggedness matters more than rewrite cost.  Deletion is by
+    id equality — callers wanting near-dup-closure deletes should
+    expand the id set with dup_clusters first."""
+    idvals = [i for i in ids]
+    if not idvals:
+        return {"deleted": 0, "shards_rewritten": []}
+    store = spark.read.parquet(path)
+    touched = [
+        r["shard"]
+        for r in (
+            store.filter(F.col(id_col).isin(idvals))
+            .select("shard")
+            .distinct()
+            .collect()
+        )
+    ]
+    if not touched:
+        return {"deleted": 0, "shards_rewritten": []}
+    affected = store.filter(F.col("shard").isin(touched))
+    n_before = affected.count()
+    # the write REPLACES files this plan reads — materialize the
+    # survivors first (eager localCheckpoint, bounded by the touched
+    # shards, never the corpus) or the overwrite job would scan the
+    # very files it is deleting
+    survivors = affected.filter(
+        ~F.col(id_col).isin(idvals)
+    ).localCheckpoint()
+    n_after = survivors.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.repartition(F.col("shard"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "deleted": n_before - n_after,
+        "shards_rewritten": sorted(touched),
+    }

@@ -149,3 +149,58 @@ def test_upsert_embeddings_by_centroid(spark, tmp_path):
         cid = int(d.split("=", 1)[1])
         if cid not in touched:
             assert after[d] == n, f"untouched partition {d} gained files"
+
+
+def test_delete_from_shards(spark, tmp_path):
+    """Right-to-be-forgotten over the shard store: the named ids
+    disappear, ONLY the shards containing them are rewritten
+    (untouched shard files stay byte-identical), everything else
+    survives."""
+    import glob
+    import os
+
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        delete_from_shards,
+        write_training_shards,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, docs_per_shard=25)
+
+    def snapshot():
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, "shard=*", "*.parquet"))
+        }
+
+    before = snapshot()
+    victims = [7, 8, 113]
+    placed = {
+        r.doc_id: r.shard
+        for r in spark.read.parquet(path)
+        .filter(F.col("doc_id").isin(victims))
+        .select("doc_id", "shard")
+        .collect()
+    }
+    out = delete_from_shards(spark, path, victims)
+    assert out["deleted"] == 3
+    assert sorted(out["shards_rewritten"]) == sorted(set(placed.values()))
+
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == 197
+    assert after_df.filter(F.col("doc_id").isin(victims)).count() == 0
+
+    touched = set(out["shards_rewritten"])
+    after = snapshot()
+    for f, m in before.items():
+        shard = int(f.split("shard=")[1].split(os.sep)[0])
+        if shard not in touched:
+            assert f in after and after[f] == m, f"untouched {f} changed"
+
+    # no-op delete: nothing rewritten
+    out2 = delete_from_shards(spark, path, [999_999])
+    assert out2 == {"deleted": 0, "shards_rewritten": []}
