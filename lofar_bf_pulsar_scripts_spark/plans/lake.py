@@ -669,7 +669,12 @@ def delete_from_shards(
     untouched shards keep their files byte-identical, so downstream
     consumers re-read a few hundred MB, not the corpus.
 
-    Returns {"deleted": n, "shards_rewritten": [...]}.  Shard sizes
+    Returns {"deleted": n, "shards_rewritten": [...]}.  A Bloom
+    sidecar (write_shard_bloom_index) upgrades the locate to a
+    candidate-shard pruned scan; the delete itself makes the sidecar
+    stale (counts shrink), which locate_shards_bloom detects — later
+    deletes fall back to the exact scan until the index is rebuilt.
+    Shard sizes
     become ragged where deletions land (shard i no longer holds
     exactly docs_per_shard rows); rebuild with write_training_shards
     when raggedness matters more than rewrite cost.  Deletion is by
@@ -679,10 +684,20 @@ def delete_from_shards(
     if not idvals:
         return {"deleted": 0, "shards_rewritten": []}
     store = spark.read.parquet(path)
+    # Bloom sidecar, when present and fresh, shrinks the locate scan
+    # to its candidate shards (partition-pruned); the exact filter
+    # inside the candidates removes Bloom false positives, and a
+    # stale/absent sidecar falls back to the full column-pruned scan
+    candidates = locate_shards_bloom(spark, path, idvals, id_col=id_col)
+    locate_src = (
+        store.filter(F.col("shard").isin(candidates))
+        if candidates is not None
+        else store
+    )
     touched = [
         r["shard"]
         for r in (
-            store.filter(F.col(id_col).isin(idvals))
+            locate_src.filter(F.col(id_col).isin(idvals))
             .select("shard")
             .distinct()
             .collect()
@@ -716,3 +731,121 @@ def delete_from_shards(
         "deleted": n_before - n_after,
         "shards_rewritten": sorted(touched),
     }
+
+
+def _shard_bloom_path(path: str) -> str:
+    return path.rstrip("/") + ".bloom_index"
+
+
+def write_shard_bloom_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 17,
+) -> str:
+    """Per-shard Bloom sidecar over the shard store's ids: one row per
+    shard carrying (shard, n_rows, map<word,bits>), built with the
+    same engine-portable position hash the dedup Bloom uses
+    (dedup.bloom_positions).  Sized at the default 2^17 bits/shard a
+    10-bits-per-id budget covers ~13k docs per shard — raise m_bits
+    with docs_per_shard.  ``n_rows`` per shard is stored so consumers
+    can detect a STALE index (appends after the build would give the
+    one thing a Bloom must never give: false negatives) and fall back
+    to the exact scan."""
+    from ..operators.dedup import _bit_masks, bloom_positions
+
+    store = spark.read.parquet(path).select("shard", id_col)
+    pos = store.select(
+        "shard",
+        F.explode(
+            bloom_positions(F.col(id_col).cast("string"), int(m_bits))
+        ).alias("p"),
+    ).distinct()
+    words = pos.groupBy(
+        "shard", (F.col("p") / F.lit(32)).cast("long").alias("w")
+    ).agg(
+        F.bit_or(
+            F.element_at(
+                _bit_masks(), F.pmod(F.col("p"), F.lit(32)).cast("int") + 1
+            )
+        ).alias("bits")
+    )
+    idx = words.groupBy("shard").agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+            "bloom"
+        )
+    )
+    counts = store.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+    out = _shard_bloom_path(path)
+    (
+        idx.join(counts, "shard")
+        .withColumn("m_bits", F.lit(int(m_bits)))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def locate_shards_bloom(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    id_col: str = "doc_id",
+) -> list | None:
+    """Candidate shards for the ids via the Bloom sidecar — or None
+    when the sidecar is absent or STALE (per-shard row counts no
+    longer match the store: appends would mean false negatives, the
+    one failure a locate must never have; deletions only shrink
+    counts, which is safe but reported stale too — rebuild after any
+    mutation).  False positives are expected and harmless: the caller
+    re-checks exactly inside the candidate shards, partition-pruned."""
+    import os
+
+    idx_path = _shard_bloom_path(path)
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        return None
+    idx = spark.read.parquet(idx_path)
+    current = spark.read.parquet(path).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_now")
+    )
+    drift = (
+        idx.join(current, "shard", "full")
+        .filter(
+            F.col("n_rows").isNull()
+            | F.col("n_now").isNull()
+            | (F.col("n_rows") != F.col("n_now"))
+        )
+        .limit(1)
+        .count()
+    )
+    if drift:
+        return None
+    from ..operators.dedup import _bit_masks, bloom_positions
+
+    ids_df = spark.createDataFrame(
+        [(str(i),) for i in ids], "__fp string"
+    )
+    m_bits = idx.select("m_bits").first()["m_bits"]
+    bloom = F.col("bloom")
+    probe = F.forall(
+        bloom_positions(F.col("__fp"), int(m_bits)),
+        lambda p: (
+            F.coalesce(
+                F.element_at(bloom, (p / F.lit(32)).cast("long")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(
+                F.element_at(
+                    _bit_masks(), F.pmod(p, F.lit(32)).cast("int") + 1
+                )
+            )
+            != 0
+        ),
+    )
+    hits = (
+        idx.crossJoin(F.broadcast(ids_df))
+        .filter(probe)
+        .select("shard")
+        .distinct()
+        .collect()
+    )
+    return [r["shard"] for r in hits]

@@ -204,3 +204,51 @@ def test_delete_from_shards(spark, tmp_path):
     # no-op delete: nothing rewritten
     out2 = delete_from_shards(spark, path, [999_999])
     assert out2 == {"deleted": 0, "shards_rewritten": []}
+
+
+def test_shard_bloom_index_locate_and_staleness(spark, tmp_path):
+    """The Bloom sidecar never misses a shard that holds an id (no
+    false negatives), delete results are identical with and without
+    it, and ANY count drift (append or the delete itself) makes the
+    locate report stale (None) instead of risking a miss."""
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        delete_from_shards,
+        locate_shards_bloom,
+        write_shard_bloom_index,
+        write_training_shards,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, docs_per_shard=30)
+    write_shard_bloom_index(spark, path)
+
+    victims = [5, 144, 299]
+    exact = {
+        r.shard
+        for r in spark.read.parquet(path)
+        .filter(F.col("doc_id").isin(victims))
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    cand = locate_shards_bloom(spark, path, victims)
+    assert cand is not None and exact <= set(cand)
+
+    out = delete_from_shards(spark, path, victims)
+    assert out["deleted"] == 3 and set(out["shards_rewritten"]) == exact
+    assert (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
+
+    # the delete shrank counts -> the sidecar must now report stale
+    assert locate_shards_bloom(spark, path, [1]) is None
+    # and a delete still works through the fallback path
+    out2 = delete_from_shards(spark, path, [10])
+    assert out2["deleted"] == 1
