@@ -1501,6 +1501,12 @@ def gram_matrix(
 
     def partial(batches):
         acc = np.zeros((d, d), dtype=np.int64)
+        # worst-case |cell| bound, tracked in arbitrary-precision
+        # Python ints: numpy int64 WRAPS silently on overflow, which
+        # would corrupt the "exact-integer" contract without an error
+        # (review finding; same refuse-rather-than-mislead discipline
+        # as bloom_positions' m_bits ceiling)
+        bound = 0
         for pdf in batches:
             vecs = pdf[vec_col].to_numpy()
             if len(vecs) == 0:
@@ -1510,6 +1516,14 @@ def gram_matrix(
                 * q
                 + 0.5
             ).astype(np.int64)
+            bound += len(x) * int(np.abs(x).max(initial=0)) ** 2
+            if bound >= (1 << 63) - 1:
+                raise OverflowError(
+                    "gram_matrix: per-partition int64 partial would "
+                    f"overflow (worst-case cell bound {bound:.3e}); "
+                    "lower quant_scale or repartition to smaller "
+                    "partitions"
+                )
             acc += x.T @ x
         iu, ju = np.triu_indices(d)
         yield pd.DataFrame(

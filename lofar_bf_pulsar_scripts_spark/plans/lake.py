@@ -672,20 +672,30 @@ def delete_from_shards(
     Returns {"deleted": n, "shards_rewritten": [...]}.  A Bloom
     sidecar (write_shard_bloom_index) upgrades the locate to a
     candidate-shard pruned scan; the delete itself makes the sidecar
-    stale (counts shrink), which locate_shards_bloom detects — later
-    deletes fall back to the exact scan until the index is rebuilt.
-    Shard sizes
-    become ragged where deletions land (shard i no longer holds
-    exactly docs_per_shard rows); rebuild with write_training_shards
-    when raggedness matters more than rewrite cost.  Deletion is by
-    id equality — callers wanting near-dup-closure deletes should
-    expand the id set with dup_clusters first."""
+    stale (the store fingerprint moves), which locate_shards_bloom
+    detects — later deletes fall back to the exact scan until the
+    index is rebuilt.  Shard sizes become ragged where deletions land
+    (shard i no longer holds exactly docs_per_shard rows); rebuild
+    with write_training_shards when raggedness matters more than
+    rewrite cost.  Deletion is by id equality via an anti-join (NULL
+    ids in the store are never equal to anything, so they always
+    survive — a ~isin() filter dropped them under three-valued logic,
+    caught in review); callers wanting near-dup-closure deletes
+    should expand the id set with dup_clusters first.  ``ids`` is
+    broadcast as a one-column dimension, so batch size is bounded by
+    broadcast capacity (millions), not by isin-literal plan size."""
     idvals = [i for i in ids]
     if not idvals:
         return {"deleted": 0, "shards_rewritten": []}
     store = spark.read.parquet(path)
+    ids_df = F.broadcast(
+        spark.createDataFrame(
+            [(v,) for v in idvals],
+            store.select(id_col).schema,
+        ).distinct()
+    )
     # Bloom sidecar, when present and fresh, shrinks the locate scan
-    # to its candidate shards (partition-pruned); the exact filter
+    # to its candidate shards (partition-pruned); the exact semi-join
     # inside the candidates removes Bloom false positives, and a
     # stale/absent sidecar falls back to the full column-pruned scan
     candidates = locate_shards_bloom(spark, path, idvals, id_col=id_col)
@@ -697,7 +707,7 @@ def delete_from_shards(
     touched = [
         r["shard"]
         for r in (
-            locate_src.filter(F.col(id_col).isin(idvals))
+            locate_src.join(ids_df, id_col, "left_semi")
             .select("shard")
             .distinct()
             .collect()
@@ -711,9 +721,7 @@ def delete_from_shards(
     # survivors first (eager localCheckpoint, bounded by the touched
     # shards, never the corpus) or the overwrite job would scan the
     # very files it is deleting
-    survivors = affected.filter(
-        ~F.col(id_col).isin(idvals)
-    ).localCheckpoint()
+    survivors = affected.join(ids_df, id_col, "left_anti").localCheckpoint()
     n_after = survivors.count()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -727,6 +735,23 @@ def delete_from_shards(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic partition overwrite replaces only partitions PRESENT in
+    # the written data: a fully-emptied shard writes nothing and its
+    # old files would silently survive — a compliance failure reported
+    # as success (caught in review).  Remove those directories
+    # explicitly.
+    import os
+    import shutil
+
+    kept = {
+        r["shard"]
+        for r in survivors.select("shard").distinct().collect()
+    }
+    emptied = [s for s in touched if s not in kept]
+    for s in emptied:
+        d = os.path.join(path, f"shard={s}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     return {
         "deleted": n_before - n_after,
         "shards_rewritten": sorted(touched),
@@ -764,7 +789,8 @@ def write_shard_bloom_index(
     m_bits: int = 1 << 17,
 ) -> str:
     """Per-shard Bloom sidecar over the shard store's ids: one row per
-    shard carrying (shard, n_rows, map<word,bits>), built with the
+    shard carrying (shard, bloom map<word,bits>, m_bits, store_fp),
+    built with the
     same engine-portable position hash the dedup Bloom uses
     (dedup.bloom_positions).  Sized at the default 2^17 bits/shard a
     10-bits-per-id budget covers ~13k docs per shard — raise m_bits
@@ -831,15 +857,15 @@ def locate_shards_bloom(
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         return None
     idx = spark.read.parquet(idx_path)
-    built_fp = idx.select("store_fp").first()
-    if built_fp is None or built_fp["store_fp"] != _store_fingerprint(path):
+    head = idx.select("store_fp", "m_bits").first()
+    if head is None or head["store_fp"] != _store_fingerprint(path):
         return None
     from ..operators.dedup import _bit_masks, bloom_positions
 
     ids_df = spark.createDataFrame(
         [(str(i),) for i in ids], "__fp string"
     )
-    m_bits = idx.select("m_bits").first()["m_bits"]
+    m_bits = head["m_bits"]
     bloom = F.col("bloom")
     probe = F.forall(
         bloom_positions(F.col("__fp"), int(m_bits)),

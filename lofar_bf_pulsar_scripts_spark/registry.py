@@ -9468,7 +9468,7 @@ _TAIL: tuple[str, ...] = (
 # the 7 assignment-family gates whose shared ivf_assign/route path
 # was rewritten map-side.  Then the longest-unrotated greens
 # re-enter the window (VERDICT r9 item 5 asked for >=15): all 18
-# r2-era, all 10 r4-era, and 11 of the 16 r5-era gates
+# r2-era, all 10 r4-era, and 10 of the 16 r5-era gates
 # (spectral_index, tfidf_top_terms, pq_adc_top3, shuffle_rank_sample,
 # acf2d_user_day, domain_blocklist_stats rotate next round — their
 # slots fund the four NEW gates).  Funded by demoting 22 r9-gated

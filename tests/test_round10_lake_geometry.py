@@ -252,3 +252,63 @@ def test_shard_bloom_index_locate_and_staleness(spark, tmp_path):
     # and a delete still works through the fallback path
     out2 = delete_from_shards(spark, path, [10])
     assert out2["deleted"] == 1
+
+
+def test_delete_fully_emptied_shard_and_null_ids(spark, tmp_path):
+    """Round-10 second-review fixes, pinned: (a) a shard whose EVERY
+    row is deleted must vanish from the store (dynamic partition
+    overwrite writes nothing for it, so its old files needed explicit
+    removal — a silent compliance failure reported as success); (b)
+    NULL-id rows in a touched shard must SURVIVE (the old ~isin()
+    filter dropped them under three-valued logic)."""
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        delete_from_shards,
+    )
+
+    # a direct shard-partitioned write: write_training_shards' rank
+    # key requires non-NULL unique ids by contract, but a store CAN
+    # acquire NULL ids downstream (joins, schema evolution) and the
+    # delete path must not destroy them
+    docs = spark.range(100).select(
+        F.when(F.col("id") == 55, F.lit(None))
+        .otherwise(F.col("id"))
+        .alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id") / 10).cast("bigint").alias("shard"),
+    )
+    path = str(tmp_path / "shards")
+    docs.repartition(F.col("shard")).write.partitionBy("shard").parquet(
+        path
+    )
+
+    store = spark.read.parquet(path)
+    # pick one whole shard's ids to delete (plus the NULL row's shard
+    # gets a partial delete to exercise NULL survival)
+    shard0_ids = [
+        r.doc_id
+        for r in store.filter(
+            (F.col("shard") == 0) & F.col("doc_id").isNotNull()
+        ).collect()
+    ]
+    null_shard = store.filter(F.col("doc_id").isNull()).first().shard
+    neighbor = [
+        r.doc_id
+        for r in store.filter(
+            (F.col("shard") == null_shard) & F.col("doc_id").isNotNull()
+        )
+        .limit(2)
+        .collect()
+    ]
+    out = delete_from_shards(spark, path, shard0_ids + neighbor)
+    assert out["deleted"] == len(shard0_ids) + len(neighbor)
+
+    after = spark.read.parquet(path)
+    # (a) the emptied shard is GONE — not silently retained
+    assert after.filter(F.col("shard") == 0).count() == 0
+    import glob
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "shard=0"))
+    # (b) the NULL-id row survived its shard's rewrite
+    assert after.filter(F.col("doc_id").isNull()).count() == 1
+    assert after.count() == 100 - len(shard0_ids) - len(neighbor)

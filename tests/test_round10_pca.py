@@ -97,3 +97,14 @@ def test_gram_matrix_skips_null_vectors(spark):
         for r in gram_matrix(withnull, dims=64).collect()
     }
     assert a == b
+
+
+def test_gram_matrix_overflow_refuses(spark):
+    """The per-partition int64 partial must refuse, not wrap: at
+    quant_scale=1e9 a handful of unit-norm rows already exceed the
+    int64 cell bound."""
+    import pytest as _pytest
+
+    e = _emb(spark).coalesce(1)
+    with _pytest.raises(Exception, match="overflow|OverflowError"):
+        gram_matrix(e, dims=64, quant_scale=1e9).collect()
