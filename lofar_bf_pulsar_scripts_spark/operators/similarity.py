@@ -1511,11 +1511,26 @@ def gram_matrix(
             vecs = pdf[vec_col].to_numpy()
             if len(vecs) == 0:
                 continue
-            x = np.floor(
+            xf = (
                 np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
                 * q
                 + 0.5
-            ).astype(np.int64)
+            )
+            # pre-cast gate: .astype(np.int64) WRAPS non-finite and
+            # >=2^63 floats to INT64_MIN silently (and |INT64_MIN|
+            # stays negative, so the post-cast bound below would then
+            # read only the valid components and miss the corruption)
+            if not np.isfinite(xf).all():
+                raise ValueError(
+                    "gram_matrix: non-finite embedding component — "
+                    "repair or filter the vectors upstream"
+                )
+            if np.abs(xf).max(initial=0.0) >= float(1 << 63):
+                raise OverflowError(
+                    "gram_matrix: a quantized component exceeds int64 "
+                    "range; lower quant_scale"
+                )
+            x = np.floor(xf).astype(np.int64)
             bound += len(x) * int(np.abs(x).max(initial=0)) ** 2
             if bound >= (1 << 63) - 1:
                 raise OverflowError(

@@ -688,11 +688,17 @@ def delete_from_shards(
     if not idvals:
         return {"deleted": 0, "shards_rewritten": []}
     store = spark.read.parquet(path)
+    # ids arrive as whatever Python type the caller had; build the
+    # dimension as strings and CAST to the store column's type so the
+    # old isin() coercion behavior is kept (ints against a string id
+    # column and vice versa keep working — review finding)
+    id_type = store.schema[id_col].dataType
     ids_df = F.broadcast(
         spark.createDataFrame(
-            [(v,) for v in idvals],
-            store.select(id_col).schema,
-        ).distinct()
+            [(str(v),) for v in idvals], f"{id_col} string"
+        )
+        .select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct()
     )
     # Bloom sidecar, when present and fresh, shrinks the locate scan
     # to its candidate shards (partition-pruned); the exact semi-join
@@ -715,6 +721,16 @@ def delete_from_shards(
     ]
     if not touched:
         return {"deleted": 0, "shards_rewritten": []}
+    if any(s is None for s in touched):
+        # NULL IN (...) is NULL under three-valued logic, so a
+        # NULL-shard row holding a requested id would silently escape
+        # the rewrite — refuse rather than report a delete that did
+        # not happen (the same bug class as the NULL-id fix, on the
+        # partition key)
+        raise ValueError(
+            "delete_from_shards: store has rows with NULL shard keys "
+            "holding requested ids — repair the store layout first"
+        )
     affected = store.filter(F.col("shard").isin(touched))
     n_before = affected.count()
     # the write REPLACES files this plan reads — materialize the
@@ -722,7 +738,10 @@ def delete_from_shards(
     # shards, never the corpus) or the overwrite job would scan the
     # very files it is deleting
     survivors = affected.join(ids_df, id_col, "left_anti").localCheckpoint()
-    n_after = survivors.count()
+    # one job yields both the survivor count and the kept shard set
+    per_shard = survivors.groupBy("shard").count().collect()
+    n_after = sum(r["count"] for r in per_shard)
+    kept = {r["shard"] for r in per_shard}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -738,20 +757,25 @@ def delete_from_shards(
     # dynamic partition overwrite replaces only partitions PRESENT in
     # the written data: a fully-emptied shard writes nothing and its
     # old files would silently survive — a compliance failure reported
-    # as success (caught in review).  Remove those directories
-    # explicitly.
-    import os
-    import shutil
-
-    kept = {
-        r["shard"]
-        for r in survivors.select("shard").distinct().collect()
-    }
+    # as success (caught in review).  Remove those directories through
+    # the Hadoop FileSystem API (NOT driver-local shutil: a URI-form
+    # store path would silently skip the removal and reintroduce the
+    # failure), and refuse if an emptied shard's directory cannot be
+    # found rather than report a delete that did not happen.
     emptied = [s for s in touched if s not in kept]
-    for s in emptied:
-        d = os.path.join(path, f"shard={s}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for s in emptied:
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={s}")
+            fs = hpath.getFileSystem(hconf)
+            if not fs.exists(hpath):
+                raise RuntimeError(
+                    f"delete_from_shards: emptied shard directory "
+                    f"{hpath} not found — store layout does not match "
+                    "the read path; its rows were NOT removed"
+                )
+            fs.delete(hpath, True)
     return {
         "deleted": n_before - n_after,
         "shards_rewritten": sorted(touched),

@@ -305,10 +305,46 @@ def test_delete_fully_emptied_shard_and_null_ids(spark, tmp_path):
     after = spark.read.parquet(path)
     # (a) the emptied shard is GONE — not silently retained
     assert after.filter(F.col("shard") == 0).count() == 0
-    import glob
     import os
 
     assert not os.path.isdir(os.path.join(path, "shard=0"))
     # (b) the NULL-id row survived its shard's rewrite
     assert after.filter(F.col("doc_id").isNull()).count() == 1
     assert after.count() == 100 - len(shard0_ids) - len(neighbor)
+
+
+def test_delete_id_type_coercion_and_null_shard_refusal(spark, tmp_path):
+    """Third-review fixes, pinned: (a) int ids against a string id
+    column keep working (the isin() coercion the anti-join replaced);
+    (b) a NULL-shard row holding a requested id makes the delete
+    REFUSE instead of silently skipping the row."""
+    import pytest as _pytest
+
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        delete_from_shards,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") / 10).cast("bigint").alias("shard"),
+    )
+    path = str(tmp_path / "s1")
+    docs.repartition(F.col("shard")).write.partitionBy("shard").parquet(
+        path
+    )
+    out = delete_from_shards(spark, path, [7, 23])  # ints vs string col
+    assert out["deleted"] == 2
+    assert (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id").isin("7", "23"))
+        .count()
+        == 0
+    )
+
+    nulls = spark.createDataFrame(
+        [("99", None), ("98", 1)], "doc_id string, shard bigint"
+    )
+    path2 = str(tmp_path / "s2")
+    nulls.write.partitionBy("shard").parquet(path2)
+    with _pytest.raises(ValueError, match="NULL shard"):
+        delete_from_shards(spark, path2, ["99"])
