@@ -687,19 +687,56 @@ def delete_from_shards(
     idvals = [i for i in ids]
     if not idvals:
         return {"deleted": 0, "shards_rewritten": []}
+    if any(v is None for v in idvals):
+        # a NULL id cannot identify any row (NULL never equals
+        # anything) — and str(None) would cast to the literal string
+        # 'None' against a string id column, deleting the WRONG row
+        raise ValueError(
+            "delete_from_shards: NULL in the deletion id list"
+        )
     store = spark.read.parquet(path)
     # ids arrive as whatever Python type the caller had; build the
     # dimension as strings and CAST to the store column's type so the
     # old isin() coercion behavior is kept (ints against a string id
-    # column and vice versa keep working — review finding)
+    # column and vice versa keep working — review finding).  An id
+    # the cast NULLifies (e.g. '12x' against bigint) would silently
+    # match nothing and report a delete that did not happen: refuse.
     id_type = store.schema[id_col].dataType
-    ids_df = F.broadcast(
-        spark.createDataFrame(
-            [(str(v),) for v in idvals], f"{id_col} string"
-        )
-        .select(F.col(id_col).cast(id_type).alias(id_col))
-        .distinct()
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+    # cast THROWS NumberFormatException mid-job on the first bad id —
+    # try_cast yields NULL so the check below can name every bad one
+    raw_ids = spark.createDataFrame(
+        [(str(v),) for v in idvals], "__raw string"
+    ).select(
+        F.col("__raw"), F.col("__raw").try_cast(id_type).alias(id_col)
     )
+    bad = [
+        r["__raw"]
+        for r in raw_ids.filter(F.col(id_col).isNull()).collect()
+    ]
+    if bad:
+        raise ValueError(
+            f"delete_from_shards: ids not castable to the store's "
+            f"{id_type.simpleString()} id column: {bad[:5]}"
+        )
+    ids_df = F.broadcast(raw_ids.select(id_col).distinct())
+    # NULL-shard rows are invisible to BOTH locate paths (NULL IN
+    # (...) is NULL; the bloom candidates filter drops them the same
+    # way), so check for them directly — partition-pruned to the
+    # __HIVE_DEFAULT_PARTITION__ directory, which is empty in a
+    # healthy store
+    null_shard_hit = (
+        store.filter(F.col("shard").isNull())
+        .join(ids_df, id_col, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if null_shard_hit:
+        raise ValueError(
+            "delete_from_shards: a requested id lives in a NULL-shard "
+            "row — repair the store layout first (the rewrite cannot "
+            "address that partition)"
+        )
     # Bloom sidecar, when present and fresh, shrinks the locate scan
     # to its candidate shards (partition-pruned); the exact semi-join
     # inside the candidates removes Bloom false positives, and a
@@ -721,16 +758,6 @@ def delete_from_shards(
     ]
     if not touched:
         return {"deleted": 0, "shards_rewritten": []}
-    if any(s is None for s in touched):
-        # NULL IN (...) is NULL under three-valued logic, so a
-        # NULL-shard row holding a requested id would silently escape
-        # the rewrite — refuse rather than report a delete that did
-        # not happen (the same bug class as the NULL-id fix, on the
-        # partition key)
-        raise ValueError(
-            "delete_from_shards: store has rows with NULL shard keys "
-            "holding requested ids — repair the store layout first"
-        )
     affected = store.filter(F.col("shard").isin(touched))
     n_before = affected.count()
     # the write REPLACES files this plan reads — materialize the
@@ -765,17 +792,25 @@ def delete_from_shards(
     emptied = [s for s in touched if s not in kept]
     if emptied:
         jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
         for s in emptied:
             hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={s}")
-            fs = hpath.getFileSystem(hconf)
             if not fs.exists(hpath):
                 raise RuntimeError(
                     f"delete_from_shards: emptied shard directory "
                     f"{hpath} not found — store layout does not match "
                     "the read path; its rows were NOT removed"
                 )
-            fs.delete(hpath, True)
+            if not fs.delete(hpath, True):
+                # Hadoop FileSystem.delete reports failure by RETURN
+                # VALUE on some implementations — treating it as void
+                # would report a delete that did not happen
+                raise RuntimeError(
+                    f"delete_from_shards: failed to remove emptied "
+                    f"shard directory {hpath}"
+                )
     return {
         "deleted": n_before - n_after,
         "shards_rewritten": sorted(touched),
@@ -886,8 +921,22 @@ def locate_shards_bloom(
         return None
     from ..operators.dedup import _bit_masks, bloom_positions
 
-    ids_df = spark.createDataFrame(
-        [(str(i),) for i in ids], "__fp string"
+    # the index hashed cast(stored_id AS string); probe ids must be
+    # normalized through the SAME type round-trip or a differently
+    # spelled id ('007' for bigint 7) hashes differently and produces
+    # a bloom FALSE NEGATIVE — the one failure a locate must never
+    # have (round-10 fourth review)
+    id_type = spark.read.parquet(path).schema[id_col].dataType
+    ids_df = (
+        spark.createDataFrame([(str(i),) for i in ids], "__raw string")
+        .select(
+            F.col("__raw")
+            .try_cast(id_type)
+            .cast("string")
+            .alias("__fp")
+        )
+        .filter(F.col("__fp").isNotNull())
+        .distinct()
     )
     m_bits = head["m_bits"]
     bloom = F.col("bloom")

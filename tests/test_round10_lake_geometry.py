@@ -346,5 +346,49 @@ def test_delete_id_type_coercion_and_null_shard_refusal(spark, tmp_path):
     )
     path2 = str(tmp_path / "s2")
     nulls.write.partitionBy("shard").parquet(path2)
-    with _pytest.raises(ValueError, match="NULL shard"):
+    with _pytest.raises(ValueError, match="NULL.shard"):
         delete_from_shards(spark, path2, ["99"])
+
+    # fourth-review guards: NULL ids and uncastable ids refuse loudly
+    with _pytest.raises(ValueError, match="NULL in the deletion"):
+        delete_from_shards(spark, path, [None])
+    intstore = str(tmp_path / "s3")
+    spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("shard")
+    ).write.partitionBy("shard").parquet(intstore)
+    with _pytest.raises(ValueError, match="not castable"):
+        delete_from_shards(spark, intstore, ["12x"])
+
+
+def test_bloom_locate_normalizes_id_spelling(spark, tmp_path):
+    """Fourth-review fix: the bloom probe must hash ids through the
+    same type round-trip the index hashed (cast to the store id type
+    and back to string), so '007' against a bigint column still finds
+    bigint 7's shard — a spelling mismatch would be a bloom false
+    negative, reported as a successful no-op delete."""
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        delete_from_shards,
+        locate_shards_bloom,
+        write_shard_bloom_index,
+        write_training_shards,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, docs_per_shard=10)
+    write_shard_bloom_index(spark, path)
+
+    true_shard = (
+        spark.read.parquet(path).filter(F.col("doc_id") == 7).first().shard
+    )
+    cand = locate_shards_bloom(spark, path, ["007"])
+    assert cand is not None and true_shard in cand
+
+    out = delete_from_shards(spark, path, ["007"])
+    assert out["deleted"] == 1
+    assert (
+        spark.read.parquet(path).filter(F.col("doc_id") == 7).count() == 0
+    )
