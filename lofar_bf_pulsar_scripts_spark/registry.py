@@ -2367,7 +2367,14 @@ def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- numpy and pytest-pinned).  Quantization makes every product and
     -- sum an exact integer, so the partition-partial numpy matmuls on
     -- the Spark side must combine to the same HUGEINT DuckDB computes
-    -- row-at-a-time — aggregation order cannot matter.
+    -- row-at-a-time — aggregation order cannot matter.  The sum is
+    -- emitted as a canonical STRING on BOTH sides: decimal128 /
+    -- HUGEINT is the one type class whose driver-side Arrow hash
+    -- diverged across rounds (r7 single_pulse_cands, r10 this gate)
+    -- even when fetchall()/collect() values agree, and a string cast
+    -- has no rounding semantics to mismatch (unlike hi/lo limb
+    -- division, where Spark `div` vs DuckDB `//` negative-rounding
+    -- could differ).
     WITH pairs AS (
         SELECT i.i AS i, j.j AS j
         FROM generate_series(0, 63) AS i(i)
@@ -2382,8 +2389,8 @@ def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-           CAST(sum(CAST(q.xq[p.i + 1] AS HUGEINT) * q.xq[p.j + 1])
-                AS HUGEINT) AS s
+           CAST(CAST(sum(CAST(q.xq[p.i + 1] AS HUGEINT) * q.xq[p.j + 1])
+                     AS HUGEINT) AS VARCHAR) AS s
     FROM q CROSS JOIN pairs p
     GROUP BY p.i, p.j
     """,
@@ -2396,7 +2403,11 @@ def q_pca_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import gram_matrix
 
     e = load_table(spark, "embeddings", sf_dir)
-    return gram_matrix(e, dims=64, quant_scale=1e3)
+    g = gram_matrix(e, dims=64, quant_scale=1e3)
+    # canonical string emission — see the oracle comment above; the
+    # numeric decimal(38,0) form stays the operator's return type for
+    # downstream pca_rotation, only the gate output is canonicalized
+    return g.select("i", "j", F.col("s").cast("string").alias("s"))
 
 
 # Shared CTE block for the sign-LSH oracles (lsh_ann_topk,

@@ -108,3 +108,21 @@ def test_gram_matrix_overflow_refuses(spark):
     e = _emb(spark).coalesce(1)
     with _pytest.raises(Exception, match="overflow|OverflowError"):
         gram_matrix(e, dims=64, quant_scale=1e9).collect()
+
+
+def test_gate_emits_canonical_string(spark):
+    """The pca_gram_matrix GATE (not the operator) emits s as a plain
+    decimal-digit string: decimal128/HUGEINT is the one type class
+    whose driver-side Arrow hash diverged across rounds even when
+    collected values agreed (r7 single_pulse_cands, r10 this gate),
+    so the gate canonicalizes on both sides.  Pin the format: no
+    exponent, no decimal point, optional leading '-'."""
+    import re
+
+    from lofar_bf_pulsar_scripts_spark.registry import queries
+
+    out = queries()["pca_gram_matrix"](spark, SF)
+    assert dict(out.dtypes)["s"] == "string"
+    vals = [r.s for r in out.limit(50).collect()]
+    assert vals, "gate returned no rows"
+    assert all(re.fullmatch(r"-?\d+", v) for v in vals), vals[:5]
