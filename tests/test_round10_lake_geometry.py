@@ -209,8 +209,10 @@ def test_delete_from_shards(spark, tmp_path):
 def test_shard_bloom_index_locate_and_staleness(spark, tmp_path):
     """The Bloom sidecar never misses a shard that holds an id (no
     false negatives), delete results are identical with and without
-    it, and ANY count drift (append or the delete itself) makes the
-    locate report stale (None) instead of risking a miss."""
+    it, a delete→delete sequence KEEPS the pruned locate path (the
+    delete incrementally refreshes the sidecar — round-11 lifecycle
+    fix), and an append the sidecar didn't see makes the locate
+    report stale (None) instead of risking a false negative."""
     from lofar_bf_pulsar_scripts_spark.plans.lake import (
         delete_from_shards,
         locate_shards_bloom,
@@ -247,11 +249,48 @@ def test_shard_bloom_index_locate_and_staleness(spark, tmp_path):
         == 0
     )
 
-    # the delete shrank counts -> the sidecar must now report stale
-    assert locate_shards_bloom(spark, path, [1]) is None
-    # and a delete still works through the fallback path
+    # the delete refreshed the sidecar in place: a second locate stays
+    # on the pruned path (not None) and never misses
+    exact2 = {
+        r.shard
+        for r in spark.read.parquet(path)
+        .filter(F.col("doc_id").isin([10, 250]))
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    cand2 = locate_shards_bloom(spark, path, [10, 250])
+    assert cand2 is not None and exact2 <= set(cand2)
+    # a deleted id no longer blooms in its (recomputed) old shard row:
+    # the refreshed row was rebuilt from the post-delete store
+    idx = spark.read.parquet(path + ".bloom_index")
+    assert idx.filter(F.col("shard").isin(sorted(exact))).count() > 0
+    # delete→delete keeps working and keeps the sidecar fresh
     out2 = delete_from_shards(spark, path, [10])
     assert out2["deleted"] == 1
+    exact3 = {
+        r.shard
+        for r in spark.read.parquet(path)
+        .filter(F.col("doc_id") == 250)
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    cand3 = locate_shards_bloom(spark, path, [250])
+    assert cand3 is not None and exact3 <= set(cand3)
+
+    # an append the sidecar did NOT see must read stale (None): an
+    # unseen id would otherwise be a bloom false negative — the one
+    # failure a locate must never have
+    spark.range(300, 310).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        F.lit(0).alias("shard"),
+    ).write.mode("append").partitionBy("shard").parquet(path)
+    assert locate_shards_bloom(spark, path, [305]) is None
+    # and a delete still works through the fallback path
+    out3 = delete_from_shards(spark, path, [305])
+    assert out3["deleted"] == 1
 
 
 def test_delete_fully_emptied_shard_and_null_ids(spark, tmp_path):
