@@ -18,7 +18,7 @@ processes one subband file at a time (/root/reference/subdyn.py:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 # Rule-2 geometry default for every at-rest store this module writes:
 # 16 MB row groups keep a zero-shuffle consumer's scan parallelism at
@@ -1065,3 +1065,117 @@ def locate_shards_bloom(
         .collect()
     )
     return [r["shard"] for r in hits]
+
+
+def expand_ids_with_duplicates(
+    edges: DataFrame,
+    ids: list,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    out_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate closure of a deletion id set: every id sharing a
+    connected component with a seed in the (LSH-bounded) near-dup edge
+    graph, plus the seeds themselves (a seed with no edges is its own
+    closure).  This is the expansion delete_from_shards' docstring
+    asks callers to run first — right-to-be-forgotten over training
+    data is incomplete if a byte-identical or near-identical copy of
+    the forgotten document survives under a different id.
+
+    Scale shape: connected_components over the edge list (bucket-
+    bounded, never corpus²; driver union-find below 2M edges), then
+    two BROADCAST semi-joins — the seed set and the touched-component
+    set are request-sized, so the expansion never shuffles the
+    component table.  Output is one distinct ``out_col`` column."""
+    from ..operators.pipeline import connected_components
+
+    spark = edges.sparkSession
+    if any(v is None for v in ids):
+        raise ValueError(
+            "expand_ids_with_duplicates: NULL in the seed id list"
+        )
+    node_type = edges.schema[src_col].dataType
+    seeds = spark.createDataFrame(
+        [(v,) for v in ids],
+        T.StructType([T.StructField("node", node_type, False)]),
+    ).distinct()
+    comp = connected_components(
+        edges, max_iter=max_iter, src_col=src_col, dst_col=dst_col
+    )
+    hit = (
+        comp.join(F.broadcast(seeds), "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    members = comp.join(
+        F.broadcast(hit), "component", "left_semi"
+    ).select("node")
+    return (
+        members.unionByName(seeds)
+        .distinct()
+        .withColumnRenamed("node", out_col)
+    )
+
+
+def delete_with_closure(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    edges: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 20,
+    **near_dup_kwargs,
+) -> dict:
+    """Right-to-be-forgotten deletion WITH near-duplicate closure in
+    one plan: expand the requested ids to their dup-cluster members
+    (expand_ids_with_duplicates), then rewrite only the touched shard
+    directories (delete_from_shards — Bloom-pruned locate, dynamic
+    partition overwrite, incremental sidecar refresh).
+
+    ``edges`` is the near-dup edge graph to close over.  Pass a
+    precomputed one (e.g. candidate pairs from the incremental
+    MinHash band store — ensure_minhash_bands / incremental_near_dup
+    keep it current at append time, so the delete pays NO corpus
+    scan for candidates); with ``edges=None`` the plan computes
+    verified_near_dup_edges over the store's (id, text) itself — one
+    corpus scan, the ad-hoc form for stores without a band sidecar.
+
+    Returns delete_from_shards' report plus ``requested`` (distinct
+    seed ids) and ``closure`` (ids after expansion, >= requested)."""
+    idvals = list(ids)
+    if not idvals:
+        return {
+            "deleted": 0, "shards_rewritten": [],
+            "requested": 0, "closure": 0,
+        }
+    if any(v is None for v in idvals):
+        raise ValueError("delete_with_closure: NULL in the deletion ids")
+    if edges is None:
+        from ..operators.dedup import verified_near_dup_edges
+
+        docs = spark.read.parquet(path).select(id_col, text_col)
+        edges = verified_near_dup_edges(
+            docs, id_col=id_col, text_col=text_col, **near_dup_kwargs
+        )
+        src, dst = "id_a", "id_b"
+    else:
+        src = near_dup_kwargs.pop("src_col", "id_a")
+        dst = near_dup_kwargs.pop("dst_col", "id_b")
+        if near_dup_kwargs:
+            raise TypeError(
+                "delete_with_closure: near-dup kwargs "
+                f"{sorted(near_dup_kwargs)} only apply when edges=None"
+            )
+    expanded = [
+        r[0]
+        for r in expand_ids_with_duplicates(
+            edges, idvals, src_col=src, dst_col=dst,
+            out_col=id_col, max_iter=max_iter,
+        ).collect()
+    ]
+    report = delete_from_shards(spark, path, expanded, id_col=id_col)
+    report["requested"] = len(set(idvals))
+    report["closure"] = len(expanded)
+    return report

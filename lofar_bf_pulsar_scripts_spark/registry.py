@@ -9355,6 +9355,58 @@ def q_pulse_energy_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed seed set for the delete_closure_ids gate: 8 and 267 sit inside
+# multi-member LSH dup clusters at sf0.01, 3 exercises the
+# seed-without-edges union path (a seed is always its own closure).
+_CLOSURE_SEEDS = (3, 8, 267)
+
+
+@_register(
+    "delete_closure_ids",
+    f"""
+    -- near-dup closure of a right-to-be-forgotten id set: the
+    -- expansion half of plans.lake.delete_with_closure (the shard
+    -- rewrite itself is side-effecting and pytest-pinned).  Every id
+    -- sharing a connected component with a seed in the banded-LSH
+    -- candidate graph, plus the seeds themselves.
+    WITH comp AS ({_dup_clusters_oracle()}),
+    seeds(doc_id) AS (
+        VALUES {", ".join(f"({s})" for s in _CLOSURE_SEEDS)}
+    ), hit AS (
+        SELECT DISTINCT component FROM comp
+        JOIN seeds ON comp.node = seeds.doc_id
+    )
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM (
+        SELECT c.node AS doc_id
+        FROM comp c JOIN hit h ON c.component = h.component
+        UNION ALL
+        SELECT doc_id FROM seeds
+    )
+    """,
+    "deletion closure expansion: connected components over the "
+    "LSH-bounded edge graph, then two request-sized BROADCAST "
+    "semi-joins — the component table never shuffles "
+    "(plans/lake.py delete_with_closure scale path)",
+)
+def q_delete_closure_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signature,
+    )
+    from .plans.lake import expand_ids_with_duplicates
+
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signature(d, num_hashes=_NUM_MINHASH)
+    pairs = candidate_pairs(
+        lsh_buckets(sigs, id_col="doc_id", bands=4, rows_per_band=2),
+        "doc_id",
+    )
+    return expand_ids_with_duplicates(
+        pairs, list(_CLOSURE_SEEDS), out_col="doc_id"
+    )
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
