@@ -897,26 +897,48 @@ def _store_fingerprint(spark: SparkSession, path: str) -> str:
     (relative path, size) of every data file.  Pure metadata — no
     Spark job, no data read — so a freshness check against it costs
     one directory listing, not a scan.  Any mutation (append, delete,
-    rewrite) moves it.  The listing goes through the Hadoop
-    FileSystem API, matching delete_from_shards' delete path: a
-    driver-local os.walk returned an EMPTY listing for hdfs://- or
-    s3a://-form stores, so the sidecar embedded a fingerprint of
-    nothing and silently never activated (round-10 ADVICE)."""
-    import hashlib
+    rewrite) moves it.
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    root = fs.makeQualified(hpath)
-    root_str = root.toString()
+    URI-form stores (hdfs://, s3a://) list through the Hadoop
+    FileSystem API, matching delete_from_shards' delete path: a
+    driver-local os.walk returned an EMPTY listing for them, so the
+    sidecar embedded a fingerprint of nothing and silently never
+    activated (round-10 ADVICE).  Plain local paths keep os.walk —
+    the py4j listFiles iterator pays ~4 JVM round-trips PER FILE
+    (measured 18 s at 2,000 shards, dwarfing the locate it serves),
+    while both branches emit identical (relpath, size) entries so a
+    store fingerprinted under either spelling agrees."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
     entries = []
-    it = fs.listFiles(root, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath().toString()
-        if p.endswith(".parquet"):
-            rel = p[len(root_str):].lstrip("/")
-            entries.append((rel, int(st.getLen())))
+    if scheme in ("", "file"):
+        root = urlparse(path).path if scheme == "file" else path
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    full = os.path.join(dirpath, f)
+                    entries.append(
+                        (
+                            os.path.relpath(full, root),
+                            os.path.getsize(full),
+                        )
+                    )
+    else:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        root = fs.makeQualified(hpath)
+        root_str = root.toString()
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(".parquet"):
+                rel = p[len(root_str):].lstrip("/")
+                entries.append((rel, int(st.getLen())))
     return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
 
 
