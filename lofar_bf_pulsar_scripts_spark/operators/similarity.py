@@ -1621,3 +1621,135 @@ def pca_project(
         ),
     )
     return df.withColumn(out_col, proj.cast("array<double>"))
+
+
+def opq_eigen_allocation(eigvals: list, m_sub: int) -> list[int]:
+    """Parametric OPQ eigenvalue allocation (Ge et al., "Optimized
+    Product Quantization", CVPR 2013 §4): assign the principal
+    directions to ``m_sub`` PQ subspaces so the PRODUCT of
+    eigenvalues per subspace is balanced — the free-rotation degree
+    PCA leaves open (any permutation of eigendirections is still a
+    diagonalizing rotation) spent on the thing PQ cares about, equal
+    per-subspace information.  Greedy: directions in descending-
+    eigenvalue order, each to the not-yet-full subspace with the
+    smallest current log-product.  Driver-side over dims scalars —
+    never data-sized.
+
+    Two candidate assignments are built and the one with the smaller
+    log-product spread wins: (a) the paper's greedy (each direction,
+    descending, to the not-yet-full subspace with the smallest
+    current log-product) and (b) snake round-robin (blocks of m_sub
+    directions dealt out boustrophedon).  Greedy is optimal-ish on
+    flat-ish spectra but DEGENERATES on steeply decaying ones — with
+    a monotone log sequence the minimum bucket keeps winning until
+    it hits capacity, so one subspace eats a consecutive run and the
+    spread explodes (measured 37.0 in log-product on the 2^(-i/6)
+    fixture, where snake achieves 0.20).
+
+    Returns the permutation ``perm`` such that output component
+    ``perm[i]`` of the PCA rotation goes to slot ``i`` (subspace
+    i // (dims/m_sub))."""
+    import numpy as np
+
+    d = len(eigvals)
+    if d % m_sub != 0:
+        raise ValueError(f"dims={d} not divisible by m_sub={m_sub}")
+    sub = d // m_sub
+    lv = np.log(
+        np.maximum(np.asarray(eigvals, dtype=np.float64), 1e-300)
+    )
+    order = np.argsort(np.asarray(eigvals, dtype=np.float64))[::-1]
+
+    def greedy() -> list[list[int]]:
+        logs = [0.0] * m_sub
+        slots: list[list[int]] = [[] for _ in range(m_sub)]
+        for idx in order:
+            open_slots = [j for j in range(m_sub) if len(slots[j]) < sub]
+            j = min(open_slots, key=lambda s: logs[s])
+            slots[j].append(int(idx))
+            logs[j] += float(lv[idx])
+        return slots
+
+    def snake() -> list[list[int]]:
+        slots = [[] for _ in range(m_sub)]
+        for blk in range(sub):
+            idxs = list(order[blk * m_sub:(blk + 1) * m_sub])
+            if blk % 2:
+                idxs = idxs[::-1]
+            for pos, idx in enumerate(idxs):
+                slots[pos].append(int(idx))
+        return slots
+
+    def spread(slots: list[list[int]]) -> float:
+        sums = [float(sum(lv[i] for i in slot)) for slot in slots]
+        return max(sums) - min(sums)
+
+    best = min((greedy(), snake()), key=spread)
+    return [i for slot in best for i in slot]
+
+
+def opq_rotation(
+    gram_rows: list,
+    dims: int,
+    m_sub: int,
+    quant_scale: float = 1e3,
+) -> list[list[float]]:
+    """OPQ pre-rotation: the full-rank PCA rotation with its output
+    components PERMUTED by opq_eigen_allocation, ready for
+    pca_project -> pq_encode.  Same driver-side eigh over the
+    collected Gram rows as pca_rotation (dims x dims — bounded by
+    embedding width, never the corpus); the permutation step is what
+    turns "PCA then PQ" (which CONCENTRATES energy into the first
+    subspace and makes PQ balance worse — the round-10 measured
+    non-result) into "OPQ then PQ" (balanced per-subspace
+    information).  Validated on an anisotropic fixture in
+    tests/test_round11_opq.py; on an isotropic corpus the rotation is
+    a no-op by construction (all eigenvalues equal)."""
+    import numpy as np
+
+    d = int(dims)
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        g[int(r["i"]), int(r["j"])] = float(r["s"])
+        g[int(r["j"]), int(r["i"])] = float(r["s"])
+    g /= float(quant_scale) ** 2
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):
+        pivot = np.argmax(np.abs(vecs[:, c]))
+        if vecs[pivot, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    perm = opq_eigen_allocation([float(v) for v in vals], m_sub)
+    return [[float(v) for v in vecs[:, p]] for p in perm]
+
+
+def subspace_energy(
+    df: DataFrame,
+    dims: int,
+    m_sub: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-PQ-subspace second-moment energy: (m, energy) with energy
+    = sum over rows of ||x[m·sub : (m+1)·sub]||² — the OPQ balance
+    diagnostic (imbalance = max/min across m).  One scan, m_sub
+    map-side sums; the slice/aggregate tree is per-row constant-size,
+    so this stays a pure scan+project at any corpus size."""
+    sub = int(dims) // int(m_sub)
+    if int(dims) % int(m_sub) != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    aggs = [
+        F.sum(
+            F.aggregate(
+                F.slice(F.col(vec_col), m * sub + 1, sub),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias(f"__e{m}")
+        for m in range(int(m_sub))
+    ]
+    wide = df.select(*aggs)
+    stack = ", ".join(f"{m}, __e{m}" for m in range(int(m_sub)))
+    return wide.selectExpr(
+        f"stack({int(m_sub)}, {stack}) as (m, energy)"
+    )
