@@ -184,7 +184,7 @@ def grouped_cumsum(
     sum_col: str,
     n_buckets: int | str | None = 32,
     out_col: str = "cum",
-    auto_threshold: int = 2_000_000,
+    auto_threshold: int = 50_000_000,
 ) -> DataFrame:
     """Per-group running sum of ``sum_col`` ordered by ``order_col``
     WITHOUT a per-group single-task sort: cumsum within each
@@ -207,16 +207,24 @@ def grouped_cumsum(
 
     Dispatch (the Q-Q rank_buckets=None knob, round-10 VERDICT item
     6): ``n_buckets=None`` uses the plain per-group window — one sort
-    task per group, the right shape when the window INPUT is small;
-    ``n_buckets="auto"`` counts the input rows (one extra
-    map-side-combined job — cheap next to the quantile + offsets
-    passes the bucketed form pays anyway) and takes the window form
-    at or below ``auto_threshold`` rows.  The default 2M threshold is
-    the documented crossover: a single-task sort of 2M pre-aggregated
-    rows is sub-second, while the bucketed form's flat ~1 s of extra
-    jobs (quantile collect, offsets build, broadcast join) dominates
-    small inputs — measured as the sketch_exact_check 0.57→2.28 s
-    sf0.1 regression that motivated this knob."""
+    task per group; ``n_buckets="auto"`` counts the input rows (one
+    extra map-side-combined job — cheap next to the quantile +
+    offsets passes the bucketed form pays anyway) and takes the
+    window form at or below ``auto_threshold`` rows.
+
+    The default 50M threshold is MEASURED, not guessed (round-11
+    value-cardinality probe, tools/probe_cumsum_cardinality.py, with
+    jittered replicas so distinct (group, value) grows with N): with
+    trivial downstream work the window form wins at EVERY reachable
+    scale — 101.6 vs 155.7 s lazy / 54.0 vs 141.7 s on a
+    materialized input at 49M rows (~10M rows per single-task sort)
+    — because the bucketed machinery's extra passes cost more than
+    the serial sorts they remove.  The bucketed form's real win is
+    POST-WINDOW parallelism: downstream work that inherits the
+    window's one-partition-per-group output (the Q-Q ppf/decimal
+    chain, 38.3→16.0 s at 20M rows/group — keep rank_buckets/
+    n_buckets explicit there), or per-group volumes past ~50M rows
+    where a single sort task spills."""
     from pyspark.sql import Window
 
     # type gate FIRST — before any cluster job runs (a decimal input

@@ -5132,10 +5132,12 @@ def q_sketch_exact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size (the same ceiling the Q-Q gate's bucketed rank removes;
     # row-for-row identical because ties share a bucket and the
     # within-bucket frame is RANGE).  "auto" dispatches on the
-    # measured input size: below the documented 2M-row crossover the
-    # plain window form skips the bucketed path's flat ~1 s of extra
-    # jobs (the r9→r10 sf0.1 regression), above it the bucketed form
-    # restores intra-group parallelism.
+    # measured input size: below the measured ~50M-row crossover
+    # (tools/probe_cumsum_cardinality.py — with this gate's trivial
+    # post-window work the window form won at every reachable
+    # cardinality) the plain window skips the bucketed path's extra
+    # passes (the r9→r10 sf0.1 regression); past it the bucketed
+    # form avoids single-task sort spill.
     cum = grouped_cumsum(
         counts, ["event_type"], "value", "c", n_buckets="auto",
         out_col="cum",
@@ -9452,86 +9454,58 @@ def q_delete_closure_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verifies this mechanically. Tail entries remain verified by the
 # strict local replica every round.
 _TAIL: tuple[str, ...] = (
-    # rows-only by design (no DuckDB-expressible oracle)
-    "streaming_fold_replay",
-    "approx_sketches",
-    # Round-10 window plan (VERDICT r9 item 5): _PROMOTE below holds
-    # exactly 50 names, so the head-50 IS the promote list and every
-    # name here sits past it.  Everything demoted this round is
-    # r7/r8/r9-green with a standing driver row and byte-identical
-    # since (check_window.py's symbol-level fingerprint is the
-    # referee: any of these whose Spark fn, imported operators, or
-    # oracle text changes must move back into _PROMOTE).
-    "pq_adc_top3",
-    "tfidf_top_terms",
-    "language_id",
-    "jones_beam_corr",
-    "json_props_stats",
-    "candidate_sift",
-    "single_pulse_cands",
-    "timing_fit_drift",
-    "blind_search_pipeline",
-    "hybrid_rrf_search",
-    "quality_classifier",
-    "visibility_windows",
-    "bpe_apply_counts",
-    "gopher_rules",
-    "bigram_lm_quality",
-    "dsir_importance",
-    "bm25_search",
-    "dq_profile_events",
-    "key_skew_report",
-    "subband_dm_search",
-    "pii_redaction_stats",
-    "psrflux_band_flux",
-    "pulse_energy_hist",
-    "stratified_sample",
-    "source_quota_sample",
-    "doc_chunks",
-    "url_canonical",
-    "vocab_coverage",
-    "bpe_token_counts",
-    "text_quality",
-    "chunk_dedup_stats",
-    "minhash_signatures",
-    "contamination_screen",
-    "repetition_stats",
-    "temperature_mix_counts",
-    "hamaker_beam_corr",
-    "incremental_near_dup",
-    "training_data_pipeline",
-    "image_phash_pairs",
-    "span_dedup_docs",
-    "near_dedup_pipeline",
-    "sequence_packing",
-    "tokenize_pack_pipeline",
-    "streaming_funnel_exact",
-    "streaming_funnel_joins_exact",
-    "streaming_fold_exact",
-    "streaming_dedup_exact",
-    "streaming_sessions_exact",
-    "streaming_asof_exact",
-    "streaming_crossmatch_exact",
-    "resample_hourly_ffill",
-    "trimmed_stats",
-    "sigma_clip_events",
-    "scrunch_user_hour",
-    "altaz_positions",
-    "dispersion_delays",
-    "pulsar_derived",
-    "fold_event_counts",
-    "doc_fingerprint_groups",
-    "fold_profile",
-    "fold_subints",
-    "rebin_events",
-    "profile_stats",
-    "above_avg_orders",
-    "value_histogram",
-    "rotated_profile",
-    "pivot_event_values",
-    "event_pairs_within_minute",
-    "bilinear_gain",
-    "dedup_documents",
+    # Round-11 demotions: the 47 r10-window greens whose gates are
+    # byte-identical since CORRECTNESS_r10 (the freshest driver rows
+    # in the repo).  check_window.py's symbol-level fingerprint stays
+    # the referee: any of these whose Spark fn, imported operators,
+    # or oracle text changes must move back into _PROMOTE.
+    "acf_hourly",
+    "auto_off_window",
+    "band_averaged_tsky",
+    "catalog_union",
+    "channel_sefd",
+    "cube_pricing",
+    "detrend_events",
+    "dup_clusters",
+    "embedding_near_dups",
+    "embedding_quantize",
+    "file_placement",
+    "flux_spectrum",
+    "frame_offsets",
+    "hash_split_counts",
+    "hier_assign_agreement",
+    "hierarchical_assign_counts",
+    "ivf_pq_rerank_top3",
+    "ivf_pq_stored_top3",
+    "ivf_pq_top3",
+    "ivf_topk",
+    "ivf_topk_filtered",
+    "kmeans_update_step",
+    "local_supplier_volume",
+    "lsh_bucket_sizes",
+    "lta_superquery_manifest",
+    "nearest_supplier",
+    "ngram_jaccard_pairs",
+    "off_window_stats",
+    "orders_without_lineitems",
+    "payload_metadata",
+    "polyco_fold",
+    "pq_code_histogram",
+    "regex_filter_parts",
+    "rfi_zap_fraction",
+    "rollup_pricing",
+    "running_revenue",
+    "salted_event_type_volume",
+    "semantic_dedup_stats",
+    "shipping_priority",
+    "simhash_docs",
+    "streaming_asof_joins_exact",
+    "token_stats",
+    "top_customer_per_nation",
+    "tsky_map_lookup",
+    "tsky_scaled",
+    "wijnholds_aeff_lookup",
+    "wijnholds_channel_calibration",
 )
 
 
@@ -9541,79 +9515,69 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions above fund the
 # slots).
 #
-# Round-10 plan: exactly 50 names = the whole driver window, stated
-# in one place.  The changed/new-since-r9 set (check_window vs
-# 77c1e71): the NEW JVM stream-stream as-of join, fluxcal
-# channel-calibration, filtered-ANN and PCA-Gram gates;
-# wijnholds_aeff_lookup (caldata-dir knob); qq_normalize_stats and
-# sketch_exact_check (bucketed rank / grouped cumsum rewrites); and
-# the 7 assignment-family gates whose shared ivf_assign/route path
-# was rewritten map-side.  Then the longest-unrotated greens
-# re-enter the window (VERDICT r9 item 5 asked for >=15): all 18
-# r2-era, all 10 r4-era, and 10 of the 16 r5-era gates
-# (spectral_index, tfidf_top_terms, pq_adc_top3, shuffle_rank_sample,
-# acf2d_user_day, domain_blocklist_stats rotate next round — their
-# slots fund the four NEW gates).  Funded by demoting 22 r9-gated
-# byte-identical entries to _TAIL (their fresh CORRECTNESS_r09 rows
-# stand).
+# Round-11 plan: exactly 50 names = the whole driver window.  The
+# changed/new-since-r10 set: delete_closure_ids (NEW — near-dup
+# deletion closure), pca_gram_matrix (canonical-string emission, the
+# r10 red row), sketch_exact_check (grouped_cumsum "auto" dispatch),
+# hybrid_rrf_search (dense side moved to the stored LSH ANN — oracle
+# re-derived), qq_normalize_stats (shares group_value_buckets, which
+# gained the cardinality cap).  Then the two never-driver-gated
+# rows-only specs (approx_sketches, streaming_fold_replay) and the
+# longest-unrotated greens re-enter oldest-first: all 6 r5-era, all
+# 20 r6-era, all 4 r7-era, and 13 of the 27 r8-era (the remaining 14
+# r8 and all r9 rotate next round).  Funded by demoting the 47
+# r10-window greens to _TAIL (their CORRECTNESS_r10 rows stand).
 _PROMOTE: tuple[str, ...] = (
-    # changed/new since the r9 snapshot — must re-gate
-    "streaming_asof_joins_exact",
-    "wijnholds_channel_calibration",
-    "wijnholds_aeff_lookup",
-    "hierarchical_assign_counts",
-    "hier_assign_agreement",
-    "ivf_topk",
-    "ivf_pq_top3",
-    "ivf_pq_rerank_top3",
-    "ivf_pq_stored_top3",
-    "semantic_dedup_stats",
-    # rotation: r2-era greens (last driver row CORRECTNESS_r02)
-    "band_averaged_tsky",
-    "catalog_union",
-    "channel_sefd",
-    "dup_clusters",
-    "file_placement",
-    "hash_split_counts",
-    "lsh_bucket_sizes",
-    "lta_superquery_manifest",
-    "nearest_supplier",
-    "ngram_jaccard_pairs",
-    "orders_without_lineitems",
-    "payload_metadata",
-    "regex_filter_parts",
-    "rfi_zap_fraction",
-    "simhash_docs",
-    "token_stats",
-    "top_customer_per_nation",
-    "tsky_map_lookup",
-    # rotation: r4-era greens
-    "auto_off_window",
-    "cube_pricing",
-    "flux_spectrum",
-    "local_supplier_volume",
-    "off_window_stats",
-    "qq_normalize_stats",
-    "rollup_pricing",
-    "running_revenue",
-    "shipping_priority",
-    "tsky_scaled",
-    # NEW round-10 gates (same-session second wave): filtered ANN over
-    # the cid store and the exact-integer PCA Gram — funded by
-    # rotating acf2d_user_day and domain_blocklist_stats to next round
-    "ivf_topk_filtered",
+    "delete_closure_ids",
     "pca_gram_matrix",
-    # rotation: r5-era greens
-    "acf_hourly",
-    "detrend_events",
-    "embedding_near_dups",
-    "embedding_quantize",
-    "frame_offsets",
-    "kmeans_update_step",
-    "polyco_fold",
-    "pq_code_histogram",
-    "salted_event_type_volume",
     "sketch_exact_check",
+    "hybrid_rrf_search",
+    "qq_normalize_stats",
+    "approx_sketches",
+    "streaming_fold_replay",
+    "acf2d_user_day",
+    "domain_blocklist_stats",
+    "pq_adc_top3",
+    "shuffle_rank_sample",
+    "spectral_index",
+    "tfidf_top_terms",
+    "accel_search",
+    "boilerplate_removal",
+    "bpe_pair_counts",
+    "bpe_token_counts",
+    "cohort_retention",
+    "dm_search",
+    "doc_chunks",
+    "event_funnel",
+    "harmonic_periodogram",
+    "language_id",
+    "nearest_sky_match",
+    "pagerank_buckets",
+    "period_search",
+    "scd2_user_values",
+    "sky_crossmatch",
+    "text_quality",
+    "top_session_paths",
+    "url_canonical",
+    "vocab_coverage",
+    "zorder_bucket_stats",
+    "jones_beam_corr",
+    "json_props_stats",
+    "source_quota_sample",
+    "stratified_sample",
+    "bloom_incremental_screen",
+    "bm25_search",
+    "single_pulse_cands",
+    "minhash_signatures",
+    "incremental_dedup_counts",
+    "chunk_dedup_stats",
+    "blind_search_pipeline",
+    "gopher_rules",
+    "psrflux_band_flux",
+    "curation_funnel",
+    "dsir_importance",
+    "quality_classifier",
+    "temperature_mix_counts",
 )
 
 

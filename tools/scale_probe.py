@@ -98,39 +98,62 @@ FIXED = {"region", "nation"}
 
 
 def _strides(con, src: str) -> dict[str, int]:
-    """Key-shift stride per key family = max(key)+1 at the source SF."""
+    """Key-shift stride per key family = max(key)+1 at the source SF.
+    Lazy per source file: a --tables subset build (e.g. events-only
+    for the value-cardinality probe) may start from a partial source
+    directory, so only the families whose files exist are computed —
+    a replica SQL referencing a missing family still fails, loudly,
+    at .format time."""
     q = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
-    return {
-        "cust": q(f"select max(c_custkey)+1 from '{src}/customer.parquet'"),
-        "supp": q(f"select max(s_suppkey)+1 from '{src}/supplier.parquet'"),
-        "part": q(f"select max(p_partkey)+1 from '{src}/part.parquet'"),
-        "order": q(f"select max(o_orderkey)+1 from '{src}/orders.parquet'"),
-        "event": q(f"select max(event_id)+1 from '{src}/events.parquet'"),
-        "user": q(f"select max(user_id)+1 from '{src}/events.parquet'"),
-        "doc": q(f"select max(doc_id)+1 from '{src}/documents.parquet'"),
-        "vec": q(f"select max(vec_id)+1 from '{src}/embeddings.parquet'"),
-        "dims": q(
-            f"select len(embedding) from '{src}/embeddings.parquet' limit 1"
-        ),
+    spec = {
+        "cust": ("customer", "max(c_custkey)+1"),
+        "supp": ("supplier", "max(s_suppkey)+1"),
+        "part": ("part", "max(p_partkey)+1"),
+        "order": ("orders", "max(o_orderkey)+1"),
+        "event": ("events", "max(event_id)+1"),
+        "user": ("events", "max(user_id)+1"),
+        "doc": ("documents", "max(doc_id)+1"),
+        "vec": ("embeddings", "max(vec_id)+1"),
+        "dims": ("embeddings", "len(embedding)"),
     }
+    out = {}
+    for key, (table, expr) in spec.items():
+        path = f"{src}/{table}.parquet"
+        if os.path.exists(path):
+            limit = " limit 1" if key == "dims" else ""
+            out[key] = q(f"select {expr} from '{path}'{limit}")
+    return out
 
 
-def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
+def build(
+    src: str,
+    dst: str,
+    factor: int,
+    docs_mode: str = "distinct",
+    events_mode: str = "base",
+    tables: list[str] | None = None,
+) -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a factor-F build is an F-branch UNION ALL; DuckDB's default
+    # expression-depth cap trips past ~1000 branches
+    con.execute(f"SET max_expression_depth TO {max(1000, 4 * factor)}")
     s = _strides(con, src)
     # The rotation+sign replica scheme decorrelates only up to
     # 2*dims replicas: r and r+2*dims share both shift and sign, so
     # a larger factor silently reintroduces the degenerate
     # near-duplicate embedding corpus this scheme was built to fix
     # (round-10 ADVICE).  Fail loudly instead.
-    assert factor <= 2 * s["dims"], (
-        f"factor {factor} > 2*dims ({2 * s['dims']}): replica r and "
-        f"r+{2 * s['dims']} would be identical up to key shift — "
-        "extend the decorrelation scheme before probing this large"
-    )
+    if "dims" in s and "embeddings" in (tables or TABLES):
+        # guard only applies when embeddings replicas are being built
+        assert factor <= 2 * s["dims"], (
+            f"factor {factor} > 2*dims ({2 * s['dims']}): replica r "
+            f"and r+{2 * s['dims']} would be identical up to key "
+            "shift — extend the decorrelation scheme before probing "
+            "this large"
+        )
     # Per-table SELECT for replica r (r is substituted as a literal).
     replica_sql = {
         "customer": (
@@ -158,8 +181,16 @@ def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
             "l_returnflag, l_linestatus, l_shipdate from src"
         ),
         "events": (
+            # {vjit} is '' (historical builds: value copied verbatim,
+            # so distinct (event_type, value) stays base-sized) or a
+            # per-replica jitter term ' + {r}*1e-9' (--events-mode
+            # jitter, VERDICT r10 item 8): value-cardinality then
+            # grows with N while per-group distributions move by at
+            # most factor*1e-9 — double spacing at |value|~1e2 is
+            # ~1.4e-14, so every replica's copy is a DISTINCT double.
             "select event_id + {r}*{event} as event_id, ts, "
-            "user_id + {r}*{user} as user_id, event_type, value, props "
+            "user_id + {r}*{user} as user_id, event_type, "
+            "value{vjit} as value, props "
             "from src"
         ),
         "documents": (
@@ -217,15 +248,19 @@ def build(src: str, dst: str, factor: int, docs_mode: str = "distinct") -> None:
             "as FLOAT[]) end as embedding, label from src"
         ),
     }
-    for t in TABLES:
+    for t in (tables or TABLES):
         src_path = f"{src}/{t}.parquet"
         out = f"{dst}/{t}.parquet"
         con.execute(f"create or replace view src as select * from '{src_path}'")
         if t in FIXED:
             sql = "select * from src"
         else:
+            vjit = " + {r}*0.000000001" if events_mode == "jitter" else ""
             parts = [
-                replica_sql[t].format(r=r, **s) for r in range(factor)
+                replica_sql[t].format(
+                    r=r, vjit=vjit.format(r=r), **s
+                )
+                for r in range(factor)
             ]
             sql = " union all ".join(f"({p})" for p in parts)
         # Row-group sizing (r9): DuckDB's default ~122k-row groups
@@ -341,6 +376,13 @@ def main() -> None:
     b.add_argument(
         "--docs-mode", choices=["distinct", "realistic"], default="distinct"
     )
+    b.add_argument(
+        "--events-mode", choices=["base", "jitter"], default="base"
+    )
+    b.add_argument(
+        "--tables", default="",
+        help="comma-separated subset of tables to build (default: all)",
+    )
     r = sub.add_parser("run")
     r.add_argument("--base", default="/root/testdata/sf0.1")
     r.add_argument("--scaled", default="/tmp/scale_sf1")
@@ -349,7 +391,10 @@ def main() -> None:
     r.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     a = ap.parse_args()
     if a.cmd == "build":
-        build(a.src, a.dst, a.factor, a.docs_mode)
+        build(
+            a.src, a.dst, a.factor, a.docs_mode, a.events_mode,
+            [t for t in a.tables.split(",") if t] or None,
+        )
     else:
         run(a.base, a.scaled, a.factor, a.repeats, a.queries.split(","))
 
