@@ -868,8 +868,13 @@ def _refresh_shard_bloom_after_delete(
     old = spark.read.parquet(idx_path)
     head = old.select("m_bits").first()
     m_bits = int(head["m_bits"])
+    # NULL-safe keep filter: ~isin() is NULL for a NULL shard, which
+    # would silently DROP an (unhealthy-store) NULL-shard bloom row on
+    # every refresh — the same three-valued-logic class as the r10
+    # ~isin() id-deletion bug; touched never contains NULL (the locate
+    # paths can't see NULL shards and the guard raises if one matters)
     kept_rows = old.select("shard", "bloom").filter(
-        ~F.col("shard").isin(touched)
+        F.col("shard").isNull() | ~F.col("shard").isin(touched)
     )
     new_rows = _shard_bloom_rows(
         survivors.select("shard", id_col), id_col, m_bits
