@@ -639,19 +639,106 @@ def upsert_embeddings_by_centroid(
     100 TB a day's batch is ~1/365 of the corpus: this is the
     difference between re-clustering 100 TB nightly and writing a few
     hundred GB into existing directories.  Periodically re-fit k ∝ N
-    (SCALING-RULES rule 5) and rebuild; between rebuilds, upsert."""
+    (SCALING-RULES rule 5) and rebuild; between rebuilds, upsert.
+
+    Bloom sidecar lifecycle (round-10 VERDICT item 4, append side): a
+    sidecar that is FRESH at entry is maintained through the append —
+    the batch's bloom bits are OR-merged into the touched rows and
+    the new store fingerprint stamped, so id-locate deletes keep
+    their pruned path across upserts.  Merging only ADDS bits and the
+    batch's own ids are included, so the no-false-negatives contract
+    holds by construction.  The freshness check runs BEFORE the
+    append: merging onto an already-stale sidecar and then stamping
+    the new fingerprint would LAUNDER its staleness into false
+    negatives — stale sidecars stay stale (rebuild with
+    write_shard_bloom_index)."""
     from ..operators.similarity import ivf_assign
 
+    spark = batch.sparkSession
     assigned = ivf_assign(
         batch, centroids,
         id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_col,
     )
+    m_bits = _sidecar_m_bits_if_fresh(spark, path)
+    if m_bits is not None:
+        # the merge re-reads the batch after the append — materialize
+        # once (batch-sized, never the store)
+        assigned = assigned.localCheckpoint()
     # ONE writer recipe for the store (round-10 review): any future
     # geometry/repartition change to the full build applies to the
     # incremental path by construction
     write_embeddings_by_centroid(
         assigned, path, centroid_col=centroid_col, mode="append"
     )
+    if m_bits is not None:
+        _merge_bloom_after_append(
+            spark, path, assigned, id_col, m_bits,
+            partition_col=centroid_col,
+        )
+
+
+def _sidecar_m_bits_if_fresh(spark: SparkSession, path: str) -> int | None:
+    """m_bits of the store's Bloom sidecar iff it exists and its
+    fingerprint matches the store's CURRENT state; None otherwise.
+    Same probe locate_shards_bloom opens with (Hadoop FS existence +
+    metadata-only fingerprint)."""
+    idx_path = _shard_bloom_path(path)
+    jvm = spark._jvm
+    success = jvm.org.apache.hadoop.fs.Path(idx_path + "/_SUCCESS")
+    if not success.getFileSystem(spark._jsc.hadoopConfiguration()).exists(
+        success
+    ):
+        return None
+    head = spark.read.parquet(idx_path).select("store_fp", "m_bits").first()
+    if head is None or head["store_fp"] != _store_fingerprint(spark, path):
+        return None
+    return int(head["m_bits"])
+
+
+def _merge_bloom_after_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    m_bits: int,
+    partition_col: str = "shard",
+) -> None:
+    """OR-merge the appended batch's bloom bits into the sidecar and
+    stamp the post-append store fingerprint.  Cost is sidecar-size +
+    batch-size (explode both to (shard, word, bits), bit_or, re-map)
+    — never the store.  Bits only turn ON, and every batch id
+    contributes its positions, so a fresh-at-entry sidecar stays
+    exactly what a full rebuild would produce minus deletions' stale
+    positive bits (harmless: false positives re-checked exactly)."""
+    idx_path = _shard_bloom_path(path)
+    old = spark.read.parquet(idx_path)
+    batch_rows = _shard_bloom_rows(
+        batch.select(partition_col, id_col), id_col, m_bits,
+        partition_col=partition_col,
+    )
+    exploded = old.select(
+        "shard", F.explode("bloom").alias("w", "bits")
+    ).unionByName(
+        batch_rows.select("shard", F.explode("bloom").alias("w", "bits"))
+    )
+    merged = (
+        exploded.groupBy("shard", "w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("shard")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("bloom")
+        )
+    )
+    out = (
+        merged.withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("store_fp", F.lit(_store_fingerprint(spark, path)))
+        # the write REPLACES the files this plan reads — materialize
+        # first (sidecar-sized), same rule as the delete-side refresh
+        .localCheckpoint()
+    )
+    out.write.mode("overwrite").parquet(idx_path)
 
 
 def delete_from_shards(
@@ -659,15 +746,20 @@ def delete_from_shards(
     path: str,
     ids: list,
     id_col: str = "doc_id",
+    partition_col: str = "shard",
 ) -> dict:
-    """Targeted deletion from a shard store (the right-to-be-forgotten
-    path a training-data release must support): locate which shard
-    partitions contain the ids (ONE scan, column-pruned to
-    (id, shard) — the footer-indexed minimum; at 100 TB this is the
-    cost of not keeping an id->shard index), then rewrite ONLY the
-    touched shard directories under dynamic partition overwrite —
-    untouched shards keep their files byte-identical, so downstream
-    consumers re-read a few hundred MB, not the corpus.
+    """Targeted deletion from a partitioned store (the
+    right-to-be-forgotten path a training-data release must support):
+    locate which partitions contain the ids (ONE scan, column-pruned
+    to (id, partition) — the footer-indexed minimum; at 100 TB this
+    is the cost of not keeping an id->partition index), then rewrite
+    ONLY the touched partition directories under dynamic partition
+    overwrite — untouched partitions keep their files byte-identical,
+    so downstream consumers re-read a few hundred MB, not the corpus.
+    ``partition_col`` defaults to the training-shard layout
+    ("shard"); pass "cid" to delete vectors from the IVF embedding
+    store (write_embeddings_by_centroid) — forgetting a document is
+    incomplete while its embedding still answers ANN probes.
 
     Returns {"deleted": n, "shards_rewritten": [...]}.  A Bloom
     sidecar (write_shard_bloom_index) upgrades the locate to a
@@ -734,13 +826,13 @@ def delete_from_shards(
     # semi-join run to see whether a requested id lives there.
     jvm = spark._jvm
     null_part = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/shard=__HIVE_DEFAULT_PARTITION__"
+        f"{path}/{partition_col}=__HIVE_DEFAULT_PARTITION__"
     )
     if null_part.getFileSystem(spark._jsc.hadoopConfiguration()).exists(
         null_part
     ):
         null_shard_hit = (
-            store.filter(F.col("shard").isNull())
+            store.filter(F.col(partition_col).isNull())
             .join(ids_df, id_col, "left_semi")
             .limit(1)
             .count()
@@ -759,22 +851,22 @@ def delete_from_shards(
         spark, path, idvals, id_col=id_col, id_type=id_type
     )
     locate_src = (
-        store.filter(F.col("shard").isin(candidates))
+        store.filter(F.col(partition_col).isin(candidates))
         if candidates is not None
         else store
     )
     touched = [
-        r["shard"]
+        r[partition_col]
         for r in (
             locate_src.join(ids_df, id_col, "left_semi")
-            .select("shard")
+            .select(partition_col)
             .distinct()
             .collect()
         )
     ]
     if not touched:
         return {"deleted": 0, "shards_rewritten": []}
-    affected = store.filter(F.col("shard").isin(touched))
+    affected = store.filter(F.col(partition_col).isin(touched))
     n_before = affected.count()
     # the write REPLACES files this plan reads — materialize the
     # survivors first (eager localCheckpoint, bounded by the touched
@@ -782,19 +874,19 @@ def delete_from_shards(
     # very files it is deleting
     survivors = affected.join(ids_df, id_col, "left_anti").localCheckpoint()
     # one job yields both the survivor count and the kept shard set
-    per_shard = survivors.groupBy("shard").count().collect()
+    per_shard = survivors.groupBy(partition_col).count().collect()
     n_after = sum(r["count"] for r in per_shard)
-    kept = {r["shard"] for r in per_shard}
+    kept = {r[partition_col] for r in per_shard}
     # per-WRITE dynamic overwrite (DataFrameWriter option, Spark 2.4+),
     # not a session-conf flip: mutating spark.sql.sources.
     # partitionOverwriteMode would put any concurrent write in the
     # same session under dynamic mode too (round-10 ADVICE)
     (
-        survivors.repartition(F.col("shard"))
+        survivors.repartition(F.col(partition_col))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("parquet.block.size", STORE_ROWGROUP_BYTES)
-        .partitionBy("shard")
+        .partitionBy(partition_col)
         .parquet(path)
     )
     # dynamic partition overwrite replaces only partitions PRESENT in
@@ -812,7 +904,9 @@ def delete_from_shards(
             spark._jsc.hadoopConfiguration()
         )
         for s in emptied:
-            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={s}")
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{partition_col}={s}"
+            )
             if not fs.exists(hpath):
                 raise RuntimeError(
                     f"delete_from_shards: emptied shard directory "
@@ -839,7 +933,8 @@ def delete_from_shards(
     # bounded delete.
     if candidates is not None:
         _refresh_shard_bloom_after_delete(
-            spark, path, survivors, touched, id_col
+            spark, path, survivors, touched, id_col,
+            partition_col=partition_col,
         )
     return {
         "deleted": n_before - n_after,
@@ -853,6 +948,7 @@ def _refresh_shard_bloom_after_delete(
     survivors: DataFrame,
     touched: list,
     id_col: str,
+    partition_col: str = "shard",
 ) -> None:
     """Incremental sidecar maintenance: recompute the Bloom rows for
     the rewritten shards from the already-materialized survivor rows
@@ -877,7 +973,8 @@ def _refresh_shard_bloom_after_delete(
         F.col("shard").isNull() | ~F.col("shard").isin(touched)
     )
     new_rows = _shard_bloom_rows(
-        survivors.select("shard", id_col), id_col, m_bits
+        survivors.select(partition_col, id_col), id_col, m_bits,
+        partition_col=partition_col,
     )
     out = (
         kept_rows.unionByName(new_rows)
@@ -952,6 +1049,7 @@ def write_shard_bloom_index(
     path: str,
     id_col: str = "doc_id",
     m_bits: int = 1 << 17,
+    partition_col: str = "shard",
 ) -> str:
     """Per-shard Bloom sidecar over the shard store's ids: one row per
     shard carrying (shard, bloom map<word,bits>, m_bits, store_fp),
@@ -963,13 +1061,19 @@ def write_shard_bloom_index(
     time ships alongside (``_store_fingerprint``: metadata-only, no
     scan) so consumers detect a STALE index — appends after the build
     would give the one thing a Bloom must never give: false
-    negatives — and fall back to the exact scan.  A first cut
+    negatives — and fall back to the exact scan.  Mutations through
+    this module's own plans keep the index fresh incrementally
+    (delete_from_shards refreshes touched rows;
+    upsert_embeddings_by_centroid OR-merges the batch); only an
+    out-of-band append leaves it stale until rebuilt.  A first cut
     verified freshness with per-shard row counts instead; that
     re-read the same store metadata the locate scan reads and was
     MEASURED SLOWER than the scan it replaced (7.96 s vs 5.19 s at
     2,000 shards) — the fingerprint walk is the no-job form."""
-    store = spark.read.parquet(path).select("shard", id_col)
-    idx = _shard_bloom_rows(store, id_col, int(m_bits))
+    store = spark.read.parquet(path).select(partition_col, id_col)
+    idx = _shard_bloom_rows(
+        store, id_col, int(m_bits), partition_col=partition_col
+    )
     out = _shard_bloom_path(path)
     (
         idx.withColumn("m_bits", F.lit(int(m_bits)))
@@ -981,16 +1085,23 @@ def write_shard_bloom_index(
 
 
 def _shard_bloom_rows(
-    store_slice: DataFrame, id_col: str, m_bits: int
+    store_slice: DataFrame,
+    id_col: str,
+    m_bits: int,
+    partition_col: str = "shard",
 ) -> DataFrame:
-    """(shard, bloom) rows from a (shard, id) slice — ONE builder
+    """(shard, bloom) rows from a (partition, id) slice — ONE builder
     shared by the full sidecar build and the post-delete incremental
     refresh, so any change to the hash/word layout applies to both by
-    construction (the write_embeddings_by_centroid one-recipe rule)."""
+    construction (the write_embeddings_by_centroid one-recipe rule).
+    The SIDECAR column is always named "shard" whatever the store's
+    partition column is called — the sidecar schema is its own
+    contract (locate and the refresh keep working on a cid store
+    without a schema migration)."""
     from ..operators.dedup import _bit_masks, bloom_positions
 
     pos = store_slice.select(
-        "shard",
+        F.col(partition_col).alias("shard"),
         F.explode(
             bloom_positions(F.col(id_col).cast("string"), int(m_bits))
         ).alias("p"),
