@@ -971,9 +971,22 @@ def lsh_ann_topk(
     query_id_col: str = "qid",
     scale: float = 1e6,
     partial_buckets: int = 32,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets —
     the LSH-bucketed ANN variant complementing ``ivf_topk``.
+
+    ``hamming_probes=h`` enables multi-probe LSH: each query also
+    probes the h buckets at Hamming distance 1 obtained by flipping
+    bit j (j < h <= n_bits) of its own bucket, per table — the
+    standard recall lever when the corpus gives LSH little to work
+    with (a near neighbour that disagrees on ONE hyperplane sign is
+    invisible to exact-bucket probing but caught here).  Cost is a
+    (1+h)x larger query-side broadcast and candidate set — the
+    corpus side (and the at-rest store) is untouched, so the probe
+    stays partition-pruned at 100 TB.  Measured on the isotropic
+    sf0.01 corpus: mean recall@20 0.21 (h=0) -> 0.44 (h=2) -> 0.63
+    (h=6) (SCALE.md round 11).
 
     Scale shape: bucket ids are a per-row projection (no shuffle);
     candidates come from a BROADCAST hash join of the corpus's
@@ -1010,18 +1023,37 @@ def lsh_ann_topk(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sig).alias("__tbl", "__bkt"),
     )
+    h = int(hamming_probes)
+    if not 0 <= h <= n_bits:
+        raise ValueError(
+            f"hamming_probes={h} out of range [0, n_bits={n_bits}]"
+        )
+    q_sig = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+    ).select(
+        "__qid",
+        "__qvec",
+        F.posexplode(
+            hyperplane_buckets(
+                F.col("__qvec"), n_tables, n_bits, dims, scale
+            )
+        ).alias("__tbl", "__bkt0"),
+    )
     q_ex = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"),
-            F.col(vec_col).alias("__qvec"),
-        ).select(
+        q_sig.select(
             "__qid",
             "__qvec",
-            F.posexplode(
-                hyperplane_buckets(
-                    F.col("__qvec"), n_tables, n_bits, dims, scale
+            "__tbl",
+            F.explode(
+                F.array(
+                    F.col("__bkt0"),
+                    *[
+                        F.col("__bkt0").bitwiseXOR(F.lit(1 << j))
+                        for j in range(h)
+                    ],
                 )
-            ).alias("__tbl", "__bkt"),
+            ).alias("__bkt"),
         )
     )
     cand = (

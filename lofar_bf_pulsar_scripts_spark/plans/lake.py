@@ -300,6 +300,7 @@ def lsh_ann_topk_stored(
     query_id_col: str = "qid",
     scale: float = 1e6,
     partial_buckets: int = 32,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Sign-LSH ANN probing the AT-REST signature store — the 100 TB
     shape of ``lsh_ann_topk`` (same buckets, same results,
@@ -329,6 +330,11 @@ def lsh_ann_topk_stored(
     )
 
     spark = corpus.sparkSession
+    h = int(hamming_probes)
+    if not 0 <= h <= n_bits:
+        raise ValueError(
+            f"hamming_probes={h} out of range [0, n_bits={n_bits}]"
+        )
     qrows = queries.select(query_id_col, vec_col).collect()
     pair_rows = []
     for r in qrows:
@@ -338,7 +344,12 @@ def lsh_ann_topk_stored(
         for t, bkt in enumerate(
             hyperplane_buckets_py(qv, n_tables, n_bits, dims, scale)
         ):
-            pair_rows.append((r[query_id_col], qv, t, bkt))
+            # multi-probe: the Hamming-1 flips of the query's own
+            # bucket — same expansion as lsh_ann_topk's query side;
+            # the store layout is untouched, the probe just prunes
+            # (1+h) x n_tables partitions instead of n_tables
+            for b in {bkt} | {bkt ^ (1 << j) for j in range(h)}:
+                pair_rows.append((r[query_id_col], qv, t, b))
     if not pair_rows:
         empty = f"{query_id_col} long, {id_col} long, cos double"
         return spark.createDataFrame([], empty)
