@@ -884,54 +884,9 @@ def delete_from_shards(
     # shards, never the corpus) or the overwrite job would scan the
     # very files it is deleting
     survivors = affected.join(ids_df, id_col, "left_anti").localCheckpoint()
-    # one job yields both the survivor count and the kept shard set
-    per_shard = survivors.groupBy(partition_col).count().collect()
-    n_after = sum(r["count"] for r in per_shard)
-    kept = {r[partition_col] for r in per_shard}
-    # per-WRITE dynamic overwrite (DataFrameWriter option, Spark 2.4+),
-    # not a session-conf flip: mutating spark.sql.sources.
-    # partitionOverwriteMode would put any concurrent write in the
-    # same session under dynamic mode too (round-10 ADVICE)
-    (
-        survivors.repartition(F.col(partition_col))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
-        .partitionBy(partition_col)
-        .parquet(path)
+    n_after = _overwrite_touched_partitions(
+        spark, path, survivors, touched, partition_col
     )
-    # dynamic partition overwrite replaces only partitions PRESENT in
-    # the written data: a fully-emptied shard writes nothing and its
-    # old files would silently survive — a compliance failure reported
-    # as success (caught in review).  Remove those directories through
-    # the Hadoop FileSystem API (NOT driver-local shutil: a URI-form
-    # store path would silently skip the removal and reintroduce the
-    # failure), and refuse if an emptied shard's directory cannot be
-    # found rather than report a delete that did not happen.
-    emptied = [s for s in touched if s not in kept]
-    if emptied:
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        for s in emptied:
-            hpath = jvm.org.apache.hadoop.fs.Path(
-                f"{path}/{partition_col}={s}"
-            )
-            if not fs.exists(hpath):
-                raise RuntimeError(
-                    f"delete_from_shards: emptied shard directory "
-                    f"{hpath} not found — store layout does not match "
-                    "the read path; its rows were NOT removed"
-                )
-            if not fs.delete(hpath, True):
-                # Hadoop FileSystem.delete reports failure by RETURN
-                # VALUE on some implementations — treating it as void
-                # would report a delete that did not happen
-                raise RuntimeError(
-                    f"delete_from_shards: failed to remove emptied "
-                    f"shard directory {hpath}"
-                )
     # Bloom sidecar lifecycle: the rewrite just moved the store
     # fingerprint, so a sidecar that was FRESH at entry (candidates is
     # not None) would now read stale and every later delete would pay
@@ -951,6 +906,69 @@ def delete_from_shards(
         "deleted": n_before - n_after,
         "shards_rewritten": sorted(touched),
     }
+
+
+def _overwrite_touched_partitions(
+    spark: SparkSession,
+    path: str,
+    survivors: DataFrame,
+    touched: list,
+    partition_col: str,
+) -> int:
+    """Shared rewrite tail for the store-mutating plans
+    (delete_from_shards, compact_keep_latest): write the materialized
+    survivors over the touched partition directories and remove
+    fully-emptied ones.  Returns the survivor row count.
+
+    Dynamic partition overwrite is a per-WRITE DataFrameWriter option
+    (Spark 2.4+), not a session-conf flip — mutating
+    spark.sql.sources.partitionOverwriteMode would put any concurrent
+    write in the same session under dynamic mode too (round-10
+    ADVICE).  Dynamic overwrite replaces only partitions PRESENT in
+    the written data: a fully-emptied partition writes nothing and
+    its old files would silently survive — a compliance failure
+    reported as success (caught in review).  Those directories are
+    removed through the Hadoop FileSystem API (NOT driver-local
+    shutil: a URI-form store path would silently skip the removal),
+    refusing loudly when a directory is missing or the delete call
+    reports failure by return value."""
+    # one job yields both the survivor count and the kept set
+    per_shard = survivors.groupBy(partition_col).count().collect()
+    n_after = sum(r["count"] for r in per_shard)
+    kept = {r[partition_col] for r in per_shard}
+    (
+        survivors.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    emptied = [s for s in touched if s not in kept]
+    if emptied:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for s in emptied:
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{partition_col}={s}"
+            )
+            if not fs.exists(hpath):
+                raise RuntimeError(
+                    f"emptied partition directory {hpath} not found — "
+                    "store layout does not match the read path; its "
+                    "rows were NOT removed"
+                )
+            if not fs.delete(hpath, True):
+                # Hadoop FileSystem.delete reports failure by RETURN
+                # VALUE on some implementations — treating it as void
+                # would report a removal that did not happen
+                raise RuntimeError(
+                    f"failed to remove emptied partition directory "
+                    f"{hpath}"
+                )
+    return n_after
 
 
 def _refresh_shard_bloom_after_delete(
@@ -1328,3 +1346,89 @@ def delete_with_closure(
     report["requested"] = len(set(idvals))
     report["closure"] = len(expanded)
     return report
+
+
+def compact_keep_latest(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    order_col: str,
+    partition_col: str = "shard",
+) -> dict:
+    """Latest-wins compaction for an append-mode store — the merge
+    step parquet doesn't have, and the companion
+    upsert_embeddings_by_centroid's docstring promises ("same-id
+    semantics are APPEND ... run a compaction that keeps the
+    latest"): for every id with more than one row, keep only the row
+    with the greatest ``order_col`` (ties and remaining columns break
+    by the greatest full-row struct — a deterministic total order, so
+    re-running compaction is idempotent and byte-repeatable), and
+    rewrite ONLY the partitions that contain a duplicated id.
+
+    Scale shape: one column-pruned scan finds duplicated ids (hash
+    agg on id — map-side combined); the touched-partition set is the
+    partitions holding any of them (an id's copies may span
+    partitions — e.g. upserts after a codebook refit — and every
+    partition holding a duplicated id is touched BY DEFINITION, so
+    the per-id max never needs to look outside the affected slice);
+    the rewrite is bounded by the touched partitions, reusing the
+    delete path's overwrite tail (dynamic per-write overwrite,
+    emptied-directory removal) and its Bloom-sidecar refresh — the id
+    SET only shrinks per partition, so refreshing touched rows keeps
+    the no-false-negatives contract.
+
+    NULL-id rows pass through untouched (NULL is not "the same id" as
+    another NULL — collapsing them would destroy distinct rows; the
+    same three-valued-logic trap as the delete path's ~isin()).
+
+    Returns {"rows_removed": n, "partitions_rewritten": [...]}."""
+    store = spark.read.parquet(path)
+    dup_ids = (
+        store.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select(id_col)
+    )
+    touched = [
+        r[partition_col]
+        for r in store.join(dup_ids, id_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return {"rows_removed": 0, "partitions_rewritten": []}
+    fresh_m_bits = _sidecar_m_bits_if_fresh(spark, path)
+    affected = store.filter(F.col(partition_col).isin(touched))
+    n_before = affected.count()
+    other = [
+        c for c in store.columns if c not in (id_col, order_col)
+    ]
+    winners = (
+        affected.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.max(F.struct(order_col, *other)).alias("__w"))
+        .select(id_col, "__w.*")
+        .select(*store.columns)
+    )
+    survivors = (
+        winners.unionByName(
+            affected.filter(F.col(id_col).isNull())
+        )
+        # the write REPLACES files this plan reads — materialize first
+        # (touched-partition-bounded, never the corpus)
+        .localCheckpoint()
+    )
+    n_after = _overwrite_touched_partitions(
+        spark, path, survivors, touched, partition_col
+    )
+    if fresh_m_bits is not None:
+        _refresh_shard_bloom_after_delete(
+            spark, path, survivors, touched, id_col,
+            partition_col=partition_col,
+        )
+    return {
+        "rows_removed": n_before - n_after,
+        "partitions_rewritten": sorted(touched),
+    }
