@@ -9587,10 +9587,15 @@ _TAIL: tuple[str, ...] = (
 # gained the cardinality cap).  Then the two never-driver-gated
 # rows-only specs (approx_sketches, streaming_fold_replay) and the
 # longest-unrotated greens re-enter oldest-first: all 6 r5-era, all
-# 20 r6-era, all 4 r7-era, and 12 of the 27 r8-era (the remaining 15
+# 20 r6-era, all 4 r7-era, and 9 of the 27 r8-era (the remaining 18
 # r8 and all r9 rotate next round; temperature_mix_counts gave its
-# slot to the NEW lsh_multiprobe_topk gate).  Funded by demoting the
-# 47 r10-window greens to _TAIL (their CORRECTNESS_r10 rows stand).
+# slot to the NEW lsh_multiprobe_topk gate, and curation_funnel /
+# dsir_importance / gopher_rules gave theirs to the three lsh_ann
+# gates whose shared operator gained the hamming_probes param —
+# check_window's symbol fingerprint flags them as changed even
+# though the h=0 default path is byte-equivalent).  Funded by
+# demoting the 47 r10-window greens to _TAIL (their CORRECTNESS_r10
+# rows stand).
 _PROMOTE: tuple[str, ...] = (
     "delete_closure_ids",
     "pca_gram_matrix",
@@ -9636,10 +9641,10 @@ _PROMOTE: tuple[str, ...] = (
     "incremental_dedup_counts",
     "chunk_dedup_stats",
     "blind_search_pipeline",
-    "gopher_rules",
+    "lsh_ann_topk",
     "psrflux_band_flux",
-    "curation_funnel",
-    "dsir_importance",
+    "lsh_ann_topk_stored",
+    "lsh_recall_at_5",
     "quality_classifier",
     "lsh_multiprobe_topk",
 )
