@@ -9433,6 +9433,60 @@ def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
 
 
+@_register(
+    "quality_dedup_keep",
+    f"""
+    -- quality-based representative selection: for every LSH dup
+    -- cluster keep the highest-n_chars member (ties -> smallest id)
+    -- and report each DROPPED doc with its kept representative —
+    -- production dedup keeps the BEST copy, not the min-id one (a
+    -- truncated near-copy should lose to the clean original).
+    WITH comp AS ({_dup_clusters_oracle()}),
+    m AS (
+        SELECT c.node AS doc_id, c.component, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ), best AS (
+        SELECT component, doc_id AS kept_id FROM (
+            SELECT component, doc_id, row_number() OVER (
+                PARTITION BY component
+                ORDER BY n_chars DESC, doc_id ASC
+            ) AS rn FROM m
+        ) WHERE rn = 1
+    )
+    SELECT m.doc_id AS dropped_id, b.kept_id
+    FROM m JOIN best b ON m.component = b.component
+    WHERE m.doc_id != b.kept_id
+    """,
+    "per-cluster argmax representative: the ranking window partitions "
+    "on the HIGH-cardinality component key over membership-sized "
+    "input — no task ceiling, no corpus shuffle "
+    "(dedup.representative_map / dedup_keep_best)",
+)
+def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signature,
+        representative_map,
+    )
+    from .operators.pipeline import connected_components
+
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signature(d, num_hashes=_NUM_MINHASH)
+    pairs = candidate_pairs(
+        lsh_buckets(sigs, id_col="doc_id", bands=4, rows_per_band=2),
+        "doc_id",
+    )
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    rep = representative_map(
+        comp, d.select("doc_id", "n_chars"),
+        id_col="doc_id", score_col="n_chars",
+    )
+    return rep.filter(F.col("doc_id") != F.col("kept_id")).select(
+        F.col("doc_id").alias("dropped_id"), "kept_id"
+    )
+
+
 # Fixed seed set for the delete_closure_ids gate: 8 and 267 sit inside
 # multi-member LSH dup clusters at sf0.01, 3 exercises the
 # seed-without-edges union path (a seed is always its own closure).
@@ -9589,8 +9643,10 @@ _TAIL: tuple[str, ...] = (
 # longest-unrotated greens re-enter oldest-first: all 6 r5-era, all
 # 20 r6-era, all 4 r7-era, and 9 of the 27 r8-era (the remaining 18
 # r8 and all r9 rotate next round; temperature_mix_counts gave its
-# slot to the NEW lsh_multiprobe_topk gate, and curation_funnel /
-# dsir_importance / gopher_rules gave theirs to the three lsh_ann
+# slot to the NEW lsh_multiprobe_topk gate, incremental_dedup_counts
+# gave its slot to the NEW quality_dedup_keep gate, and
+# curation_funnel / dsir_importance / gopher_rules gave theirs to
+# the three lsh_ann
 # gates whose shared operator gained the hamming_probes param —
 # check_window's symbol fingerprint flags them as changed even
 # though the h=0 default path is byte-equivalent).  Funded by
@@ -9638,7 +9694,7 @@ _PROMOTE: tuple[str, ...] = (
     "bm25_search",
     "single_pulse_cands",
     "minhash_signatures",
-    "incremental_dedup_counts",
+    "quality_dedup_keep",
     "chunk_dedup_stats",
     "blind_search_pipeline",
     "lsh_ann_topk",
