@@ -800,3 +800,70 @@ def dsir_importance(
             ).alias("weight_ppm"),
         )
     )
+
+
+def merge_components_incremental(
+    stored: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected components: merge a BATCH of new edges
+    into an at-rest (node, component) label store without
+    re-clustering the corpus — the clustering dual of
+    dedup.incremental_near_dup (which finds the batch's edges against
+    the band store; this folds them into the standing dup clusters).
+
+    Equivalence (the oracle-gated claim): contract every stored
+    component to its label (labels are the min node id of their
+    cluster, so they are themselves nodes), run connected_components
+    over the CONTRACTED new-edge list — batch-edge-sized, it takes
+    the driver union-find path — then broadcast-relabel.  Min-label
+    propagation over the contracted graph yields min(old labels ∪
+    new node ids) per merged cluster = the min node id overall,
+    which is exactly what a full recompute over (old ∪ new) edges
+    produces.  Gated by value equality against the full-graph
+    transitive closure (incremental_components).
+
+    Scale shape: ONE corpus-scale equi-join (the contraction probes
+    the label store with the batch's endpoints — bucket the store by
+    node to co-locate it), a batch-sized CC, and a BROADCAST relabel
+    join (touched components only — request-sized); untouched
+    components keep their rows verbatim.  A nightly batch costs its
+    own edges, not the 100 TB graph's."""
+    lab_s = stored.select(
+        F.col(node_col).alias(src_col), F.col(comp_col).alias("__cs")
+    )
+    lab_d = stored.select(
+        F.col(node_col).alias(dst_col), F.col(comp_col).alias("__cd")
+    )
+    contracted = (
+        new_edges.select(src_col, dst_col)
+        .join(lab_s, src_col, "left")
+        .join(lab_d, dst_col, "left")
+        .select(
+            F.coalesce("__cs", F.col(src_col)).alias(src_col),
+            F.coalesce("__cd", F.col(dst_col)).alias(dst_col),
+        )
+    )
+    small = connected_components(
+        contracted, max_iter=max_iter, src_col=src_col, dst_col=dst_col
+    )
+    relabel = small.select(
+        F.col("node").alias(comp_col), F.col("component").alias("__new")
+    )
+    updated = stored.join(F.broadcast(relabel), comp_col, "left").select(
+        node_col,
+        F.coalesce("__new", F.col(comp_col)).alias(comp_col),
+    )
+    # nodes of the contracted graph that are NOT stored component
+    # labels are the batch's new nodes — append their rows
+    new_nodes = small.join(
+        stored.select(F.col(node_col).alias("node")), "node", "left_anti"
+    ).select(
+        F.col("node").alias(node_col), F.col("component").alias(comp_col)
+    )
+    return updated.unionByName(new_nodes)

@@ -9487,6 +9487,53 @@ def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_components",
+    # the oracle is the FULL-graph transitive closure: equality IS the
+    # incremental-correctness theorem, checked cross-engine — the
+    # Spark side clusters only the "old" 80% of the corpus, then
+    # merges the remaining edges through the contracted batch-sized
+    # CC (pipeline.merge_components_incremental)
+    _dup_clusters_oracle(),
+    "incremental connected components: contract stored components to "
+    "their labels, CC over the CONTRACTED batch edges (edge-bounded, "
+    "driver union-find path), broadcast relabel of touched "
+    "components — a nightly batch costs its own edges, never the "
+    "100 TB graph (pipeline.py merge_components_incremental)",
+)
+def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        candidate_pairs,
+        lsh_buckets,
+        minhash_signature,
+    )
+    from .operators.pipeline import (
+        connected_components,
+        merge_components_incremental,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signature(d, num_hashes=_NUM_MINHASH)
+    pairs = candidate_pairs(
+        lsh_buckets(sigs, id_col="doc_id", bands=4, rows_per_band=2),
+        "doc_id",
+    )
+    # deterministic 80/20 old/new split of the id space: LSH pairs
+    # are per-bucket, so old-old pairs from the full hash run equal
+    # the pairs a hash over only the old docs would produce
+    is_old = lambda c: F.pmod(c, F.lit(10)) < 8  # noqa: E731
+    old_pairs = pairs.filter(
+        is_old(F.col("id_a")) & is_old(F.col("id_b"))
+    )
+    batch_edges = pairs.filter(
+        ~(is_old(F.col("id_a")) & is_old(F.col("id_b")))
+    )
+    stored = connected_components(
+        old_pairs, src_col="id_a", dst_col="id_b"
+    )
+    return merge_components_incremental(stored, batch_edges)
+
+
 # Fixed seed set for the delete_closure_ids gate: 8 and 267 sit inside
 # multi-member LSH dup clusters at sf0.01, 3 exercises the
 # seed-without-edges union path (a seed is always its own closure).
@@ -9644,7 +9691,8 @@ _TAIL: tuple[str, ...] = (
 # 20 r6-era, all 4 r7-era, and 9 of the 27 r8-era (the remaining 18
 # r8 and all r9 rotate next round; temperature_mix_counts gave its
 # slot to the NEW lsh_multiprobe_topk gate, incremental_dedup_counts
-# gave its slot to the NEW quality_dedup_keep gate, and
+# and chunk_dedup_stats gave theirs to the NEW quality_dedup_keep and
+# incremental_components gates, and
 # curation_funnel / dsir_importance / gopher_rules gave theirs to
 # the three lsh_ann
 # gates whose shared operator gained the hamming_probes param —
@@ -9695,7 +9743,7 @@ _PROMOTE: tuple[str, ...] = (
     "single_pulse_cands",
     "minhash_signatures",
     "quality_dedup_keep",
-    "chunk_dedup_stats",
+    "incremental_components",
     "blind_search_pipeline",
     "lsh_ann_topk",
     "psrflux_band_flux",
