@@ -1310,42 +1310,19 @@ def delete_with_closure(
     corpus scan, the ad-hoc form for stores without a band sidecar.
 
     Returns delete_from_shards' report plus ``requested`` (distinct
-    seed ids) and ``closure`` (ids after expansion, >= requested)."""
-    idvals = list(ids)
-    if not idvals:
-        return {
-            "deleted": 0, "shards_rewritten": [],
-            "requested": 0, "closure": 0,
-        }
-    if any(v is None for v in idvals):
-        raise ValueError("delete_with_closure: NULL in the deletion ids")
-    if edges is None:
-        from ..operators.dedup import verified_near_dup_edges
-
-        docs = spark.read.parquet(path).select(id_col, text_col)
-        edges = verified_near_dup_edges(
-            docs, id_col=id_col, text_col=text_col, **near_dup_kwargs
-        )
-        src, dst = "id_a", "id_b"
-    else:
-        src = near_dup_kwargs.pop("src_col", "id_a")
-        dst = near_dup_kwargs.pop("dst_col", "id_b")
-        if near_dup_kwargs:
-            raise TypeError(
-                "delete_with_closure: near-dup kwargs "
-                f"{sorted(near_dup_kwargs)} only apply when edges=None"
-            )
-    expanded = [
-        r[0]
-        for r in expand_ids_with_duplicates(
-            edges, idvals, src_col=src, dst_col=dst,
-            out_col=id_col, max_iter=max_iter,
-        ).collect()
-    ]
-    report = delete_from_shards(spark, path, expanded, id_col=id_col)
-    report["requested"] = len(set(idvals))
-    report["closure"] = len(expanded)
-    return report
+    seed ids) and ``closure`` (ids after expansion, >= requested).
+    Doc-store-only form of forget_documents (one shared
+    implementation — a drifted copy of the closure/validation logic
+    is how two "identical" plans diverge)."""
+    rep = forget_documents(
+        spark, path, ids, vec_store=None, edges=edges,
+        id_col=id_col, text_col=text_col, max_iter=max_iter,
+        **near_dup_kwargs,
+    )
+    out = dict(rep["docs"])
+    out["requested"] = rep["requested"]
+    out["closure"] = rep["closure"]
+    return out
 
 
 def compact_keep_latest(
@@ -1431,4 +1408,85 @@ def compact_keep_latest(
     return {
         "rows_removed": n_before - n_after,
         "partitions_rewritten": sorted(touched),
+    }
+
+
+def forget_documents(
+    spark: SparkSession,
+    doc_store: str,
+    ids: list,
+    vec_store: str | None = None,
+    edges: DataFrame | None = None,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_partition_col: str = "cid",
+    text_col: str = "text",
+    max_iter: int = 20,
+    **near_dup_kwargs,
+) -> dict:
+    """The COMPLETE right-to-be-forgotten plan: expand the requested
+    ids over the near-dup graph ONCE (expand_ids_with_duplicates),
+    then delete the closure from the document shard store AND — when
+    ``vec_store`` is given — from the cid-partitioned embedding store
+    (doc ids and vec ids share the id space in this engine, as the
+    hybrid/ANN gates assume).  Forgetting is incomplete if either a
+    near-copy of the text survives under another id, or the
+    document's embedding keeps answering ANN probes after the text
+    is gone; this plan closes both in one call, each store rewritten
+    only in its touched partitions with its Bloom sidecar refreshed.
+
+    ``edges`` as in delete_with_closure: a precomputed near-dup edge
+    graph (the band store's candidates — zero corpus scan), or None
+    to compute verified edges from the doc store's text ad hoc.
+
+    Returns {"requested", "closure", "docs": <doc-store report>,
+    "vectors": <vector-store report or None>}."""
+    idvals = list(ids)
+    if not idvals:
+        return {
+            "requested": 0, "closure": 0,
+            "docs": {"deleted": 0, "shards_rewritten": []},
+            "vectors": None if vec_store is None else {
+                "deleted": 0, "shards_rewritten": []
+            },
+        }
+    if any(v is None for v in idvals):
+        raise ValueError("forget_documents: NULL in the deletion ids")
+    if edges is None:
+        from ..operators.dedup import verified_near_dup_edges
+
+        docs = spark.read.parquet(doc_store).select(id_col, text_col)
+        edges = verified_near_dup_edges(
+            docs, id_col=id_col, text_col=text_col, **near_dup_kwargs
+        )
+        src, dst = "id_a", "id_b"
+    else:
+        src = near_dup_kwargs.pop("src_col", "id_a")
+        dst = near_dup_kwargs.pop("dst_col", "id_b")
+        if near_dup_kwargs:
+            raise TypeError(
+                "forget_documents: near-dup kwargs "
+                f"{sorted(near_dup_kwargs)} only apply when edges=None"
+            )
+    expanded = [
+        r[0]
+        for r in expand_ids_with_duplicates(
+            edges, idvals, src_col=src, dst_col=dst,
+            out_col=id_col, max_iter=max_iter,
+        ).collect()
+    ]
+    doc_report = delete_from_shards(
+        spark, doc_store, expanded, id_col=id_col
+    )
+    vec_report = None
+    if vec_store is not None:
+        vec_report = delete_from_shards(
+            spark, vec_store, expanded,
+            id_col=vec_id_col, partition_col=vec_partition_col,
+        )
+    return {
+        "requested": len(set(idvals)),
+        "closure": len(expanded),
+        "docs": doc_report,
+        "vectors": vec_report,
     }

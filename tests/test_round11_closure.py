@@ -94,3 +94,44 @@ def test_delete_with_closure_contracts(spark, tmp_path):
         delete_with_closure(
             spark, path, [1], edges=_edges(spark), shingle_k=3
         )
+
+
+def test_forget_documents_both_stores(spark, tmp_path):
+    """The complete right-to-be-forgotten plan: one closure expansion,
+    both stores rewritten — no text copy survives under another id,
+    and no embedding of a forgotten doc keeps answering ANN probes."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        forget_documents,
+        write_embeddings_by_centroid,
+    )
+
+    doc_path = _doc_store(spark, tmp_path)
+    # vector store sharing the id space (vec_id == doc_id)
+    ids = [1, 2, 3, 10, 11, 20]
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i % 3) == d) + 0.01 * d for d in range(4)])
+            for i in ids
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(c, [float(c == d) for d in range(4)]) for c in range(3)],
+        "cid int, embedding array<float>",
+    )
+    vec_path = str(tmp_path / "vecs")
+    write_embeddings_by_centroid(ivf_assign(vecs, cent), vec_path)
+
+    report = forget_documents(
+        spark, doc_path, [1], vec_store=vec_path, edges=_edges(spark)
+    )
+    assert report["requested"] == 1 and report["closure"] == 3
+    assert report["docs"]["deleted"] == 3
+    assert report["vectors"]["deleted"] == 3
+    left_docs = {r.doc_id for r in spark.read.parquet(doc_path).collect()}
+    left_vecs = {r.vec_id for r in spark.read.parquet(vec_path).collect()}
+    assert left_docs == {10, 11, 20}
+    assert left_vecs == {10, 11, 20}
