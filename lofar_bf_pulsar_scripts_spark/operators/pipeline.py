@@ -131,27 +131,35 @@ def group_value_buckets(
         {"ignoreNullFields": "false"},
     )
     probs = [j / n_buckets for j in range(1, n_buckets)]
-    bounds = (
-        df.groupBy(key.alias("__k"))
-        .agg(F.percentile_approx(order_col, probs, 1000).alias("__bs"))
-        .collect()
-    )
     # driver state and the create_map literal below are one entry per
     # group: a high-cardinality grouping would degrade the driver (OOM
     # or a multi-megabyte plan literal) instead of erroring — the
     # low-cardinality contract must fail fast, not live only in the
     # docstring (round-10 ADVICE).  4096 groups x n_buckets boundaries
     # is comfortably literal-sized; past that a plain per-group window
-    # already has all the parallelism it needs.
-    if len(bounds) > 4096:
+    # already has all the parallelism it needs.  The probe runs BEFORE
+    # the per-group percentile collect (round-11 ADVICE: a guard that
+    # fires only after the collect has materialized one row per group
+    # on the driver cannot prevent the driver OOM it documents) —
+    # limit(4097) bounds the probe's own cost to the threshold, never
+    # the true group count.
+    n_groups = (
+        df.select(key.alias("__k")).distinct().limit(4097).count()
+    )
+    if n_groups > 4096:
         raise ValueError(
-            f"group_value_buckets: {len(bounds)} distinct groups — "
+            f"group_value_buckets: >4096 distinct groups — "
             "this operator trades driver-side per-group state for "
             "intra-group parallelism and is meant for LOW-cardinality "
             "groupings (<= 4096). With this many groups the plain "
             "window form partitionBy(group) already parallelizes; "
             "use it directly (grouped_cumsum(n_buckets=None))."
         )
+    bounds = (
+        df.groupBy(key.alias("__k"))
+        .agg(F.percentile_approx(order_col, probs, 1000).alias("__bs"))
+        .collect()
+    )
     bmap = F.create_map(
         *[
             x
@@ -833,21 +841,31 @@ def merge_components_incremental(
     node to co-locate it), a batch-sized CC, and a BROADCAST relabel
     join (touched components only — request-sized); untouched
     components keep their rows verbatim.  A nightly batch costs its
-    own edges, not the 100 TB graph's."""
+    own edges, not the 100 TB graph's.  New nodes are flagged DURING
+    the contraction probe (an endpoint whose label lookup missed —
+    __cs/__cd IS NULL — is by definition not in the store, while a
+    hit contracts to a stored label, which IS a store node), so no
+    second corpus-scale pass exists; the round-11 form anti-joined
+    the batch against the full node column, and left-anti cannot
+    broadcast its build-left side, so that single line shuffled the
+    corpus-scale label store (round-11 ADVICE).  The probed batch is
+    localCheckpoint'd (eager, batch-sized) so the one corpus join
+    runs once, not once per consumer."""
     lab_s = stored.select(
         F.col(node_col).alias(src_col), F.col(comp_col).alias("__cs")
     )
     lab_d = stored.select(
         F.col(node_col).alias(dst_col), F.col(comp_col).alias("__cd")
     )
-    contracted = (
+    probed = (
         new_edges.select(src_col, dst_col)
         .join(lab_s, src_col, "left")
         .join(lab_d, dst_col, "left")
-        .select(
-            F.coalesce("__cs", F.col(src_col)).alias(src_col),
-            F.coalesce("__cd", F.col(dst_col)).alias(dst_col),
-        )
+        .localCheckpoint()
+    )
+    contracted = probed.select(
+        F.coalesce("__cs", F.col(src_col)).alias(src_col),
+        F.coalesce("__cd", F.col(dst_col)).alias(dst_col),
     )
     small = connected_components(
         contracted, max_iter=max_iter, src_col=src_col, dst_col=dst_col
@@ -859,10 +877,19 @@ def merge_components_incremental(
         node_col,
         F.coalesce("__new", F.col(comp_col)).alias(comp_col),
     )
-    # nodes of the contracted graph that are NOT stored component
-    # labels are the batch's new nodes — append their rows
+    # the batch's new nodes: endpoints whose label lookup missed
+    # (batch-sized by construction — never a store-scale anti-join)
+    new_node_ids = (
+        probed.filter(F.col("__cs").isNull())
+        .select(F.col(src_col).alias("node"))
+        .unionByName(
+            probed.filter(F.col("__cd").isNull())
+            .select(F.col(dst_col).alias("node"))
+        )
+        .distinct()
+    )
     new_nodes = small.join(
-        stored.select(F.col(node_col).alias("node")), "node", "left_anti"
+        F.broadcast(new_node_ids), "node", "left_semi"
     ).select(
         F.col("node").alias(node_col), F.col("component").alias(comp_col)
     )

@@ -670,7 +670,7 @@ def upsert_embeddings_by_centroid(
         batch, centroids,
         id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_col,
     )
-    m_bits = _sidecar_m_bits_if_fresh(spark, path)
+    m_bits = _sidecar_m_bits_if_fresh(spark, path, id_col=id_col)
     if m_bits is not None:
         # the merge re-reads the batch after the append — materialize
         # once (batch-sized, never the store)
@@ -688,11 +688,21 @@ def upsert_embeddings_by_centroid(
         )
 
 
-def _sidecar_m_bits_if_fresh(spark: SparkSession, path: str) -> int | None:
-    """m_bits of the store's Bloom sidecar iff it exists and its
-    fingerprint matches the store's CURRENT state; None otherwise.
-    Same probe locate_shards_bloom opens with (Hadoop FS existence +
-    metadata-only fingerprint)."""
+def _sidecar_m_bits_if_fresh(
+    spark: SparkSession, path: str, id_col: str | None = None
+) -> int | None:
+    """m_bits of the store's Bloom sidecar iff it exists, its
+    fingerprint matches the store's CURRENT state, AND (when the
+    caller names one) its stamped ``id_col`` matches the column the
+    caller is about to hash; None otherwise.  Same probe
+    locate_shards_bloom opens with (Hadoop FS existence +
+    metadata-only fingerprint).  The id_col check exists because an
+    incremental maintainer hashing a DIFFERENT column than the build
+    (upsert default 'vec_id' vs build default 'doc_id') would keep
+    stamping the sidecar fresh while its appended ids never bloom —
+    the exact false-negative class the freshness fingerprint prevents
+    (round-11 ADVICE); a sidecar from before the stamp existed (no
+    id_col column) is treated as unverifiable → stale."""
     idx_path = _shard_bloom_path(path)
     jvm = spark._jvm
     success = jvm.org.apache.hadoop.fs.Path(idx_path + "/_SUCCESS")
@@ -700,8 +710,18 @@ def _sidecar_m_bits_if_fresh(spark: SparkSession, path: str) -> int | None:
         success
     ):
         return None
-    head = spark.read.parquet(idx_path).select("store_fp", "m_bits").first()
-    if head is None or head["store_fp"] != _store_fingerprint(spark, path):
+    idx = spark.read.parquet(idx_path)
+    if id_col is not None:
+        if "id_col" not in idx.columns:
+            return None
+        head = idx.select("store_fp", "m_bits", "id_col").first()
+        if head is None or head["id_col"] != id_col:
+            return None
+    else:
+        head = idx.select("store_fp", "m_bits").first()
+        if head is None:
+            return None
+    if head["store_fp"] != _store_fingerprint(spark, path):
         return None
     return int(head["m_bits"])
 
@@ -745,6 +765,10 @@ def _merge_bloom_after_append(
     out = (
         merged.withColumn("m_bits", F.lit(int(m_bits)))
         .withColumn("store_fp", F.lit(_store_fingerprint(spark, path)))
+        # preserve the build-time id-column stamp: the caller's
+        # _sidecar_m_bits_if_fresh(id_col=...) gate already proved it
+        # matches this merge's column
+        .withColumn("id_col", F.lit(id_col))
         # the write REPLACES the files this plan reads — materialize
         # first (sidecar-sized), same rule as the delete-side refresh
         .localCheckpoint()
@@ -1011,6 +1035,9 @@ def _refresh_shard_bloom_after_delete(
         .withColumn(
             "store_fp", F.lit(_store_fingerprint(spark, path))
         )
+        # preserve the build-time id-column stamp (validated fresh by
+        # the caller's _sidecar_m_bits_if_fresh(id_col=...) gate)
+        .withColumn("id_col", F.lit(id_col))
         # the write REPLACES the files this plan reads — materialize
         # first (shard-count-sized, never the corpus), same rule as
         # the survivor rewrite above
@@ -1107,6 +1134,14 @@ def write_shard_bloom_index(
     (
         idx.withColumn("m_bits", F.lit(int(m_bits)))
         .withColumn("store_fp", F.lit(_store_fingerprint(spark, path)))
+        # the id column the bloom was hashed over is part of the
+        # sidecar's contract: a consumer probing a DIFFERENT column
+        # (e.g. an upsert merging under id_col='vec_id' onto a sidecar
+        # built over 'doc_id') would stamp a fresh-reading sidecar
+        # whose appended ids never bloom — a silent false-negative
+        # class (round-11 ADVICE).  Stamp it so every reader/merger
+        # validates the match and degrades to stale instead.
+        .withColumn("id_col", F.lit(id_col))
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -1181,8 +1216,19 @@ def locate_shards_bloom(
     ):
         return None
     idx = spark.read.parquet(idx_path)
-    head = idx.select("store_fp", "m_bits").first()
-    if head is None or head["store_fp"] != _store_fingerprint(spark, path):
+    # a sidecar hashed over a DIFFERENT id column than the probe's
+    # would return confidently wrong candidates (bloom false
+    # negatives against the probed column) — validate the build-time
+    # stamp and fall back to the exact scan on mismatch; a pre-stamp
+    # sidecar (no id_col column) is unverifiable → same fallback
+    if "id_col" not in idx.columns:
+        return None
+    head = idx.select("store_fp", "m_bits", "id_col").first()
+    if (
+        head is None
+        or head["id_col"] != id_col
+        or head["store_fp"] != _store_fingerprint(spark, path)
+    ):
         return None
     from ..operators.dedup import _bit_masks, bloom_positions
 
@@ -1367,6 +1413,35 @@ def compact_keep_latest(
         .filter(F.col("__n") > 1)
         .select(id_col)
     )
+    # NULL-partition guard, mirrored from delete_from_shards: a
+    # duplicated id with a copy in a NULL/__HIVE_DEFAULT_PARTITION__
+    # row would put None into `touched` — isin(touched) then silently
+    # EXCLUDES those rows from the rewrite (NULL IN (...) is NULL) and
+    # the emptied-directory check would raise only AFTER the store was
+    # partially rewritten (and sorted(touched) TypeErrors on
+    # None/int).  Same rule-14 ordering: ONE filesystem existence
+    # probe (a healthy store has no such directory); the Spark
+    # semi-join runs only when the directory exists — and the raise
+    # happens BEFORE any rewrite.
+    jvm = spark._jvm
+    null_part = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    )
+    if null_part.getFileSystem(spark._jsc.hadoopConfiguration()).exists(
+        null_part
+    ):
+        null_part_hit = (
+            store.filter(F.col(partition_col).isNull())
+            .join(dup_ids, id_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if null_part_hit:
+            raise ValueError(
+                "compact_keep_latest: a duplicated id lives in a "
+                "NULL-partition row — repair the store layout first "
+                "(the rewrite cannot address that partition)"
+            )
     touched = [
         r[partition_col]
         for r in store.join(dup_ids, id_col, "left_semi")
@@ -1376,7 +1451,7 @@ def compact_keep_latest(
     ]
     if not touched:
         return {"rows_removed": 0, "partitions_rewritten": []}
-    fresh_m_bits = _sidecar_m_bits_if_fresh(spark, path)
+    fresh_m_bits = _sidecar_m_bits_if_fresh(spark, path, id_col=id_col)
     affected = store.filter(F.col(partition_col).isin(touched))
     n_before = affected.count()
     other = [
