@@ -851,6 +851,50 @@ def merge_components_incremental(
     corpus-scale label store (round-11 ADVICE).  The probed batch is
     localCheckpoint'd (eager, batch-sized) so the one corpus join
     runs once, not once per consumer."""
+    small, new_node_ids = _merge_components_parts(
+        stored, new_edges, node_col=node_col, comp_col=comp_col,
+        src_col=src_col, dst_col=dst_col, max_iter=max_iter,
+    )
+    relabel = small.select(
+        F.col("node").alias(comp_col), F.col("component").alias("__new")
+    )
+    updated = stored.join(F.broadcast(relabel), comp_col, "left").select(
+        node_col,
+        F.coalesce("__new", F.col(comp_col)).alias(comp_col),
+    )
+    new_nodes = small.join(
+        F.broadcast(new_node_ids), "node", "left_semi"
+    ).select(
+        F.col("node").alias(node_col), F.col("component").alias(comp_col)
+    )
+    return updated.unionByName(new_nodes)
+
+
+def _merge_components_parts(
+    stored: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """The contraction core shared by merge_components_incremental and
+    plans.lake.merge_components_store (one implementation — a drifted
+    copy of the contraction logic is how two "identical" merges
+    diverge).  Returns ``(small, new_node_ids)``:
+
+    - ``small``: connected components of the CONTRACTED batch graph —
+      one (node, component) row per touched stored label or new node,
+      batch-sized by construction;
+    - ``new_node_ids``: the batch endpoints absent from the store,
+      flagged DURING the contraction probe (a missed label lookup —
+      __cs/__cd IS NULL — is by definition a node not in the store),
+      never via an anti-join against the corpus-scale node column.
+
+    The probed batch is localCheckpoint'd (eager, batch-sized) so the
+    ONE corpus-scale equi-join runs once however many consumers read
+    the parts."""
     lab_s = stored.select(
         F.col(node_col).alias(src_col), F.col(comp_col).alias("__cs")
     )
@@ -870,15 +914,6 @@ def merge_components_incremental(
     small = connected_components(
         contracted, max_iter=max_iter, src_col=src_col, dst_col=dst_col
     )
-    relabel = small.select(
-        F.col("node").alias(comp_col), F.col("component").alias("__new")
-    )
-    updated = stored.join(F.broadcast(relabel), comp_col, "left").select(
-        node_col,
-        F.coalesce("__new", F.col(comp_col)).alias(comp_col),
-    )
-    # the batch's new nodes: endpoints whose label lookup missed
-    # (batch-sized by construction — never a store-scale anti-join)
     new_node_ids = (
         probed.filter(F.col("__cs").isNull())
         .select(F.col(src_col).alias("node"))
@@ -888,9 +923,4 @@ def merge_components_incremental(
         )
         .distinct()
     )
-    new_nodes = small.join(
-        F.broadcast(new_node_ids), "node", "left_semi"
-    ).select(
-        F.col("node").alias(node_col), F.col("component").alias(comp_col)
-    )
-    return updated.unionByName(new_nodes)
+    return small, new_node_ids

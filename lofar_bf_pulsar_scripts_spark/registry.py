@@ -141,6 +141,12 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     )
     out["minhash_bands"] = round(_time.time() - t0, 3)
 
+    # mirrors q_incremental_components: old-80% components store
+    # (derived from the band store just built above)
+    t0 = _time.time()
+    _ensure_incr_components_inputs(spark, sf_dir)
+    out["components_store"] = round(_time.time() - t0, 3)
+
     # mirrors q_ivf_topk_filtered: exact-vector cid store (8-centroid
     # codebook, label travels with the row for filtered ANN)
     t0 = _time.time()
@@ -9487,50 +9493,86 @@ def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_store_path(sf_dir: str) -> str:
+    """The old-80% components store's deterministic location — shared
+    by the gate and prebuild_stores so bench charges the build to the
+    store_build field, not to the first gate run."""
+    return _lsh_store_path(
+        sf_dir, src_table="documents",
+        kind="components_old80", nh=_NUM_MINHASH, k=3, b=4, r=2,
+    )
+
+
+def _ensure_incr_components_inputs(spark: SparkSession, sf_dir: str):
+    """(stored_components, batch_edges) for the incremental-CC gate,
+    both served from at-rest stores: candidate pairs come from the
+    persisted MinHash band store (no per-run re-shingle of the
+    corpus) and the old-80% component labels from the components
+    store (built once; the production flow this models clusters at
+    ingest and only merges nightly batches)."""
+    from .operators.dedup import candidate_pairs
+    from .operators.pipeline import connected_components
+    from .plans.lake import (
+        ensure_components_store,
+        ensure_minhash_bands,
+        read_components_store,
+    )
+
+    band_path = _lsh_store_path(
+        sf_dir, src_table="documents",
+        kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
+    )
+    ensure_minhash_bands(
+        load_table(spark, "documents", sf_dir), band_path,
+        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
+    )
+    pairs = candidate_pairs(spark.read.parquet(band_path), "doc_id")
+    # deterministic 80/20 old/new split of the id space: LSH pairs
+    # are per-bucket, so old-old pairs from the full band store equal
+    # the pairs a band store over only the old docs would hold
+    is_old = lambda c: F.pmod(c, F.lit(10)) < 8  # noqa: E731
+    comp_path = _components_store_path(sf_dir)
+    ensure_components_store(
+        # thunk: the union-find collect only runs on the one build
+        lambda: connected_components(
+            pairs.filter(is_old(F.col("id_a")) & is_old(F.col("id_b"))),
+            src_col="id_a", dst_col="id_b",
+        ),
+        comp_path,
+    )
+    stored = read_components_store(spark, comp_path)
+    batch_edges = pairs.filter(
+        ~(is_old(F.col("id_a")) & is_old(F.col("id_b")))
+    )
+    return stored, batch_edges
+
+
 @_register(
     "incremental_components",
     # the oracle is the FULL-graph transitive closure: equality IS the
     # incremental-correctness theorem, checked cross-engine — the
-    # Spark side clusters only the "old" 80% of the corpus, then
+    # Spark side reads the "old" 80% of the corpus's labels from the
+    # at-rest components store (plans.lake, built once at ingest) and
+    # the candidate edges from the at-rest MinHash band store, then
     # merges the remaining edges through the contracted batch-sized
-    # CC (pipeline.merge_components_incremental)
+    # CC (pipeline.merge_components_incremental).  Round-12 change
+    # (VERDICT item 2): the r11 gate re-derived minhash + LSH + the
+    # stored components from scratch per run — the gate now measures
+    # the MERGE over the persisted stores, which is what a production
+    # nightly pays.
     _dup_clusters_oracle(),
-    "incremental connected components: contract stored components to "
-    "their labels, CC over the CONTRACTED batch edges (edge-bounded, "
+    "incremental connected components over the AT-REST stores: "
+    "contract stored labels (one equi-join against the components "
+    "store), CC over the CONTRACTED batch edges (edge-bounded, "
     "driver union-find path), broadcast relabel of touched "
     "components — a nightly batch costs its own edges, never the "
-    "100 TB graph (pipeline.py merge_components_incremental)",
+    "100 TB graph (pipeline.merge_components_incremental; "
+    "plans/lake.py write/merge_components_store)",
 )
 def q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import (
-        candidate_pairs,
-        lsh_buckets,
-        minhash_signature,
-    )
-    from .operators.pipeline import (
-        connected_components,
-        merge_components_incremental,
-    )
+    from .operators.pipeline import merge_components_incremental
 
-    d = load_table(spark, "documents", sf_dir)
-    sigs = minhash_signature(d, num_hashes=_NUM_MINHASH)
-    pairs = candidate_pairs(
-        lsh_buckets(sigs, id_col="doc_id", bands=4, rows_per_band=2),
-        "doc_id",
-    )
-    # deterministic 80/20 old/new split of the id space: LSH pairs
-    # are per-bucket, so old-old pairs from the full hash run equal
-    # the pairs a hash over only the old docs would produce
-    is_old = lambda c: F.pmod(c, F.lit(10)) < 8  # noqa: E731
-    old_pairs = pairs.filter(
-        is_old(F.col("id_a")) & is_old(F.col("id_b"))
-    )
-    batch_edges = pairs.filter(
-        ~(is_old(F.col("id_a")) & is_old(F.col("id_b")))
-    )
-    stored = connected_components(
-        old_pairs, src_col="id_a", dst_col="id_b"
-    )
+    stored, batch_edges = _ensure_incr_components_inputs(spark, sf_dir)
     return merge_components_incremental(stored, batch_edges)
 
 
@@ -9779,3 +9821,44 @@ def oracle_sql() -> dict[str, str]:
 
 def specs() -> list[QuerySpec]:
     return _ordered()
+
+
+# The HEADLINE bench subset (round-11 VERDICT item 8): one query per
+# structurally distinct plan family — fold/scrunch aggs, robust
+# windows, the join zoo, set ops, the dedup/ANN/text LLM-pipeline
+# families, streaming duals, calibration scalars, search pipelines.
+# The full registry doubles as a correctness surface where ~40
+# sub-second micro-gates are position/JIT-noise-dominated (the r11
+# same-code drift study measured ±1.3x classification noise there);
+# round-over-round performance reads should use the headline totals
+# bench.py reports alongside the full ones.  Membership is by NAME so
+# the subset is one greppable block; test_registry pins every entry
+# to an existing spec.
+HEADLINE_QUERIES: list[str] = [
+    # pulsar/astro operator families
+    "fold_profile", "fold_subints", "trimmed_stats", "sigma_clip_events",
+    "boxcar_best_hourly", "detrend_events", "qq_normalize_stats",
+    "acf2d_user_day", "polyco_fold", "bilinear_gain",
+    "wijnholds_channel_calibration", "jones_beam_corr",
+    "dm_search", "sky_crossmatch", "lta_superquery_manifest",
+    # relational core (scan/agg/join/window/set)
+    "pricing_summary", "catalog_union", "above_avg_orders",
+    "top_customer_per_nation", "shipping_priority", "running_revenue",
+    "cube_pricing", "orders_without_lineitems",
+    "event_pairs_within_minute", "user_sessions", "asof_latest_event",
+    "nearest_supplier", "salted_event_type_volume",
+    # LLM-pipeline: dedup / text / curation
+    "dedup_documents", "minhash_signatures", "near_dedup_pipeline",
+    "incremental_near_dup", "dup_clusters", "incremental_components",
+    "quality_dedup_keep", "semantic_dedup_stats", "text_quality",
+    "language_id", "bpe_token_counts", "tfidf_top_terms",
+    "training_data_pipeline", "stratified_sample", "sequence_packing",
+    "delete_closure_ids",
+    # ANN / retrieval
+    "cosine_topk", "ivf_topk_filtered", "lsh_multiprobe_topk",
+    "ivf_pq_rerank_top3", "pca_gram_matrix", "kmeans_update_step",
+    "hybrid_rrf_search", "image_phash_pairs",
+    # streaming duals + sketches
+    "streaming_fold_exact", "streaming_asof_joins_exact",
+    "streaming_funnel_joins_exact", "sketch_exact_check",
+]
