@@ -1756,6 +1756,201 @@ def opq_rotation(
     return [[float(v) for v in vecs[:, p]] for p in perm]
 
 
+# --- Trained-codebook PQ (the recall path) ---------------------------
+#
+# pq_encode/pq_adc_topk above keep a CLOSED-FORM integer codebook so
+# the approximate structure itself is engine-exact and hash-gateable.
+# The round-11 OPQ fixture measured what that trades away: trained
+# Lloyd's codebooks reach 2,133 total distortion where the formula
+# codebook cannot exploit decorrelation (4,872 raw / 5,603 PCA —
+# tests/test_round11_opq.py).  This family is the production RECALL
+# path (round-11 VERDICT item 3): OPQ-rotate, train per-subspace
+# codebooks with the same kmeans_fit the IVF tier uses, encode, and
+# ADC-probe — floats throughout, verified by numpy parity tests and a
+# recall gate on the anisotropic fixture rather than a DuckDB hash
+# (k-means training is not SQL-expressible).
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dims: int,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace trained PQ codebooks: slice the (already rotated)
+    corpus into ``m_sub`` subspaces and run the shared ``kmeans_fit``
+    (k-means|| seeding, exact-integer assignment) on each.  Returns
+    ``codebooks[m][c] = centroid vector`` — a driver-side model of
+    m_sub x k_codes x (dims/m_sub) floats, never data-sized.  Cost is
+    m_sub independent Lloyd fits over one column slice each; at 100 TB
+    train on a sampled slice (the codebook is a model, not a sketch —
+    sampling is standard PQ practice)."""
+    if int(dims) % int(m_sub) != 0:
+        raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
+    sub = int(dims) // int(m_sub)
+    books: list[list[list[float]]] = []
+    for m in range(int(m_sub)):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), m * sub + 1, sub
+            ).alias(vec_col),
+        )
+        cdf, _, _ = kmeans_fit(
+            sliced, int(k_codes), max_iter=max_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        rows = {
+            int(r["cid"]): [float(v) for v in r[vec_col]]
+            for r in cdf.collect()
+        }
+        books.append([rows[c] for c in range(int(k_codes))])
+    return books
+
+
+def _pq_books_literal(codebooks: list) -> Column:
+    """The trained codebooks as ONE nested array plan literal
+    (m_sub x k x sub doubles — model-sized, same feasibility bound as
+    pca_project's rotation literal)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in code])
+                    for code in book
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _pq_trained_dist(qv: Column, books: Column, m, c, sub: int) -> Column:
+    """Squared L2 between query subvector m and trained codebook entry
+    (m, c) — float sum over the sub dims, element_at 1-based."""
+    entry = F.element_at(
+        F.element_at(books, (m + 1).cast("int")), (c + 1).cast("int")
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(sub - 1)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.pow(
+            F.element_at(qv, (m * F.lit(sub) + d + 1).cast("int"))
+            - F.element_at(entry, (d + 1).cast("int")),
+            F.lit(2),
+        ),
+    )
+
+
+def pq_encode_trained(vec: Column, codebooks: list) -> Column:
+    """PQ codes against TRAINED codebooks: per subspace, the argmin-L2
+    code (ties to the smaller code via a struct-least fold — each
+    candidate distance evaluated exactly once, pitfall-1 safe).  Pure
+    per-row projection: a 100 TB encode is a scan+project, same shape
+    as the formula-codebook pq_encode."""
+    m_sub = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    books = _pq_books_literal(codebooks)
+    v = vec.cast("array<double>")
+
+    def code_for(m: Column) -> Column:
+        best = F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(k).alias("c")
+            ),
+            lambda acc, c: F.least(
+                acc,
+                F.struct(
+                    _pq_trained_dist(v, books, m, c, sub).alias("d"),
+                    c.cast("int").alias("c"),
+                ),
+            ),
+        )
+        return best["c"]
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)), code_for)
+
+
+def pq_query_lut_trained(vec: Column, codebooks: list) -> Column:
+    """Per-query ADC lookup table against trained codebooks:
+    lut[m·k + c] = squared L2 between query subvector m and entry
+    (m, c).  Computed once per query row; scoring a stored code row
+    then costs m_sub element_at lookups (asymmetric distance)."""
+    m_sub = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    books = _pq_books_literal(codebooks)
+    v = vec.cast("array<double>")
+
+    def entry(i: Column) -> Column:
+        m = (i / F.lit(k)).cast("int")
+        c = F.pmod(i, F.lit(k))
+        return _pq_trained_dist(v, books, m, c, sub)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m_sub * k - 1)), entry)
+
+
+def pq_adc_topk_trained(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    codes_col: str = "codes",
+    partial_buckets: int = 32,
+) -> DataFrame:
+    """ADC top-k over an ALREADY-ENCODED corpus (the trained pq_codes
+    store): broadcast the queries with their precomputed trained-LUTs,
+    score each stored code row with m_sub table lookups, two-stage
+    top-k.  Returns (qid, vec_id, adc_dist) ascending-best; ties break
+    to the smaller id inside two_stage_topk.  The queries must already
+    live in the SAME rotated space as the stored codes (the store's
+    probe wrapper applies its persisted rotation)."""
+    m_sub = len(codebooks)
+    k = len(codebooks[0])
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            pq_query_lut_trained(F.col(vec_col), codebooks).alias("__lut"),
+        )
+    )
+    lut, cds = F.col("__lut"), F.col(codes_col)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            lut,
+            (m * F.lit(k) + F.element_at(cds, (m + 1).cast("int")) + 1)
+            .cast("int"),
+        ),
+    )
+    scored = (
+        codes.crossJoin(q)
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            (-dist).alias("__neg"),
+        )
+    )
+    out = two_stage_topk(
+        scored, topk, id_col=id_col, query_id_col=query_id_col,
+        score_col="__neg", partial_buckets=partial_buckets,
+    )
+    return out.select(
+        query_id_col, id_col, (-F.col("__neg")).alias("adc_dist")
+    )
+
+
 def subspace_energy(
     df: DataFrame,
     dims: int,

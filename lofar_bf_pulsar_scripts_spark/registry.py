@@ -9628,6 +9628,99 @@ def q_delete_closure_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "forget_documents_stores",
+    f"""
+    -- the COMPLETE right-to-be-forgotten plan asserted cross-engine
+    -- over BOTH stores (round-11 VERDICT item 6): the Spark side
+    -- builds the shard-partitioned doc store AND the cid-partitioned
+    -- IVF vector store, runs plans.lake.forget_documents over the
+    -- fixed seeds' near-dup closure, and emits every SURVIVING id
+    -- per store.  A forgotten doc must answer neither text queries
+    -- (doc store) nor ANN probes (vector store); the oracle derives
+    -- the expected survivor sets from the raw tables and the same
+    -- LSH candidate graph.  NULL-embedding rows never enter the
+    -- vector store (ivf_assign drops them, by contract).
+    WITH comp AS ({_dup_clusters_oracle()}),
+    seeds(doc_id) AS (
+        VALUES {", ".join(f"({s})" for s in _CLOSURE_SEEDS)}
+    ), hit AS (
+        SELECT DISTINCT component FROM comp
+        JOIN seeds ON comp.node = seeds.doc_id
+    ), closure AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT c.node AS doc_id
+            FROM comp c JOIN hit h ON c.component = h.component
+            UNION ALL
+            SELECT doc_id FROM seeds
+        )
+    )
+    SELECT 'docs' AS store, CAST(d.doc_id AS BIGINT) AS id
+    FROM documents d LEFT JOIN closure c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    UNION ALL
+    SELECT 'vectors' AS store, CAST(e.vec_id AS BIGINT) AS id
+    FROM embeddings e LEFT JOIN closure c ON e.vec_id = c.doc_id
+    WHERE c.doc_id IS NULL AND e.embedding IS NOT NULL
+    """,
+    "right-to-be-forgotten across BOTH stores: closure expansion "
+    "(broadcast semi-joins), then two touched-partition-bounded "
+    "deletes — doc shards and IVF cid partitions — in one call "
+    "(plans/lake.py forget_documents); the gate rebuilds both stores "
+    "fresh each run so the emitted survivor sets are the stores' "
+    "actual post-forget content, not a simulation",
+)
+def q_forget_documents_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .operators.dedup import candidate_pairs
+    from .operators.similarity import ivf_assign
+    from .plans.lake import (
+        ensure_minhash_bands,
+        forget_documents,
+        write_embeddings_by_centroid,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    band_path = _lsh_store_path(
+        sf_dir, src_table="documents",
+        kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
+    )
+    ensure_minhash_bands(
+        d, band_path,
+        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
+    )
+    edges = candidate_pairs(spark.read.parquet(band_path), "doc_id")
+    # ephemeral mutable stores, rebuilt fresh each run at a fixed
+    # per-sf location (forgetting mutates them — reusing last run's
+    # post-forget content would gate a no-op delete)
+    root = _lsh_store_path(sf_dir, kind="forget_gate_stores")
+    shutil.rmtree(root, ignore_errors=True)
+    doc_path, vec_path = f"{root}/docs", f"{root}/vectors"
+    (
+        d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+        .write.partitionBy("shard").parquet(doc_path)
+    )
+    cent8 = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    write_embeddings_by_centroid(ivf_assign(e, cent8), vec_path)
+    forget_documents(
+        spark, doc_path, list(_CLOSURE_SEEDS),
+        vec_store=vec_path, edges=edges,
+    )
+    docs_left = spark.read.parquet(doc_path).select(
+        F.lit("docs").alias("store"),
+        F.col("doc_id").cast("bigint").alias("id"),
+    )
+    vecs_left = spark.read.parquet(vec_path).select(
+        F.lit("vectors").alias("store"),
+        F.col("vec_id").cast("bigint").alias("id"),
+    )
+    return docs_left.unionByName(vecs_left)
+
+
 # --------------------------------------------------------------------
 # Public API consumed by __spark_entry__
 # --------------------------------------------------------------------
@@ -9660,11 +9753,35 @@ def q_delete_closure_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verifies this mechanically. Tail entries remain verified by the
 # strict local replica every round.
 _TAIL: tuple[str, ...] = (
-    # Round-11 demotions: the 47 r10-window greens whose gates are
-    # byte-identical since CORRECTNESS_r10 (the freshest driver rows
-    # in the repo).  check_window.py's symbol-level fingerprint stays
-    # the referee: any of these whose Spark fn, imported operators,
-    # or oracle text changes must move back into _PROMOTE.
+    # Round 12: empty — _PROMOTE holds exactly 50 names, so every
+    # non-promoted spec already sits past the driver window by
+    # construction (front is the whole head).  Kept as the mechanism
+    # for future rounds where _PROMOTE runs short.
+)
+
+
+# Queries pulled to the FRONT of the ordering regardless of file
+# position: new gates register at the end of the module, but the
+# driver's correctness window is the first 50 entries — promotion is
+# how a NEW query lands inside it (the _TAIL demotions above fund the
+# slots).
+#
+# Round-12 plan: exactly 50 names = the whole driver window.  The
+# changed/new set (check_window.py vs 056cab9): incremental_components
+# (fn rewritten over the at-rest band + components stores) and the
+# NEW forget_documents_stores; delete_closure_ids stays in (it shares
+# _CLOSURE_SEEDS and the closure path with the new gate).  The other
+# 47 slots execute r11 VERDICT item 7 verbatim: the longest-unrotated
+# cohort — every r10-era green that has sat in _TAIL since round 11
+# (wijnholds_channel_calibration, ivf_topk_filtered,
+# streaming_asof_joins_exact, and the rest) re-enters the window.
+# Funded by demoting the 47 r11-window greens (their CORRECTNESS_r11
+# rows are the freshest in the repo, all green, gates byte-identical
+# since — check_window confirms only the two names above changed).
+_PROMOTE: tuple[str, ...] = (
+    "forget_documents_stores",
+    "incremental_components",
+    "delete_closure_ids",
     "acf_hourly",
     "auto_off_window",
     "band_averaged_tsky",
@@ -9712,87 +9829,6 @@ _TAIL: tuple[str, ...] = (
     "tsky_scaled",
     "wijnholds_aeff_lookup",
     "wijnholds_channel_calibration",
-)
-
-
-# Queries pulled to the FRONT of the ordering regardless of file
-# position: new gates register at the end of the module, but the
-# driver's correctness window is the first 50 entries — promotion is
-# how a NEW query lands inside it (the _TAIL demotions above fund the
-# slots).
-#
-# Round-11 plan: exactly 50 names = the whole driver window.  The
-# changed/new-since-r10 set: delete_closure_ids (NEW — near-dup
-# deletion closure), pca_gram_matrix (canonical-string emission, the
-# r10 red row), sketch_exact_check (grouped_cumsum "auto" dispatch),
-# hybrid_rrf_search (dense side moved to the stored LSH ANN — oracle
-# re-derived), qq_normalize_stats (shares group_value_buckets, which
-# gained the cardinality cap).  Then the two never-driver-gated
-# rows-only specs (approx_sketches, streaming_fold_replay) and the
-# longest-unrotated greens re-enter oldest-first: all 6 r5-era, all
-# 20 r6-era, all 4 r7-era, and 9 of the 27 r8-era (the remaining 18
-# r8 and all r9 rotate next round; temperature_mix_counts gave its
-# slot to the NEW lsh_multiprobe_topk gate, incremental_dedup_counts
-# and chunk_dedup_stats gave theirs to the NEW quality_dedup_keep and
-# incremental_components gates, and
-# curation_funnel / dsir_importance / gopher_rules gave theirs to
-# the three lsh_ann
-# gates whose shared operator gained the hamming_probes param —
-# check_window's symbol fingerprint flags them as changed even
-# though the h=0 default path is byte-equivalent).  Funded by
-# demoting the 47 r10-window greens to _TAIL (their CORRECTNESS_r10
-# rows stand).
-_PROMOTE: tuple[str, ...] = (
-    "delete_closure_ids",
-    "pca_gram_matrix",
-    "sketch_exact_check",
-    "hybrid_rrf_search",
-    "qq_normalize_stats",
-    "approx_sketches",
-    "streaming_fold_replay",
-    "acf2d_user_day",
-    "domain_blocklist_stats",
-    "pq_adc_top3",
-    "shuffle_rank_sample",
-    "spectral_index",
-    "tfidf_top_terms",
-    "accel_search",
-    "boilerplate_removal",
-    "bpe_pair_counts",
-    "bpe_token_counts",
-    "cohort_retention",
-    "dm_search",
-    "doc_chunks",
-    "event_funnel",
-    "harmonic_periodogram",
-    "language_id",
-    "nearest_sky_match",
-    "pagerank_buckets",
-    "period_search",
-    "scd2_user_values",
-    "sky_crossmatch",
-    "text_quality",
-    "top_session_paths",
-    "url_canonical",
-    "vocab_coverage",
-    "zorder_bucket_stats",
-    "jones_beam_corr",
-    "json_props_stats",
-    "source_quota_sample",
-    "stratified_sample",
-    "bloom_incremental_screen",
-    "bm25_search",
-    "single_pulse_cands",
-    "minhash_signatures",
-    "quality_dedup_keep",
-    "incremental_components",
-    "blind_search_pipeline",
-    "lsh_ann_topk",
-    "psrflux_band_flux",
-    "lsh_ann_topk_stored",
-    "lsh_recall_at_5",
-    "quality_classifier",
-    "lsh_multiprobe_topk",
 )
 
 

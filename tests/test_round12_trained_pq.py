@@ -1,0 +1,157 @@
+"""Round-12: the TRAINED-codebook PQ production path (r11 VERDICT
+item 3) — OPQ rotation + per-subspace Lloyd codebooks persisted as an
+at-rest store (plans.lake build/ensure/read/trained_pq_topk).
+
+Training is not SQL-expressible, so the gate here is (a) numpy parity
+of the encode and the ADC scoring, and (b) a recall@k measurement on
+the ANISOTROPIC fixture (the corpus property an isotropic synthetic
+cannot show), which must beat the formula-codebook recall the r11
+OPQ study measured at 0.20."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_encode_trained,
+    pq_train_codebooks,
+)
+from lofar_bf_pulsar_scripts_spark.plans.lake import (
+    ensure_trained_pq_store,
+    read_trained_pq_model,
+    trained_pq_topk,
+)
+
+DIMS, M_SUB, K = 64, 4, 16
+
+
+def _fixture(n=2000):
+    # same anisotropic corpus as tests/test_round11_opq.py
+    rng = np.random.default_rng(42)
+    spec = 2.0 ** (-np.arange(DIMS) / 6.0)
+    z = rng.standard_normal((n, DIMS)) * spec
+    q, _ = np.linalg.qr(rng.standard_normal((DIMS, DIMS)))
+    return (z @ q.T).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    x = _fixture()
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    df.count()
+    path = str(tmp_path_factory.mktemp("pq") / "trained_pq")
+    ensure_trained_pq_store(
+        df, path, dims=DIMS, m_sub=M_SUB, k_codes=K, max_iter=6
+    )
+    yield x, df, path
+    df.unpersist()
+
+
+def _np_encode(xr, books):
+    """numpy replica of pq_encode_trained over rotated vectors."""
+    sub = DIMS // M_SUB
+    codes = np.zeros((len(xr), M_SUB), dtype=np.int32)
+    for m in range(M_SUB):
+        seg = xr[:, m * sub:(m + 1) * sub]
+        cent = np.asarray(books[m])
+        d = ((seg[:, None, :] - cent[None]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)  # argmin takes the smallest index on ties
+    return codes
+
+
+def test_encode_parity_with_numpy(spark, store):
+    x, df, path = store
+    w, books = read_trained_pq_model(spark, path)
+    xr = x.astype(np.float64) @ np.asarray(w).T
+    want = _np_encode(xr, books)
+    got_rows = spark.read.parquet(path + "/codes").collect()
+    got = {int(r["vec_id"]): list(r["codes"]) for r in got_rows}
+    assert len(got) == len(x)
+    mism = [
+        i for i in range(len(x)) if got[i] != [int(c) for c in want[i]]
+    ]
+    assert not mism, (mism[:5], got[mism[0]] if mism else None)
+
+
+def test_adc_parity_with_numpy(spark, store):
+    x, df, path = store
+    w, books = read_trained_pq_model(spark, path)
+    xr = x.astype(np.float64) @ np.asarray(w).T
+    codes = _np_encode(xr, books)
+    qids = list(range(0, 200, 10))
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = trained_pq_topk(spark, path, queries, topk=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+    sub = DIMS // M_SUB
+    for q in qids:
+        # numpy ADC: lut distance from rotated query to each code word
+        lut = np.zeros((M_SUB, K))
+        for m in range(M_SUB):
+            seg = xr[q, m * sub:(m + 1) * sub]
+            lut[m] = ((np.asarray(books[m]) - seg[None]) ** 2).sum(-1)
+        d = lut[np.arange(M_SUB)[None, :], codes].sum(1)
+        d[q] = np.inf  # self excluded
+        want_ids = np.lexsort((np.arange(len(d)), d))[:5]
+        got_ids = [v for v, _ in sorted(got_map[q], key=lambda t: (t[1], t[0]))]
+        assert list(want_ids) == got_ids, (q, list(want_ids), got_ids)
+        for vid, dist in got_map[q]:
+            assert dist == pytest.approx(float(d[vid]), rel=1e-9)
+
+
+def test_trained_recall_beats_formula_codebook(spark, store):
+    """The point of the trained path: on the anisotropic fixture the
+    trained-OPQ store's ADC recall@10 vs exact cosine must beat both
+    the 0.20 formula-codebook recall (r11 measurement, reproduced
+    here on the same corpus) and the formula path run side-by-side."""
+    x, df, path = store
+    qids = list(range(0, 400, 20))  # 20 queries
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    k = 10
+    xd = x.astype(np.float64)
+    xn = xd / np.linalg.norm(xd, axis=1, keepdims=True)
+    exact = {}
+    for q in qids:
+        cos = xn @ xn[q]
+        cos[q] = -np.inf
+        exact[q] = set(np.argsort(-cos)[:k])
+
+    def recall(result):
+        per = {}
+        for r in result.collect():
+            per.setdefault(r["qid"], set()).add(int(r["vec_id"]))
+        return float(
+            np.mean([len(per.get(q, set()) & exact[q]) / k for q in qids])
+        )
+
+    r_trained = recall(trained_pq_topk(spark, path, queries, topk=k))
+    r_formula = recall(
+        pq_adc_topk(df, queries, DIMS, topk=k, m_sub=M_SUB, k_codes=K)
+    )
+    # r11 OPQ study: formula-codebook ADC recall ~0.20 on this corpus
+    assert r_trained > r_formula, (r_trained, r_formula)
+    assert r_trained > 0.20, r_trained
+
+
+def test_store_rejects_indivisible_dims(spark, store):
+    _, df, _ = store
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(df, DIMS, m_sub=5)
+
+
+def test_model_roundtrip_shapes(spark, store):
+    _, _, path = store
+    w, books = read_trained_pq_model(spark, path)
+    assert len(w) == DIMS and all(len(r) == DIMS for r in w)
+    assert len(books) == M_SUB
+    assert all(len(b) == K for b in books)
+    assert all(len(c) == DIMS // M_SUB for b in books for c in b)

@@ -282,6 +282,148 @@ def build(
         print(f"built {t}: {n} rows (row_group_size {rg})", file=sys.stderr)
 
 
+def build_clustered_embeddings(
+    dst: str,
+    n: int,
+    dims: int = 64,
+    n_clusters: int | None = None,
+    sigma: float = 0.25,
+    seed: int = 1234,
+) -> None:
+    """Planted-Gaussian-mixture embeddings table (round-11 VERDICT
+    item 4): every ANN recall number so far was measured on the
+    driver's ISOTROPIC synthetic corpus, whose pairwise cosines are
+    all ~0 — 'top-k' there is near-arbitrary, so recall cannot
+    distinguish a good probe from a bad one (the same corpus property
+    that hid the OPQ win until r11 built an anisotropic fixture).
+
+    Here vector i = normalize(center[g] + sigma * noise) with
+    n_clusters unit centers, g = i mod n_clusters, and the planted
+    cluster id persisted as ``label`` — a corpus with REAL
+    neighborhood structure (within-cluster cosine ~1/(1+sigma^2),
+    cross-cluster ~0) and analytically known neighbor sets.  Written
+    as dst/embeddings.parquet with the same (vec_id, embedding,
+    label) schema as the driver tables and ~64 row groups (rule 2).
+    Deterministic by seed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    k = int(n_clusters or max(32, n // 200))
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    g = np.arange(n) % k
+    x = centers[g] + sigma * rng.standard_normal((n, dims))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    os.makedirs(dst, exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                list(x.astype(np.float32)), pa.list_(pa.float32())
+            ),
+            "label": pa.array((g % 5).astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(dst, "embeddings.parquet"),
+        row_group_size=max(4096, n // 64),
+    )
+    print(
+        f"built clustered embeddings: {n} rows, {k} planted clusters, "
+        f"sigma {sigma}", file=sys.stderr,
+    )
+
+
+def recall_probe(
+    sf_dir: str,
+    k: int = 20,
+    n_queries: int = 24,
+    dims: int = 64,
+) -> None:
+    """Recall@k of every ANN family vs the exact cosine top-k on the
+    embeddings table at ``sf_dir`` — run it against a CLUSTERED build
+    (build-clustered) for numbers that mean something, or against the
+    driver's isotropic table to see the difference.  One JSON line
+    per method + a summary; methods mirror the registry gates'
+    parameters (LSH 4x6-bit tables with the multiprobe dial, IVF with
+    stride-64 and with TRAINED k-means centroids at nprobe 4/8,
+    IVF-PQ rerank, trained-OPQ PQ store)."""
+    from pyspark.sql import functions as F
+
+    from lofar_bf_pulsar_scripts_spark.session import get_spark
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_assign,
+        ivf_pq_rerank_topk,
+        ivf_topk,
+        kmeans_fit,
+        lsh_ann_topk,
+    )
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        ensure_trained_pq_store,
+        trained_pq_topk,
+    )
+
+    spark = get_spark(app_name="recall_probe")
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e = e.select("vec_id", "embedding").cache()
+    n = e.count()
+    stride = max(1, n // n_queries)
+    queries = e.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    ).cache()
+    exact = brute_force_topk(e, queries, k=k).cache()
+    exact.count()
+
+    def mean_recall(approx) -> float:
+        rows = ann_recall(approx, exact, k=k).collect()
+        return round(sum(r["recall"] for r in rows) / len(rows), 3)
+
+    results = {}
+    for h in (0, 2, 6):
+        results[f"lsh_h{h}"] = mean_recall(
+            lsh_ann_topk(e, queries, k=k, dims=dims, hamming_probes=h)
+        )
+    # stride centroids (the hash-gated gates' deterministic codebook)
+    cent_stride = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned_s = ivf_assign(e, cent_stride).cache()
+    for nprobe in (4, 8):
+        results[f"ivf_stride64_np{nprobe}"] = mean_recall(
+            ivf_topk(assigned_s, queries, cent_stride, k=k, nprobe=nprobe)
+        )
+    # trained centroids (kmeans_fit — the recall path)
+    kk = max(16, min(128, n // 256))
+    cent_t, assigned_t, _ = kmeans_fit(e, kk, max_iter=5)
+    assigned_t = assigned_t.select(
+        "vec_id", "embedding", F.col("cid")
+    ).cache()
+    for nprobe in (4, 8):
+        results[f"ivf_kmeans{kk}_np{nprobe}"] = mean_recall(
+            ivf_topk(assigned_t, queries, cent_t, k=k, nprobe=nprobe)
+        )
+    results["ivf_pq_rerank_np8"] = mean_recall(
+        ivf_pq_rerank_topk(
+            assigned_t, queries, cent_t, dims=dims, k=k, nprobe=8,
+            shortlist=4 * k,
+        )
+    )
+    path = os.path.join(
+        "/tmp", f"recall_probe_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ensure_trained_pq_store(e, path, dims=dims, max_iter=5)
+    results["trained_opq_pq"] = mean_recall(
+        trained_pq_topk(spark, path, queries, topk=k)
+    )
+    for m, r in results.items():
+        print(json.dumps({"method": m, "mean_recall_at_k": r, "k": k}))
+    print(json.dumps({"summary": True, "n": n, "k": k, **results}))
+
+
 def run(base: str, scaled: str, factor: int, repeats: int, names: list[str]) -> None:
     from lofar_bf_pulsar_scripts_spark.session import get_spark
     from __spark_entry__ import queries
@@ -389,12 +531,30 @@ def main() -> None:
     r.add_argument("--factor", type=int, default=10)
     r.add_argument("--repeats", type=int, default=2)
     r.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    c = sub.add_parser("build-clustered")
+    c.add_argument("--dst", default="/tmp/clustered_embed")
+    c.add_argument("--n", type=int, default=60_000)
+    c.add_argument("--dims", type=int, default=64)
+    c.add_argument("--clusters", type=int, default=0)
+    c.add_argument("--sigma", type=float, default=0.25)
+    c.add_argument("--seed", type=int, default=1234)
+    rc = sub.add_parser("recall")
+    rc.add_argument("--sf-dir", default="/tmp/clustered_embed")
+    rc.add_argument("--k", type=int, default=20)
+    rc.add_argument("--queries", type=int, default=24)
+    rc.add_argument("--dims", type=int, default=64)
     a = ap.parse_args()
     if a.cmd == "build":
         build(
             a.src, a.dst, a.factor, a.docs_mode, a.events_mode,
             [t for t in a.tables.split(",") if t] or None,
         )
+    elif a.cmd == "build-clustered":
+        build_clustered_embeddings(
+            a.dst, a.n, a.dims, a.clusters or None, a.sigma, a.seed
+        )
+    elif a.cmd == "recall":
+        recall_probe(a.sf_dir, a.k, a.queries, a.dims)
     else:
         run(a.base, a.scaled, a.factor, a.repeats, a.queries.split(","))
 
