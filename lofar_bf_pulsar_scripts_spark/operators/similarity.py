@@ -1828,72 +1828,134 @@ def _pq_books_literal(codebooks: list) -> Column:
     )
 
 
-def _pq_trained_dist(qv: Column, books: Column, m, c, sub: int) -> Column:
+def _pq_trained_dist(qv: Column, b: Column, m, c, sub: int) -> Column:
     """Squared L2 between query subvector m and trained codebook entry
-    (m, c) — float sum over the sub dims, element_at 1-based."""
+    (m, c) of the BOUND codebooks value ``b`` — one zip_with over the
+    sub dims, the entry looked up once (not once per dim).  ``b``
+    must be a lambda-BOUND books value (see pq_encode_trained), never
+    the raw _pq_books_literal expression: referenced directly inside
+    a higher-order lambda, the 1024-literal nested CreateArray
+    re-materializes on every evaluation — measured >470 s for a 20k-
+    row encode pass vs ~2 s bound (the SCALE.md pitfall-1 class,
+    resurfacing in the trained tier)."""
     entry = F.element_at(
-        F.element_at(books, (m + 1).cast("int")), (c + 1).cast("int")
+        F.element_at(b, (m + 1).cast("int")), (c + 1).cast("int")
     )
+    seg = F.slice(qv, m * F.lit(sub) + F.lit(1), F.lit(sub))
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(sub - 1)),
+        F.zip_with(seg, entry, lambda a, t: (a - t) * (a - t)),
         F.lit(0.0),
-        lambda acc, d: acc
-        + F.pow(
-            F.element_at(qv, (m * F.lit(sub) + d + 1).cast("int"))
-            - F.element_at(entry, (d + 1).cast("int")),
-            F.lit(2),
-        ),
+        lambda acc, x: acc + x,
     )
 
 
 def pq_encode_trained(vec: Column, codebooks: list) -> Column:
     """PQ codes against TRAINED codebooks: per subspace, the argmin-L2
     code (ties to the smaller code via a struct-least fold — each
-    candidate distance evaluated exactly once, pitfall-1 safe).  Pure
-    per-row projection: a 100 TB encode is a scan+project, same shape
-    as the formula-codebook pq_encode."""
+    candidate distance evaluated exactly once).  The codebooks
+    literal is BOUND once per row via the transform(array(..))[0]
+    trick (the same pitfall-1 discipline as pq_encode's qv binding).
+    Pure per-row projection: a 100 TB encode is a scan+project, same
+    shape as the formula-codebook pq_encode."""
     m_sub = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
-    books = _pq_books_literal(codebooks)
     v = vec.cast("array<double>")
 
-    def code_for(m: Column) -> Column:
-        best = F.aggregate(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(k).alias("c")
-            ),
-            lambda acc, c: F.least(
-                acc,
+    def with_books(b: Column) -> Column:
+        def code_for(m: Column) -> Column:
+            best = F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
                 F.struct(
-                    _pq_trained_dist(v, books, m, c, sub).alias("d"),
-                    c.cast("int").alias("c"),
+                    F.lit(float("inf")).alias("d"), F.lit(k).alias("c")
                 ),
-            ),
-        )
-        return best["c"]
+                lambda acc, c: F.least(
+                    acc,
+                    F.struct(
+                        _pq_trained_dist(v, b, m, c, sub).alias("d"),
+                        c.cast("int").alias("c"),
+                    ),
+                ),
+            )
+            return best["c"]
 
-    return F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)), code_for)
+        return F.transform(F.sequence(F.lit(0), F.lit(m_sub - 1)), code_for)
+
+    return F.transform(
+        F.array(_pq_books_literal(codebooks)), with_books
+    )[0]
+
+
+def pq_encode_trained_batch(
+    df: DataFrame,
+    rotation: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched rotate+encode for the TRAINED store build: ONE
+    mapInPandas corpus pass computes X @ W^T and the per-subspace
+    argmin codes with numpy matmuls — measured ~100x the column-
+    expression form (pq_encode_trained ran 20k rows in 307 s even
+    with the books bound once per row: nested higher-order lambdas
+    evaluate interpreted, and the struct-least fold allocates per
+    candidate; vectorized numpy is the production shape for this
+    much per-row float math, exactly the §2.10 Arrow-batch boundary).
+    Ties break to the smallest code (np.argmin), matching the column
+    form — cross-parity is test-pinned on the anisotropic fixture.
+    Returns (id_col long, codes array<int>)."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(rotation, dtype=np.float64)
+    cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m_sub = len(cents)
+    sub = cents[0].shape[1]
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xr = x @ w.T
+            codes = np.zeros((len(x), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                seg = xr[:, m * sub:(m + 1) * sub]
+                d = ((seg[:, None, :] - cents[m][None]) ** 2).sum(-1)
+                codes[:, m] = d.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>"
+    )
 
 
 def pq_query_lut_trained(vec: Column, codebooks: list) -> Column:
     """Per-query ADC lookup table against trained codebooks:
     lut[m·k + c] = squared L2 between query subvector m and entry
-    (m, c).  Computed once per query row; scoring a stored code row
-    then costs m_sub element_at lookups (asymmetric distance)."""
+    (m, c).  Computed once per query row (books bound once, same
+    discipline as pq_encode_trained); scoring a stored code row then
+    costs m_sub element_at lookups (asymmetric distance)."""
     m_sub = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
-    books = _pq_books_literal(codebooks)
     v = vec.cast("array<double>")
 
-    def entry(i: Column) -> Column:
-        m = (i / F.lit(k)).cast("int")
-        c = F.pmod(i, F.lit(k))
-        return _pq_trained_dist(v, books, m, c, sub)
+    def with_books(b: Column) -> Column:
+        def entry(i: Column) -> Column:
+            m = (i / F.lit(k)).cast("int")
+            c = F.pmod(i, F.lit(k))
+            return _pq_trained_dist(v, b, m, c, sub)
 
-    return F.transform(F.sequence(F.lit(0), F.lit(m_sub * k - 1)), entry)
+        return F.transform(F.sequence(F.lit(0), F.lit(m_sub * k - 1)), entry)
+
+    return F.transform(
+        F.array(_pq_books_literal(codebooks)), with_books
+    )[0]
 
 
 def pq_adc_topk_trained(

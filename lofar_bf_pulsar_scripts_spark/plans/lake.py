@@ -249,6 +249,7 @@ def build_trained_pq_store(
     vec_col: str = "embedding",
     quant_scale: float = 1e3,
     max_iter: int = 10,
+    train_stride: int = 1,
 ) -> str:
     """The TRAINED product-quantization store — the production recall
     path (round-11 VERDICT item 3), complementing the hash-gated
@@ -280,7 +281,7 @@ def build_trained_pq_store(
         gram_matrix,
         opq_rotation,
         pca_project,
-        pq_encode_trained,
+        pq_encode_trained_batch,
         pq_train_codebooks,
     )
 
@@ -289,16 +290,25 @@ def build_trained_pq_store(
         corpus, dims=dims, vec_col=vec_col, quant_scale=quant_scale
     ).collect()
     w = opq_rotation(g, dims=dims, m_sub=m_sub, quant_scale=quant_scale)
-    rotated = pca_project(corpus, w, vec_col=vec_col, out_col="__rot").select(
-        F.col(id_col), F.col("__rot").alias(vec_col)
-    )
+    # Lloyd's makes MANY passes (seeding rounds + iterations, per
+    # subspace) — rotate and materialize the training slice ONCE
+    # (``train_stride`` > 1 subsamples it, the standard codebook
+    # practice — the codebook is a model, not a sketch); the full
+    # corpus is rotated+encoded in ONE Arrow-batched numpy pass below.
+    rotated_train = pca_project(
+        corpus
+        if int(train_stride) <= 1
+        else corpus.filter(
+            F.pmod(F.col(id_col), F.lit(int(train_stride))) == 0
+        ),
+        w, vec_col=vec_col, out_col="__rot",
+    ).select(F.col(id_col), F.col("__rot").alias(vec_col)).localCheckpoint()
     books = pq_train_codebooks(
-        rotated, dims, m_sub=m_sub, k_codes=k_codes,
+        rotated_train, dims, m_sub=m_sub, k_codes=k_codes,
         id_col=id_col, vec_col=vec_col, max_iter=max_iter,
     )
-    codes = rotated.select(
-        F.col(id_col),
-        pq_encode_trained(F.col(vec_col), books).alias("codes"),
+    codes = pq_encode_trained_batch(
+        corpus, w, books, id_col=id_col, vec_col=vec_col
     )
     write_scan_parallel(codes, os.path.join(path, "codes"))
     model_rows = [

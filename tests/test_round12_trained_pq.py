@@ -77,6 +77,38 @@ def test_encode_parity_with_numpy(spark, store):
     assert not mism, (mism[:5], got[mism[0]] if mism else None)
 
 
+def test_column_encode_equals_batch_encode(spark, store):
+    """The column-expression encode (pq_encode_trained — the small-
+    input/JVM form) and the Arrow-batched numpy encode the store
+    build uses must agree code-for-code."""
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        pq_encode_trained_batch,
+    )
+    from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+        pca_project,
+    )
+
+    x, df, path = store
+    w, books = read_trained_pq_model(spark, path)
+    small = df.filter(F.col("vec_id") < 200)
+    expr = {
+        int(r["vec_id"]): list(r["c"])
+        for r in pca_project(small, w, out_col="__rot")
+        .select(
+            "vec_id",
+            pq_encode_trained(
+                F.col("__rot").cast("array<double>"), books
+            ).alias("c"),
+        )
+        .collect()
+    }
+    batch = {
+        int(r["vec_id"]): list(r["codes"])
+        for r in pq_encode_trained_batch(small, w, books).collect()
+    }
+    assert expr == batch
+
+
 def test_adc_parity_with_numpy(spark, store):
     x, df, path = store
     w, books = read_trained_pq_model(spark, path)

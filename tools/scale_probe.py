@@ -341,6 +341,8 @@ def recall_probe(
     k: int = 20,
     n_queries: int = 24,
     dims: int = 64,
+    methods: str = "lsh,ivf,pq",
+    max_iter: int = 4,
 ) -> None:
     """Recall@k of every ANN family vs the exact cosine top-k on the
     embeddings table at ``sf_dir`` — run it against a CLUSTERED build
@@ -382,45 +384,105 @@ def recall_probe(
         rows = ann_recall(approx, exact, k=k).collect()
         return round(sum(r["recall"] for r in rows) / len(rows), 3)
 
+    want = {m.strip() for m in methods.split(",") if m.strip()}
     results = {}
-    for h in (0, 2, 6):
-        results[f"lsh_h{h}"] = mean_recall(
-            lsh_ann_topk(e, queries, k=k, dims=dims, hamming_probes=h)
+    if "lsh" in want:
+        for h in (0, 2, 6):
+            results[f"lsh_h{h}"] = mean_recall(
+                lsh_ann_topk(e, queries, k=k, dims=dims, hamming_probes=h)
+            )
+            print(json.dumps({"method": f"lsh_h{h}",
+                              "mean_recall_at_k": results[f"lsh_h{h}"],
+                              "k": k}), flush=True)
+    if want & {"ivf", "pq", "ivfpq"}:
+        # stride centroids (the hash-gated gates' deterministic
+        # codebook) vs trained centroids (kmeans_fit — the recall path)
+        cent_stride = e.filter(
+            F.pmod(F.col("vec_id"), F.lit(64)) == 0
+        ).select(F.col("vec_id").alias("cid"), "embedding")
+        assigned_s = ivf_assign(e, cent_stride).cache()
+        kk = max(16, min(64, n // 256))
+        # train the codebook on a deterministic ~4k-row sample (the
+        # standard PQ/IVF practice — the codebook is a model, not a
+        # sketch): k-means|| seeding cross-joins the corpus against
+        # ~10k candidate seeds, which at full-corpus k=64 is the
+        # probe's wall-clock, not its information
+        from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+            kmeans_assign,
         )
-    # stride centroids (the hash-gated gates' deterministic codebook)
-    cent_stride = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
-        F.col("vec_id").alias("cid"), "embedding"
-    )
-    assigned_s = ivf_assign(e, cent_stride).cache()
-    for nprobe in (4, 8):
-        results[f"ivf_stride64_np{nprobe}"] = mean_recall(
-            ivf_topk(assigned_s, queries, cent_stride, k=k, nprobe=nprobe)
+
+        train = e.filter(
+            F.pmod(F.col("vec_id"), F.lit(max(1, n // 4000))) == 0
         )
-    # trained centroids (kmeans_fit — the recall path)
-    kk = max(16, min(128, n // 256))
-    cent_t, assigned_t, _ = kmeans_fit(e, kk, max_iter=5)
-    assigned_t = assigned_t.select(
-        "vec_id", "embedding", F.col("cid")
-    ).cache()
-    for nprobe in (4, 8):
-        results[f"ivf_kmeans{kk}_np{nprobe}"] = mean_recall(
-            ivf_topk(assigned_t, queries, cent_t, k=k, nprobe=nprobe)
+        cent_t, _, _ = kmeans_fit(train, kk, max_iter=max_iter)
+        assigned_t = kmeans_assign(e, cent_t).cache()
+    if "ivf" in want:
+        for nprobe in (4, 8):
+            results[f"ivf_stride64_np{nprobe}"] = mean_recall(
+                ivf_topk(assigned_s, queries, cent_stride, k=k, nprobe=nprobe)
+            )
+            results[f"ivf_kmeans{kk}_np{nprobe}"] = mean_recall(
+                ivf_topk(assigned_t, queries, cent_t, k=k, nprobe=nprobe)
+            )
+            for m in (f"ivf_stride64_np{nprobe}", f"ivf_kmeans{kk}_np{nprobe}"):
+                print(json.dumps({"method": m, "mean_recall_at_k":
+                                  results[m], "k": k}), flush=True)
+    if want & {"pq", "ivfpq"}:
+        results["ivf_pq_rerank_np8"] = mean_recall(
+            ivf_pq_rerank_topk(
+                assigned_t, queries, cent_t, dims=dims, k=k, nprobe=8,
+                shortlist=4 * k,
+            )
         )
-    results["ivf_pq_rerank_np8"] = mean_recall(
-        ivf_pq_rerank_topk(
-            assigned_t, queries, cent_t, dims=dims, k=k, nprobe=8,
-            shortlist=4 * k,
+        print(json.dumps({"method": "ivf_pq_rerank_np8",
+                          "mean_recall_at_k": results["ivf_pq_rerank_np8"],
+                          "k": k}), flush=True)
+    if want & {"pq", "tpq"}:
+        path = os.path.join(
+            "/tmp", f"recall_probe_pq_{os.path.basename(sf_dir.rstrip('/'))}"
         )
-    )
-    path = os.path.join(
-        "/tmp", f"recall_probe_pq_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    ensure_trained_pq_store(e, path, dims=dims, max_iter=5)
-    results["trained_opq_pq"] = mean_recall(
-        trained_pq_topk(spark, path, queries, topk=k)
-    )
-    for m, r in results.items():
-        print(json.dumps({"method": m, "mean_recall_at_k": r, "k": k}))
+        ensure_trained_pq_store(
+            e, path, dims=dims, max_iter=max_iter,
+            train_stride=max(1, n // 4000),
+        )
+        results["trained_opq_pq"] = mean_recall(
+            trained_pq_topk(spark, path, queries, topk=k)
+        )
+        print(json.dumps({"method": "trained_opq_pq",
+                          "mean_recall_at_k": results["trained_opq_pq"],
+                          "k": k}), flush=True)
+        # production shape: PQ is the SHORTLIST tier; only the
+        # shortlist pays exact cosine (retrieve-then-rerank)
+        from pyspark.sql import Window
+        from lofar_bf_pulsar_scripts_spark.operators.similarity import (
+            cosine,
+        )
+
+        short = trained_pq_topk(
+            spark, path, queries, topk=10 * k
+        ).select("qid", "vec_id")
+        cand = short.join(e, "vec_id").join(
+            F.broadcast(
+                queries.select("qid", F.col("embedding").alias("__qv"))
+            ),
+            "qid",
+        )
+        scored = cand.select(
+            "qid", "vec_id",
+            cosine(F.col("__qv"), F.col("embedding")).alias("cos"),
+        )
+        wnd = Window.partitionBy("qid").orderBy(
+            F.desc("cos"), F.col("vec_id")
+        )
+        rr = (
+            scored.withColumn("__rk", F.row_number().over(wnd))
+            .filter(F.col("__rk") <= k)
+        )
+        results["trained_opq_pq_rerank10k"] = mean_recall(rr)
+        print(json.dumps({"method": "trained_opq_pq_rerank10k",
+                          "mean_recall_at_k":
+                          results["trained_opq_pq_rerank10k"],
+                          "k": k}), flush=True)
     print(json.dumps({"summary": True, "n": n, "k": k, **results}))
 
 
@@ -543,6 +605,12 @@ def main() -> None:
     rc.add_argument("--k", type=int, default=20)
     rc.add_argument("--queries", type=int, default=24)
     rc.add_argument("--dims", type=int, default=64)
+    rc.add_argument(
+        "--methods", default="lsh,ivf,pq",
+        help="comma set of lsh, ivf, ivfpq, tpq (pq = ivfpq+tpq) — "
+        "stage long runs",
+    )
+    rc.add_argument("--max-iter", type=int, default=4)
     a = ap.parse_args()
     if a.cmd == "build":
         build(
@@ -554,7 +622,7 @@ def main() -> None:
             a.dst, a.n, a.dims, a.clusters or None, a.sigma, a.seed
         )
     elif a.cmd == "recall":
-        recall_probe(a.sf_dir, a.k, a.queries, a.dims)
+        recall_probe(a.sf_dir, a.k, a.queries, a.dims, a.methods, a.max_iter)
     else:
         run(a.base, a.scaled, a.factor, a.repeats, a.queries.split(","))
 
