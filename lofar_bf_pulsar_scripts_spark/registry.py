@@ -147,6 +147,20 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     _ensure_incr_components_inputs(spark, sf_dir)
     out["components_store"] = round(_time.time() - t0, 3)
 
+    # mirrors q_trained_pq_adc_top3: OPQ rotation + Lloyd codebooks +
+    # one Arrow-batched encode pass (the expensive ingest-time build
+    # the rows-only gate probes)
+    t0 = _time.time()
+    from .plans.lake import ensure_trained_pq_store
+
+    n_e = e.count()
+    ensure_trained_pq_store(
+        e.select("vec_id", "embedding"), _trained_pq_store_path(sf_dir),
+        dims=64, m_sub=8, k_codes=16, max_iter=4,
+        train_stride=max(1, n_e // 4000),
+    )
+    out["trained_pq_store"] = round(_time.time() - t0, 3)
+
     # mirrors q_ivf_topk_filtered: exact-vector cid store (8-centroid
     # codebook, label travels with the row for filtered ANN)
     t0 = _time.time()
@@ -9628,6 +9642,48 @@ def q_delete_closure_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_pq_store_path(sf_dir: str) -> str:
+    return _lsh_store_path(
+        sf_dir, kind="trained_pq", dims=64, m_sub=8, k_codes=16,
+    )
+
+
+@_register(
+    "trained_pq_adc_top3",
+    # rows-only BY DESIGN: the store's codebooks come from Lloyd's
+    # k-means (k-means|| seeded) on the OPQ-rotated corpus — training
+    # is not SQL-expressible, so no DuckDB oracle can re-derive the
+    # codes.  The exact companion is pq_adc_top3 (the same ADC
+    # machinery over the closed-form integer codebook, hash-gated),
+    # and the trained path's encode + ADC scoring are numpy-parity-
+    # pinned with its recall measured on the clustered fixture
+    # (tests/test_round12_trained_pq.py, test_round12_clustered_recall,
+    # SCALE.md sixteenth wave).
+    None,
+    "TRAINED-codebook PQ ADC top-k over the at-rest store (the "
+    "production recall tier beside the hash-gated formula tier): "
+    "probes rotate queries with the PERSISTED OPQ rotation and LUT "
+    "against the PERSISTED codebooks — the float corpus is never "
+    "read (plans/lake.py build_trained_pq_store / trained_pq_topk)",
+)
+def q_trained_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.lake import ensure_trained_pq_store, trained_pq_topk
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    path = _trained_pq_store_path(sf_dir)
+    n = e.count()
+    ensure_trained_pq_store(
+        e, path, dims=64, m_sub=8, k_codes=16, max_iter=4,
+        train_stride=max(1, n // 4000),
+    )
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return trained_pq_topk(spark, path, queries, topk=3)
+
+
 @_register(
     "forget_documents_stores",
     f"""
@@ -9893,7 +9949,8 @@ HEADLINE_QUERIES: list[str] = [
     # ANN / retrieval
     "cosine_topk", "ivf_topk_filtered", "lsh_multiprobe_topk",
     "ivf_pq_rerank_top3", "pca_gram_matrix", "kmeans_update_step",
-    "hybrid_rrf_search", "image_phash_pairs",
+    "hybrid_rrf_search", "image_phash_pairs", "trained_pq_adc_top3",
+    "forget_documents_stores",
     # streaming duals + sketches
     "streaming_fold_exact", "streaming_asof_joins_exact",
     "streaming_funnel_joins_exact", "sketch_exact_check",
