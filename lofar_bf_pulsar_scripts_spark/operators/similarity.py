@@ -725,7 +725,16 @@ def kmeans_fit(
     sequential scans — while still spreading seeds across true
     clusters (which naive hash-order seeding does not, stranding Lloyd
     in split/merged local optima). Empty clusters keep their previous
-    centroid."""
+    centroid.
+
+    Train on a SAMPLED slice at codebook-scale k (pass
+    ``corpus.filter(pmod(id, s) == 0)`` — the codebook is a model,
+    not a sketch, and sampling is standard practice): the seeding's
+    candidate scoring is a corpus x ~(2k·log k) crossJoin of
+    interpreted higher-order-function arithmetic, measured in MINUTES
+    at k=64 over a 20k-row corpus (SCALE.md sixteenth wave) — the
+    sampled fit plus a full-corpus kmeans_assign is the shape that
+    holds at 100 TB."""
     spark = corpus.sparkSession
 
     seed_vecs, _ = kmeans_parallel_seeds(
