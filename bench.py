@@ -38,7 +38,7 @@ after-the-fact drift study:
     the top normalized movers — a judge can attribute a shift to the
     machine or to the code from the record alone.
 Totals are reported twice: ``value`` (full registry — the continuous
-series) and ``headline_value`` (registry.HEADLINE_QUERIES, ~56
+series) and ``headline_value`` (registry.HEADLINE_QUERIES, ~58
 structurally distinct plans), because ~40 sub-second micro-gates in
 the full set carry ±1.3x position/JIT classification noise that
 drowns round-over-round reads (r11 VERDICT item 8).

@@ -1938,8 +1938,12 @@ def pq_encode_trained_batch(
                 {id_col: pdf[id_col], "codes": list(codes)}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        enc, schema=f"{id_col} long, codes array<int>"
+    # NULL embeddings have no code (ivf_assign's drop contract) and
+    # would crash np.stack with a 0-d nan array
+    return (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(enc, schema=f"{id_col} long, codes array<int>")
     )
 
 

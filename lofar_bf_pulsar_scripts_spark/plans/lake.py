@@ -249,7 +249,7 @@ def build_trained_pq_store(
     vec_col: str = "embedding",
     quant_scale: float = 1e3,
     max_iter: int = 10,
-    train_stride: int = 1,
+    train_stride: int | str = 1,
 ) -> str:
     """The TRAINED product-quantization store — the production recall
     path (round-11 VERDICT item 3), complementing the hash-gated
@@ -286,10 +286,18 @@ def build_trained_pq_store(
     )
 
     spark = corpus.sparkSession
+    # NULL embeddings have no code (the ivf_assign / gram_matrix
+    # contract): unfiltered they crash the numpy encode's np.stack
+    # and poison the training slice with NULL components
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     g = gram_matrix(
         corpus, dims=dims, vec_col=vec_col, quant_scale=quant_scale
     ).collect()
     w = opq_rotation(g, dims=dims, m_sub=m_sub, quant_scale=quant_scale)
+    if train_stride == "auto":
+        # ~4k training rows; resolved HERE (the one build) so ensure_
+        # callers don't pay a corpus count to parameterize a no-op
+        train_stride = max(1, corpus.count() // 4000)
     # Lloyd's makes MANY passes (seeding rounds + iterations, per
     # subspace) — rotate and materialize the training slice ONCE
     # (``train_stride`` > 1 subsamples it, the standard codebook

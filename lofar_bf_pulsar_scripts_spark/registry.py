@@ -73,6 +73,25 @@ def _lsh_store_path(sf_dir: str, src_table: str = "embeddings", **params) -> str
     return os.path.join(tempfile.gettempdir(), f"lofar_spark_lsh_{key}")
 
 
+def _ensure_band_store(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus MinHash band store's deterministic location, built
+    on first use — ONE helper for every consumer (prebuild_stores,
+    the incremental-CC inputs, the forget gate): a drifted copy of
+    the (nh, k, b, r) parameters would silently build/probe a
+    DIFFERENT store at a different key (round-12 review)."""
+    path = _lsh_store_path(
+        sf_dir, src_table="documents",
+        kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
+    )
+    from .plans.lake import ensure_minhash_bands
+
+    ensure_minhash_bands(
+        load_table(spark, "documents", sf_dir), path,
+        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
+    )
+    return path
+
+
 def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Build every at-rest derived store the registry queries probe
     (LSH signatures, PQ codes, SemDeDup cid-partitioned assignment),
@@ -127,18 +146,8 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out["semdedup_assign"] = round(_time.time() - t0, 3)
 
     # mirrors q_incremental_near_dup: corpus MinHash band store
-    from .plans.lake import ensure_minhash_bands
-
-    d = load_table(spark, "documents", sf_dir)
     t0 = _time.time()
-    ensure_minhash_bands(
-        d,
-        _lsh_store_path(
-            sf_dir, src_table="documents",
-            kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
-        ),
-        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
-    )
+    _ensure_band_store(spark, sf_dir)
     out["minhash_bands"] = round(_time.time() - t0, 3)
 
     # mirrors q_incremental_components: old-80% components store
@@ -153,11 +162,9 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     t0 = _time.time()
     from .plans.lake import ensure_trained_pq_store
 
-    n_e = e.count()
     ensure_trained_pq_store(
         e.select("vec_id", "embedding"), _trained_pq_store_path(sf_dir),
-        dims=64, m_sub=8, k_codes=16, max_iter=4,
-        train_stride=max(1, n_e // 4000),
+        dims=64, m_sub=8, k_codes=16, max_iter=4, train_stride="auto",
     )
     out["trained_pq_store"] = round(_time.time() - t0, 3)
 
@@ -9528,18 +9535,10 @@ def _ensure_incr_components_inputs(spark: SparkSession, sf_dir: str):
     from .operators.pipeline import connected_components
     from .plans.lake import (
         ensure_components_store,
-        ensure_minhash_bands,
         read_components_store,
     )
 
-    band_path = _lsh_store_path(
-        sf_dir, src_table="documents",
-        kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
-    )
-    ensure_minhash_bands(
-        load_table(spark, "documents", sf_dir), band_path,
-        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
-    )
+    band_path = _ensure_band_store(spark, sf_dir)
     pairs = candidate_pairs(spark.read.parquet(band_path), "doc_id")
     # deterministic 80/20 old/new split of the id space: LSH pairs
     # are per-bucket, so old-old pairs from the full band store equal
@@ -9673,10 +9672,11 @@ def q_trained_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     path = _trained_pq_store_path(sf_dir)
-    n = e.count()
+    # train_stride="auto" resolves the corpus count INSIDE the one
+    # build — a warm probe pays a filesystem stat, never a count job
     ensure_trained_pq_store(
         e, path, dims=64, m_sub=8, k_codes=16, max_iter=4,
-        train_stride=max(1, n // 4000),
+        train_stride="auto",
     )
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), "embedding"
@@ -9732,21 +9732,13 @@ def q_forget_documents_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import candidate_pairs
     from .operators.similarity import ivf_assign
     from .plans.lake import (
-        ensure_minhash_bands,
         forget_documents,
         write_embeddings_by_centroid,
     )
 
     d = load_table(spark, "documents", sf_dir)
     e = load_table(spark, "embeddings", sf_dir)
-    band_path = _lsh_store_path(
-        sf_dir, src_table="documents",
-        kind="minhash_bands", nh=_NUM_MINHASH, k=3, b=4, r=2,
-    )
-    ensure_minhash_bands(
-        d, band_path,
-        num_hashes=_NUM_MINHASH, shingle_k=3, bands=4, rows_per_band=2,
-    )
+    band_path = _ensure_band_store(spark, sf_dir)
     edges = candidate_pairs(spark.read.parquet(band_path), "doc_id")
     # ephemeral mutable stores, rebuilt fresh each run at a fixed
     # per-sf location (forgetting mutates them — reusing last run's

@@ -174,6 +174,31 @@ def test_trained_recall_beats_formula_codebook(spark, store):
     assert r_trained > 0.20, r_trained
 
 
+def test_build_tolerates_null_embeddings(spark, tmp_path):
+    """NULL-embedding rows are dropped (the ivf_assign contract), not
+    a np.stack crash inside the Arrow encode pass."""
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        build_trained_pq_store,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(v) for v in rng.standard_normal(DIMS)])
+        for i in range(300)
+    ] + [(999, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    path = str(tmp_path / "pq_null")
+    build_trained_pq_store(df, path, dims=DIMS, m_sub=M_SUB, k_codes=K,
+                           max_iter=2)
+    ids = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(path + "/codes").collect()
+    }
+    assert 999 not in ids and len(ids) == 300
+
+
 def test_store_rejects_indivisible_dims(spark, store):
     _, df, _ = store
     with pytest.raises(ValueError, match="not divisible"):
