@@ -9642,8 +9642,12 @@ def q_delete_closure_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trained_pq_store_path(sf_dir: str) -> str:
+    # EVERY training parameter is part of the key: ensure_* is
+    # first-build-wins, so a param left out (e.g. max_iter) would
+    # silently keep probing a store trained under the OLD value
     return _lsh_store_path(
         sf_dir, kind="trained_pq", dims=64, m_sub=8, k_codes=16,
+        mi=4, ts="auto",
     )
 
 
