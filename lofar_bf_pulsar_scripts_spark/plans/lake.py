@@ -317,8 +317,14 @@ def build_trained_pq_store(
     )
     codes = pq_encode_trained_batch(
         corpus, w, books, id_col=id_col, vec_col=vec_col
+    ).withColumn("pbucket", _pq_codes_bucket(id_col))
+    (
+        codes.repartition(F.col("pbucket"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+        .partitionBy("pbucket")
+        .parquet(os.path.join(path, "codes"))
     )
-    write_scan_parallel(codes, os.path.join(path, "codes"))
     model_rows = [
         ("rotation", i, 0, row) for i, row in enumerate(w)
     ] + [
@@ -332,6 +338,49 @@ def build_trained_pq_store(
         os.path.join(path, "model")
     )
     return path
+
+
+def _pq_codes_bucket(id_col: str, n_buckets: int = 64):
+    """The trained-PQ codes store's id-hash partition expression —
+    spec-stable xxhash64 (same rationale as the components store's
+    cbucket), so right-to-be-forgotten deletes and batch upserts
+    touch only the buckets holding the affected ids instead of
+    rewriting the whole codes store."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_buckets))).cast(
+        "int"
+    )
+
+
+def upsert_trained_pq(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into the trained-PQ codes store: encode the
+    batch with the PERSISTED model (rotation + codebooks — encoding a
+    batch under a retrained model would mix geometries in one store)
+    and append into its id-hash bucket directories; the at-rest codes
+    pay nothing.  Same-id semantics are APPEND, like the vector
+    store's upsert — dedupe upstream or compact.  Periodically
+    retrain + rebuild when the corpus distribution drifts (the
+    codebook is a model); between rebuilds, upsert."""
+    spark = batch.sparkSession
+    from ..operators.similarity import pq_encode_trained_batch
+
+    w, books = read_trained_pq_model(spark, path)
+    import os
+
+    enc = pq_encode_trained_batch(
+        batch, w, books, id_col=id_col, vec_col=vec_col
+    ).withColumn("pbucket", _pq_codes_bucket(id_col))
+    (
+        enc.repartition(F.col("pbucket"))
+        .write.mode("append")
+        .option("parquet.block.size", STORE_ROWGROUP_BYTES)
+        .partitionBy("pbucket")
+        .parquet(os.path.join(path, "codes"))
+    )
 
 
 def ensure_trained_pq_store(corpus: DataFrame, path: str, **kwargs) -> str:
@@ -1867,6 +1916,7 @@ def forget_documents(
     vec_partition_col: str = "cid",
     text_col: str = "text",
     max_iter: int = 20,
+    pq_store: str | None = None,
     **near_dup_kwargs,
 ) -> dict:
     """The COMPLETE right-to-be-forgotten plan: expand the requested
@@ -1874,26 +1924,32 @@ def forget_documents(
     then delete the closure from the document shard store AND — when
     ``vec_store`` is given — from the cid-partitioned embedding store
     (doc ids and vec ids share the id space in this engine, as the
-    hybrid/ANN gates assume).  Forgetting is incomplete if either a
-    near-copy of the text survives under another id, or the
-    document's embedding keeps answering ANN probes after the text
-    is gone; this plan closes both in one call, each store rewritten
-    only in its touched partitions with its Bloom sidecar refreshed.
+    hybrid/ANN gates assume) AND — when ``pq_store`` is given — from
+    the trained-PQ codes store (build_trained_pq_store's layout: a
+    compressed CODE of a forgotten document still answers ADC probes
+    after the text and the float vector are gone — every derived
+    representation must forget).  Forgetting is incomplete if a
+    near-copy of the text survives under another id or any
+    representation keeps answering queries; this plan closes all of
+    them in one call, each store rewritten only in its touched
+    partitions (id-hash ``pbucket`` dirs for the codes store) with
+    its Bloom sidecar refreshed where one exists.
 
     ``edges`` as in delete_with_closure: a precomputed near-dup edge
     graph (the band store's candidates — zero corpus scan), or None
     to compute verified edges from the doc store's text ad hoc.
 
     Returns {"requested", "closure", "docs": <doc-store report>,
-    "vectors": <vector-store report or None>}."""
+    "vectors": <vector-store report or None>, "pq_codes":
+    <codes-store report or None>}."""
     idvals = list(ids)
     if not idvals:
+        empty = {"deleted": 0, "shards_rewritten": []}
         return {
             "requested": 0, "closure": 0,
-            "docs": {"deleted": 0, "shards_rewritten": []},
-            "vectors": None if vec_store is None else {
-                "deleted": 0, "shards_rewritten": []
-            },
+            "docs": dict(empty),
+            "vectors": None if vec_store is None else dict(empty),
+            "pq_codes": None if pq_store is None else dict(empty),
         }
     if any(v is None for v in idvals):
         raise ValueError("forget_documents: NULL in the deletion ids")
@@ -1929,9 +1985,18 @@ def forget_documents(
             spark, vec_store, expanded,
             id_col=vec_id_col, partition_col=vec_partition_col,
         )
+    pq_report = None
+    if pq_store is not None:
+        import os
+
+        pq_report = delete_from_shards(
+            spark, os.path.join(pq_store, "codes"), expanded,
+            id_col=vec_id_col, partition_col="pbucket",
+        )
     return {
         "requested": len(set(idvals)),
         "closure": len(expanded),
         "docs": doc_report,
         "vectors": vec_report,
+        "pq_codes": pq_report,
     }

@@ -9647,7 +9647,7 @@ def _trained_pq_store_path(sf_dir: str) -> str:
     # silently keep probing a store trained under the OLD value
     return _lsh_store_path(
         sf_dir, kind="trained_pq", dims=64, m_sub=8, k_codes=16,
-        mi=4, ts="auto",
+        mi=4, ts="auto", layout="pb64",
     )
 
 

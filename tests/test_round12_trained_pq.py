@@ -205,6 +205,87 @@ def test_store_rejects_indivisible_dims(spark, store):
         pq_train_codebooks(df, DIMS, m_sub=5)
 
 
+def test_trained_pq_lifecycle_upsert_and_forget(spark, tmp_path):
+    """The codes store is lifecycle-complete: a batch upserts through
+    the PERSISTED model, and right-to-be-forgotten removes a doc's
+    compressed code (the third derived representation) through the
+    same touched-partition delete path — untouched pbucket dirs keep
+    their files byte-identical."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from lofar_bf_pulsar_scripts_spark.plans.lake import (
+        build_trained_pq_store,
+        forget_documents,
+        trained_pq_topk,
+        upsert_trained_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    base = [
+        (int(i), [float(v) for v in rng.standard_normal(DIMS)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(base, "vec_id bigint, embedding array<float>")
+    pq_path = str(tmp_path / "pq")
+    build_trained_pq_store(df, pq_path, dims=DIMS, m_sub=M_SUB, k_codes=K,
+                           max_iter=2)
+    # upsert a new batch encoded under the persisted model
+    batch = spark.createDataFrame(
+        [(1000, base[0][1])], "vec_id bigint, embedding array<float>"
+    )
+    upsert_trained_pq(batch, pq_path)
+    codes = spark.read.parquet(pq_path + "/codes")
+    row = {int(r["vec_id"]): list(r["codes"]) for r in codes.collect()}
+    assert row[1000] == row[0]  # identical vector -> identical code
+    # forget id 0 across doc store + pq codes store
+    doc_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text {i}", i % 4) for i in range(400)],
+        "doc_id bigint, text string, shard int",
+    ).write.partitionBy("shard").parquet(doc_path)
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(pq_path + "/codes/**/*.parquet", recursive=True)
+    }
+    rep = forget_documents(
+        spark, doc_path, [0], vec_store=None, edges=edges,
+        pq_store=pq_path,
+    )
+    assert rep["pq_codes"]["deleted"] == 1
+    left = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(pq_path + "/codes").collect()
+    }
+    assert 0 not in left and 1000 in left and len(left) == 400
+    # the forgotten id answers no ADC probe
+    q = spark.createDataFrame(
+        [(7777, base[0][1])], "qid bigint, embedding array<float>"
+    )
+    hits = {
+        int(r["vec_id"])
+        for r in trained_pq_topk(spark, pq_path, q, topk=5).collect()
+    }
+    assert 0 not in hits and 1000 in hits
+    # untouched pbucket dirs kept their files byte-identical
+    touched = {
+        f"pbucket={b}" for b in rep["pq_codes"]["shards_rewritten"]
+    }
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(pq_path + "/codes/**/*.parquet", recursive=True)
+    }
+    untouched = [
+        f for f in before if not any(t in f for t in touched)
+    ]
+    assert untouched
+    for f in untouched:
+        assert f in after and after[f] == before[f]
+
+
 def test_model_roundtrip_shapes(spark, store):
     _, _, path = store
     w, books = read_trained_pq_model(spark, path)
