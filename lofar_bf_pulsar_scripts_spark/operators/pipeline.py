@@ -836,12 +836,13 @@ def merge_components_incremental(
     produces.  Gated by value equality against the full-graph
     transitive closure (incremental_components).
 
-    Scale shape: ONE corpus-scale equi-join (the contraction probes
-    the label store with the batch's endpoints — bucket the store by
-    node to co-locate it), a batch-sized CC, and a BROADCAST relabel
-    join (touched components only — request-sized); untouched
-    components keep their rows verbatim.  A nightly batch costs its
-    own edges, not the 100 TB graph's.  New nodes are flagged DURING
+    Scale shape: ONE corpus-scale SCAN (the contraction prunes the
+    label store with a broadcast semi-join on the batch's endpoints —
+    no store shuffle at any size, see _merge_components_parts), a
+    batch-sized CC, and a BROADCAST relabel join (touched components
+    only — request-sized); untouched components keep their rows
+    verbatim.  A nightly batch costs its own edges, not the 100 TB
+    graph's.  New nodes are flagged DURING
     the contraction probe (an endpoint whose label lookup missed —
     __cs/__cd IS NULL — is by definition not in the store, while a
     hit contracts to a stored label, which IS a store node), so no
@@ -892,19 +893,38 @@ def _merge_components_parts(
       __cs/__cd IS NULL — is by definition a node not in the store),
       never via an anti-join against the corpus-scale node column.
 
-    The probed batch is localCheckpoint'd (eager, batch-sized) so the
-    ONE corpus-scale equi-join runs once however many consumers read
-    the parts."""
-    lab_s = stored.select(
-        F.col(node_col).alias(src_col), F.col(comp_col).alias("__cs")
+    Scale shape of the probe (round-12 plan audit): the store is
+    pruned FIRST with a broadcast LEFT-SEMI join on the batch's
+    endpoint set — a left-outer join of the batch against the raw
+    store can only broadcast its BUILD (store) side, so past the
+    broadcast threshold Catalyst would fall back to an SMJ that
+    SHUFFLES the corpus-scale label store; the semi form keeps the
+    corpus-side work at ONE scan (no exchange) at any store size,
+    with only batch-sized frames broadcast.  The pruned label map and
+    the probed batch are localCheckpoint'd (eager, batch-sized) so
+    the scan runs once however many consumers read the parts."""
+    endpoints = (
+        new_edges.select(F.col(src_col).alias("__n"))
+        .unionByName(new_edges.select(F.col(dst_col).alias("__n")))
+        .distinct()
     )
-    lab_d = stored.select(
-        F.col(node_col).alias(dst_col), F.col(comp_col).alias("__cd")
+    lab = (
+        stored.select(
+            F.col(node_col).alias("__n"), F.col(comp_col).alias("__c")
+        )
+        .join(F.broadcast(endpoints), "__n", "left_semi")
+        .localCheckpoint()
+    )
+    lab_s = lab.select(
+        F.col("__n").alias(src_col), F.col("__c").alias("__cs")
+    )
+    lab_d = lab.select(
+        F.col("__n").alias(dst_col), F.col("__c").alias("__cd")
     )
     probed = (
         new_edges.select(src_col, dst_col)
-        .join(lab_s, src_col, "left")
-        .join(lab_d, dst_col, "left")
+        .join(F.broadcast(lab_s), src_col, "left")
+        .join(F.broadcast(lab_d), dst_col, "left")
         .localCheckpoint()
     )
     contracted = probed.select(

@@ -547,7 +547,8 @@ def merge_components_store(
     (pipeline._merge_components_parts), so the persisted merge and the
     oracle-gated in-memory merge cannot drift.
 
-    Scale shape: ONE corpus-scale equi-join (the contraction probe),
+    Scale shape: ONE corpus-scale scan (the contraction probe's
+    broadcast-semi store prune — no store shuffle at any size),
     a batch-sized CC, then a partition-pruned read of ONLY the
     buckets that hold a touched component's members or will receive a
     merged label / new cluster — sum-of-touched-bucket-sizes IO, the

@@ -9575,8 +9575,8 @@ def _ensure_incr_components_inputs(spark: SparkSession, sf_dir: str):
     # nightly pays.
     _dup_clusters_oracle(),
     "incremental connected components over the AT-REST stores: "
-    "contract stored labels (one equi-join against the components "
-    "store), CC over the CONTRACTED batch edges (edge-bounded, "
+    "contract stored labels (one broadcast-semi SCAN of the components "
+    "store — never a store shuffle), CC over the CONTRACTED batch edges (edge-bounded, "
     "driver union-find path), broadcast relabel of touched "
     "components — a nightly batch costs its own edges, never the "
     "100 TB graph (pipeline.merge_components_incremental; "
