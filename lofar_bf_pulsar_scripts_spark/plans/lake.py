@@ -73,6 +73,46 @@ def explain_string(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _store_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for a store path through the Hadoop
+    FileSystem API — the only existence/delete/rename spelling that
+    holds for URI-form paths (file://, hdfs://, s3a://).  Driver-local
+    os.path/shutil on those silently reads False, rebuilds the store
+    on every call, and then fails in os.replace only AFTER the
+    expensive build (round-12 ADVICE)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _store_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _remove_store_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the FileSystem API, loud on a failure
+    reported by return value (some implementations never throw)."""
+    fs, hpath = _store_fs(spark, path)
+    if fs.exists(hpath) and not fs.delete(hpath, True):
+        raise RuntimeError(f"failed to remove store directory {path}")
+
+
+def _swap_store_into_place(spark: SparkSession, tmp: str, path: str) -> None:
+    """Promote a fully-built tmp dir over the store path: delete any
+    stale target, then rename.  Atomic on HDFS/local (one namenode op
+    / one rename(2)); on S3A rename is a copy and the first-build-wins
+    ensure_* protocol additionally needs an external build lock —
+    callers on object stores should build once from one job."""
+    fs, hpath = _store_fs(spark, path)
+    tpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(hpath) and not fs.delete(hpath, True):
+        raise RuntimeError(f"failed to remove stale store at {path}")
+    if not fs.rename(tpath, hpath):
+        raise RuntimeError(f"failed to promote {tmp} into {path}")
+
+
 def write_embeddings_by_centroid(
     assigned: DataFrame,
     path: str,
@@ -108,16 +148,12 @@ def ensure_embeddings_by_centroid(
     calls are a no-op. This is the at-rest assignment SemDeDup and
     IVF probes share: the kmeans/ivf assign is paid once at ingest,
     every downstream consumer gets a partition-prunable scan."""
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + ".tmp"
+    spark = assigned.sparkSession
+    if not _store_exists(spark, path.rstrip("/") + "/_SUCCESS"):
+        tmp = path.rstrip("/") + ".tmp"
+        _remove_store_dir(spark, tmp)
         write_embeddings_by_centroid(assigned, tmp, centroid_col)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_store_into_place(spark, tmp, path)
     return path
 
 
@@ -176,16 +212,12 @@ def ensure_lsh_signatures(
     """Build the at-rest LSH signature store once (atomic: write to a
     tmp dir, rename into place); later calls are a no-op. Returns the
     path."""
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + ".tmp"
+    spark = corpus.sparkSession
+    if not _store_exists(spark, path.rstrip("/") + "/_SUCCESS"):
+        tmp = path.rstrip("/") + ".tmp"
+        _remove_store_dir(spark, tmp)
         write_lsh_signatures(corpus, tmp, **kwargs)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_store_into_place(spark, tmp, path)
     return path
 
 
@@ -226,16 +258,12 @@ def ensure_minhash_bands(
 ) -> str:
     """Build the at-rest MinHash band store once (atomic tmp-dir
     rename, first build wins); later calls are a no-op."""
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + ".tmp"
+    spark = docs.sparkSession
+    if not _store_exists(spark, path.rstrip("/") + "/_SUCCESS"):
+        tmp = path.rstrip("/") + ".tmp"
+        _remove_store_dir(spark, tmp)
         write_minhash_bands(docs, tmp, **kwargs)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_store_into_place(spark, tmp, path)
     return path
 
 
@@ -386,18 +414,12 @@ def upsert_trained_pq(
 def ensure_trained_pq_store(corpus: DataFrame, path: str, **kwargs) -> str:
     """Build the trained PQ store once (atomic tmp-dir rename, first
     build wins); later calls are a no-op."""
-    import os
-
-    if not os.path.exists(os.path.join(path, "model", "_SUCCESS")):
-        tmp = path + ".tmp"
-        import shutil
-
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+    spark = corpus.sparkSession
+    if not _store_exists(spark, path.rstrip("/") + "/model/_SUCCESS"):
+        tmp = path.rstrip("/") + ".tmp"
+        _remove_store_dir(spark, tmp)
         build_trained_pq_store(corpus, tmp, **kwargs)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_store_into_place(spark, tmp, path)
     return path
 
 
@@ -504,18 +526,23 @@ def ensure_components_store(comp, path: str, **kwargs) -> str:
     the full clustering on every ensure even when the store already
     exists — the thunk defers that work to the one build that needs
     it."""
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    spark = (
+        comp.sparkSession
+        if isinstance(comp, DataFrame)
+        else SparkSession.getActiveSession()
+    )
+    if spark is None:
+        raise RuntimeError(
+            "ensure_components_store with a thunk needs an active "
+            "SparkSession to probe the store path"
+        )
+    if not _store_exists(spark, path.rstrip("/") + "/_SUCCESS"):
         if callable(comp):
             comp = comp()
-        tmp = path + ".tmp"
+        tmp = path.rstrip("/") + ".tmp"
+        _remove_store_dir(spark, tmp)
         write_components_store(comp, tmp, **kwargs)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_store_into_place(spark, tmp, path)
     return path
 
 
@@ -669,16 +696,12 @@ def ensure_pq_codes(
 ) -> str:
     """Build the at-rest PQ code store once (atomic tmp+rename, same
     protocol as ensure_lsh_signatures); later calls are a no-op."""
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + ".tmp"
+    spark = assigned.sparkSession
+    if not _store_exists(spark, path.rstrip("/") + "/_SUCCESS"):
+        tmp = path.rstrip("/") + ".tmp"
+        _remove_store_dir(spark, tmp)
         write_pq_codes(assigned, tmp, **kwargs)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_store_into_place(spark, tmp, path)
     return path
 
 
