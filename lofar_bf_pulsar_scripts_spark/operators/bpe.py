@@ -96,18 +96,50 @@ def learn_bpe_merges(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    driver_vocab_limit: int = 1_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list and the final (word, freq, syms) segmentation
     table. Ties break deterministically (count desc, then (a, b)
-    lexicographic) so the result is partition-invariant."""
+    lexicographic) so the result is partition-invariant.
+
+    DISPATCH (round-12 VERDICT item 5): the corpus-scale work of BPE
+    is the ONE word_types aggregation — the training table it yields
+    is vocabulary-sized (Zipf-bounded, a few MB for natural
+    language), so the standard route trains the merge loop ON THE
+    DRIVER over the collected (word, freq) table: a 32k-merge vocab
+    is 32k dict passes, not 32k Spark jobs.  The distributed
+    per-merge loop (one pair-count shuffle + a 1-row collect per
+    iteration) remains the fallback for the pathological case of a
+    word-type table past ``driver_vocab_limit`` rows (byte-garbage
+    corpora, no whitespace segmentation); both paths share the same
+    tokenization (the table is computed by Spark either way) and the
+    same tie-break, so they produce identical merges — parity is
+    test-pinned (merges AND final segmentations).  Pass
+    ``driver_vocab_limit=0`` to force the distributed loop.  Measured
+    at the sf0.01 documents table, 24 merges, local[8]: 6.1 s
+    dispatched vs 13.2 s distributed — ~0.29 s/merge of pure job
+    overhead, which at a real 32k-merge vocab is ~2.6 HOURS of
+    scheduling against seconds of driver dict work (SCALE.md wave
+    17)."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
-    syms_df = word_types(df, text_col).select(
+    wt = word_types(df, text_col).localCheckpoint()
+    if driver_vocab_limit:
+        head = wt.take(driver_vocab_limit + 1)
+        if len(head) <= driver_vocab_limit:
+            freqs = {r["word"]: int(r["freq"]) for r in head}
+            merges, segs = _local_merges_from_freqs(freqs, n_merges)
+            syms_df = df.sparkSession.createDataFrame(
+                [(w, freqs[w], segs[w]) for w in sorted(freqs)],
+                "word string, freq long, syms array<string>",
+            )
+            return merges, syms_df
+    syms_df = wt.select(
         "word", "freq", _chars(F.col("word")).alias("syms")
     )
     syms_df = syms_df.localCheckpoint()
-    merges: list[tuple[str, str]] = []
+    merges = []
     for it in range(n_merges):
         top = (
             pair_counts(syms_df)
@@ -127,16 +159,13 @@ def learn_bpe_merges(
     return merges, syms_df
 
 
-def learn_bpe_merges_local(
-    corpus: list[str], n_merges: int
-) -> list[tuple[str, str]]:
-    """Pure-Python reference BPE trainer (same tokenization, same
-    tie-break) for parity tests."""
-    freqs: dict[str, int] = {}
-    for text in corpus:
-        for w in (text or "").strip().lower().split():
-            if w:
-                freqs[w] = freqs.get(w, 0) + 1
+def _local_merges_from_freqs(
+    freqs: dict, n_merges: int
+) -> tuple[list[tuple[str, str]], dict]:
+    """Driver-side BPE merge loop over a (word -> freq) table —
+    shared by learn_bpe_merges' dispatch path and the list-of-texts
+    reference trainer.  Same tie-break as the distributed loop
+    (count desc, (a, b) lexicographic).  Returns (merges, segs)."""
     segs = {w: list(w) for w in freqs}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -158,6 +187,20 @@ def learn_bpe_merges_local(
                 else:
                     out.append(x)
             segs[w] = out
+    return merges, segs
+
+
+def learn_bpe_merges_local(
+    corpus: list[str], n_merges: int
+) -> list[tuple[str, str]]:
+    """Pure-Python reference BPE trainer (same tokenization, same
+    tie-break) for parity tests."""
+    freqs: dict[str, int] = {}
+    for text in corpus:
+        for w in (text or "").strip().lower().split():
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges, _ = _local_merges_from_freqs(freqs, n_merges)
     return merges
 
 

@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1865,7 +1865,19 @@ def pq_encode_trained(vec: Column, codebooks: list) -> Column:
     literal is BOUND once per row via the transform(array(..))[0]
     trick (the same pitfall-1 discipline as pq_encode's qv binding).
     Pure per-row projection: a 100 TB encode is a scan+project, same
-    shape as the formula-codebook pq_encode."""
+    shape as the formula-codebook pq_encode.
+
+    Tie contract vs pq_encode_trained_batch: both break DISTANCE ties
+    to the smaller code, but the two forms sum the subvector distance
+    in different orders (an interpreted left fold here, a vectorized
+    numpy reduction there), so two candidate distances are only
+    guaranteed to compare equal up to float associativity — a
+    near-tie (|d1-d2| within a few ULPs) MAY encode differently
+    between the forms.  Exact agreement holds when distances are
+    exactly representable or separated beyond rounding (the parity
+    test's fixtures); consumers needing bit-stable codes across forms
+    must encode through ONE form, which the store build does (batch
+    form only)."""
     m_sub = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -1901,6 +1913,7 @@ def pq_encode_trained_batch(
     codebooks: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Arrow-batched rotate+encode for the TRAINED store build: ONE
     mapInPandas corpus pass computes X @ W^T and the per-subspace
@@ -1911,8 +1924,15 @@ def pq_encode_trained_batch(
     candidate; vectorized numpy is the production shape for this
     much per-row float math, exactly the §2.10 Arrow-batch boundary).
     Ties break to the smallest code (np.argmin), matching the column
-    form — cross-parity is test-pinned on the anisotropic fixture.
-    Returns (id_col long, codes array<int>)."""
+    form UP TO FLOAT ASSOCIATIVITY — the two forms sum subvector
+    distances in different orders, so a near-tie within rounding may
+    encode differently (see pq_encode_trained's tie contract); cross-
+    parity is test-pinned on the anisotropic fixture, and the store
+    build uses this form exclusively so at-rest codes are self-
+    consistent.  ``passthrough`` columns (e.g. an IVF cid) ride the
+    Arrow batch untouched — carrying them HERE is free, joining them
+    back by id afterwards would shuffle the corpus.  Returns (id_col
+    long, codes array<int>, *passthrough)."""
     import numpy as np
     import pandas as pd
 
@@ -1934,16 +1954,24 @@ def pq_encode_trained_batch(
                 seg = xr[:, m * sub:(m + 1) * sub]
                 d = ((seg[:, None, :] - cents[m][None]) ** 2).sum(-1)
                 codes[:, m] = d.argmin(1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+        + [df.schema[c] for c in passthrough]
+    )
     # NULL embeddings have no code (ivf_assign's drop contract) and
     # would crash np.stack with a 0-d nan array
     return (
-        df.select(id_col, vec_col)
+        df.select(id_col, vec_col, *passthrough)
         .filter(F.col(vec_col).isNotNull())
-        .mapInPandas(enc, schema=f"{id_col} long, codes array<int>")
+        .mapInPandas(enc, schema=out_schema)
     )
 
 

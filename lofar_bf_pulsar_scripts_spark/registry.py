@@ -175,6 +175,19 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ivf_assign(e, cent8), _lsh_store_path(sf_dir, kind="ivf_cid", ncent=8)
     )
     out["ivf_cid_store"] = round(_time.time() - t0, 3)
+
+    # mirrors q_trained_ivf_pq_rerank_top3: trained coarse quantizer
+    # + OPQ/Lloyd PQ model + cid-partitioned codes & vectors tiers
+    t0 = _time.time()
+    from .plans.lake import ensure_trained_ivf_pq_store
+
+    ensure_trained_ivf_pq_store(
+        e.select("vec_id", "embedding"),
+        _trained_ivf_pq_store_path(sf_dir),
+        dims=64, n_centroids=16, m_sub=8, k_codes=16,
+        max_iter=4, kmeans_iter=4, train_stride="auto",
+    )
+    out["trained_ivf_pq_store"] = round(_time.time() - t0, 3)
     return out
 
 
@@ -9688,6 +9701,61 @@ def q_trained_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trained_pq_topk(spark, path, queries, topk=3)
 
 
+def _trained_ivf_pq_store_path(sf_dir: str) -> str:
+    # EVERY training parameter is part of the key (the trained-PQ
+    # store discipline): a param left out would silently keep probing
+    # a store built under the OLD value
+    return _lsh_store_path(
+        sf_dir, kind="trained_ivf_pq", dims=64, nc=16, m_sub=8,
+        k_codes=16, mi=4, ki=4, ts="auto", layout="cid",
+    )
+
+
+@_register(
+    "trained_ivf_pq_rerank_top3",
+    # rows-only BY DESIGN: both quantizer tiers are TRAINED (k-means||
+    # + Lloyd coarse centroids deciding the partition layout, OPQ
+    # rotation + Lloyd codebooks deciding the codes) — training is not
+    # SQL-expressible, so no DuckDB oracle can re-derive the store.
+    # The hash-gated companion is ivf_pq_rerank_top3 (the same staged
+    # prune -> ADC-shortlist -> exact-rerank plan over closed-form
+    # centroids and the formula codebook); the trained path's encode
+    # is numpy-parity-pinned and its recall measured on the clustered
+    # fixture (tests/test_round13_trained_ivf_pq.py, SCALE.md wave 17).
+    None,
+    "IVF-pruned TRAINED-PQ retrieve-then-rerank over the at-rest "
+    "store — the production ANN serving stack with no corpus-linear "
+    "tier left: nprobe partition pruning (PartitionFilters on the "
+    "cid-partitioned code store), ADC scoring against the PERSISTED "
+    "rotation+codebooks, exact cosine rerank of the shortlist only "
+    "(plans/lake.py build_trained_ivf_pq_store / "
+    "trained_ivf_pq_rerank_topk)",
+)
+def q_trained_ivf_pq_rerank_top3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .plans.lake import (
+        ensure_trained_ivf_pq_store,
+        trained_ivf_pq_rerank_topk,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    path = _trained_ivf_pq_store_path(sf_dir)
+    ensure_trained_ivf_pq_store(
+        e, path, dims=64, n_centroids=16, m_sub=8, k_codes=16,
+        max_iter=4, kmeans_iter=4, train_stride="auto",
+    )
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = trained_ivf_pq_rerank_topk(
+        spark, path, queries, topk=3, nprobe=4, shortlist=50
+    )
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"))
+
+
 @_register(
     "forget_documents_stores",
     f"""
@@ -9946,7 +10014,7 @@ HEADLINE_QUERIES: list[str] = [
     "cosine_topk", "ivf_topk_filtered", "lsh_multiprobe_topk",
     "ivf_pq_rerank_top3", "pca_gram_matrix", "kmeans_update_step",
     "hybrid_rrf_search", "image_phash_pairs", "trained_pq_adc_top3",
-    "forget_documents_stores",
+    "trained_ivf_pq_rerank_top3", "forget_documents_stores",
     # streaming duals + sketches
     "streaming_fold_exact", "streaming_asof_joins_exact",
     "streaming_funnel_joins_exact", "sketch_exact_check",
