@@ -9873,7 +9873,7 @@ def q_forget_documents_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verifies this mechanically. Tail entries remain verified by the
 # strict local replica every round.
 _TAIL: tuple[str, ...] = (
-    # Round 12: empty — _PROMOTE holds exactly 50 names, so every
+    # Round 13: empty — _PROMOTE holds exactly 50 names, so every
     # non-promoted spec already sits past the driver window by
     # construction (front is the whole head).  Kept as the mechanism
     # for future rounds where _PROMOTE runs short.
@@ -9886,69 +9886,74 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions above fund the
 # slots).
 #
-# Round-12 plan: exactly 50 names = the whole driver window.  The
-# changed/new set (check_window.py vs 056cab9): incremental_components
-# (fn rewritten over the at-rest band + components stores) and the
-# NEW forget_documents_stores; delete_closure_ids stays in (it shares
-# _CLOSURE_SEEDS and the closure path with the new gate).  The other
-# 47 slots execute r11 VERDICT item 7 verbatim: the longest-unrotated
-# cohort — every r10-era green that has sat in _TAIL since round 11
-# (wijnholds_channel_calibration, ivf_topk_filtered,
-# streaming_asof_joins_exact, and the rest) re-enters the window.
-# Funded by demoting the 47 r11-window greens (their CORRECTNESS_r11
-# rows are the freshest in the repo, all green, gates byte-identical
-# since — check_window confirms only the two names above changed).
+# Round-13 plan: exactly 50 names = the whole driver window, all
+# hash-gated (zero rows-only slots, as in r12).  The changed set
+# (check_window.py vs 8d6588d, the r12-end commit) is 8 oracle-
+# bearing gates — forget_documents_stores, hybrid_rrf_search,
+# incremental_near_dup, ivf_pq_stored_top3, ivf_topk_filtered,
+# lsh_ann_topk_stored, lsh_recall_at_5, semantic_dedup_stats — all
+# touched through the Hadoop-FS ensure_* retrofit and the forget
+# extension; the NEW trained_ivf_pq_rerank_top3 and the changed
+# trained_pq_adc_top3 are rows-only by design (exempt; their content
+# checks are the pytest recall/parity/exhaustive-equality pins plus
+# the hash-gated companions ivf_pq_rerank_top3 / pq_adc_top3).  The
+# other 42 slots continue the rotation discipline (r11 item 7): the
+# longest-unrotated cohort = the r11-window greens demoted to fund
+# the r12 window, in r11 order; quality_dedup_keep and the two
+# rows-only specs are the three cut to fit 50.  Funded by demoting
+# the 50 r12-window greens — byte-identical since r12 except the 8
+# re-gated above (check_window confirms).
 _PROMOTE: tuple[str, ...] = (
     "forget_documents_stores",
-    "incremental_components",
-    "delete_closure_ids",
-    "acf_hourly",
-    "auto_off_window",
-    "band_averaged_tsky",
-    "catalog_union",
-    "channel_sefd",
-    "cube_pricing",
-    "detrend_events",
-    "dup_clusters",
-    "embedding_near_dups",
-    "embedding_quantize",
-    "file_placement",
-    "flux_spectrum",
-    "frame_offsets",
-    "hash_split_counts",
-    "hier_assign_agreement",
-    "hierarchical_assign_counts",
-    "ivf_pq_rerank_top3",
+    "hybrid_rrf_search",
+    "incremental_near_dup",
     "ivf_pq_stored_top3",
-    "ivf_pq_top3",
-    "ivf_topk",
     "ivf_topk_filtered",
-    "kmeans_update_step",
-    "local_supplier_volume",
-    "lsh_bucket_sizes",
-    "lta_superquery_manifest",
-    "nearest_supplier",
-    "ngram_jaccard_pairs",
-    "off_window_stats",
-    "orders_without_lineitems",
-    "payload_metadata",
-    "polyco_fold",
-    "pq_code_histogram",
-    "regex_filter_parts",
-    "rfi_zap_fraction",
-    "rollup_pricing",
-    "running_revenue",
-    "salted_event_type_volume",
+    "lsh_ann_topk_stored",
+    "lsh_recall_at_5",
     "semantic_dedup_stats",
-    "shipping_priority",
-    "simhash_docs",
-    "streaming_asof_joins_exact",
-    "token_stats",
-    "top_customer_per_nation",
-    "tsky_map_lookup",
-    "tsky_scaled",
-    "wijnholds_aeff_lookup",
-    "wijnholds_channel_calibration",
+    "doc_chunks",
+    "url_canonical",
+    "vocab_coverage",
+    "bpe_token_counts",
+    "text_quality",
+    "language_id",
+    "minhash_signatures",
+    "source_quota_sample",
+    "stratified_sample",
+    "pca_gram_matrix",
+    "lsh_ann_topk",
+    "pq_adc_top3",
+    "bloom_incremental_screen",
+    "tfidf_top_terms",
+    "domain_blocklist_stats",
+    "shuffle_rank_sample",
+    "acf2d_user_day",
+    "spectral_index",
+    "sketch_exact_check",
+    "qq_normalize_stats",
+    "jones_beam_corr",
+    "psrflux_band_flux",
+    "quality_classifier",
+    "zorder_bucket_stats",
+    "bpe_pair_counts",
+    "json_props_stats",
+    "boilerplate_removal",
+    "bm25_search",
+    "event_funnel",
+    "cohort_retention",
+    "scd2_user_values",
+    "top_session_paths",
+    "period_search",
+    "sky_crossmatch",
+    "harmonic_periodogram",
+    "dm_search",
+    "accel_search",
+    "blind_search_pipeline",
+    "pagerank_buckets",
+    "nearest_sky_match",
+    "single_pulse_cands",
+    "lsh_multiprobe_topk",
 )
 
 

@@ -483,6 +483,35 @@ def recall_probe(
                           "mean_recall_at_k":
                           results["trained_opq_pq_rerank10k"],
                           "k": k}), flush=True)
+    if want & {"pq", "tivfpq"}:
+        # round-13: the STORED composition — IVF partition pruning +
+        # trained-PQ ADC shortlist + exact rerank, all from one store
+        from lofar_bf_pulsar_scripts_spark.plans.lake import (
+            ensure_trained_ivf_pq_store,
+            trained_ivf_pq_rerank_topk,
+        )
+
+        kc = max(16, min(64, n // 500))
+        path = os.path.join(
+            "/tmp",
+            f"recall_probe_tivf_{os.path.basename(sf_dir.rstrip('/'))}_{kc}",
+        )
+        ensure_trained_ivf_pq_store(
+            e, path, dims=dims, n_centroids=kc, m_sub=8,
+            max_iter=max_iter, kmeans_iter=max_iter,
+            train_stride=max(1, n // 4000),
+        )
+        for nprobe in (4, 8):
+            m = f"trained_ivf_pq_rerank_np{nprobe}"
+            results[m] = mean_recall(
+                trained_ivf_pq_rerank_topk(
+                    spark, path, queries, topk=k, nprobe=nprobe,
+                    shortlist=10 * k,
+                ).select("qid", "vec_id")
+            )
+            print(json.dumps({"method": m, "mean_recall_at_k":
+                              results[m], "k": k, "n_centroids": kc}),
+                  flush=True)
     print(json.dumps({"summary": True, "n": n, "k": k, **results}))
 
 
@@ -607,8 +636,8 @@ def main() -> None:
     rc.add_argument("--dims", type=int, default=64)
     rc.add_argument(
         "--methods", default="lsh,ivf,pq",
-        help="comma set of lsh, ivf, ivfpq, tpq (pq = ivfpq+tpq) — "
-        "stage long runs",
+        help="comma set of lsh, ivf, ivfpq, tpq, tivfpq "
+        "(pq = ivfpq+tpq+tivfpq) — stage long runs",
     )
     rc.add_argument("--max-iter", type=int, default=4)
     a = ap.parse_args()
