@@ -385,11 +385,16 @@ def _write_pq_model(
     w: list,
     books: list,
     centroids: list | None = None,
+    residual: bool | None = None,
 ) -> None:
     """Persist the trained model as one model-sized parquet file:
     rotation rows (kind='rotation', m=component), codebook rows
     (kind='codebook', m=subspace, c=code), and — for the IVF-pruned
-    layout — coarse centroid rows (kind='centroid', m=cid)."""
+    layout — coarse centroid rows (kind='centroid', m=cid) plus a
+    (kind='residual', m=0|1) flag recording whether the codes encode
+    x or x - centroid[cid]; the probe MUST honor it (a raw-coded
+    query LUT against residual codes answers with the wrong
+    geometry)."""
     model_rows = [
         ("rotation", i, 0, [float(v) for v in row])
         for i, row in enumerate(w)
@@ -400,7 +405,10 @@ def _write_pq_model(
     ] + [
         ("centroid", int(cid), 0, [float(v) for v in vec])
         for cid, vec in (centroids or [])
-    ]
+    ] + (
+        [("residual", int(bool(residual)), 0, [])]
+        if residual is not None else []
+    )
     spark.createDataFrame(
         model_rows, "kind string, m int, c int, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -543,6 +551,7 @@ def build_trained_ivf_pq_store(
     max_iter: int = 10,
     kmeans_iter: int = 4,
     train_stride: int | str = 1,
+    residual: bool = False,
 ) -> str:
     """The IVF-PRUNED trained-PQ store — the production serving layout
     that closes the last corpus-linear ANN scan (round-12 VERDICT
@@ -602,11 +611,6 @@ def build_trained_ivf_pq_store(
         (int(r["cid"]), [float(v) for v in r[vec_col]])
         for r in cent_df.collect()
     ]
-    w, books = _train_pq_model(
-        corpus, dims, m_sub=m_sub, k_codes=k_codes, id_col=id_col,
-        vec_col=vec_col, quant_scale=quant_scale, max_iter=max_iter,
-        train_stride=train_stride,
-    )
     assigned = kmeans_assign(
         corpus.select(id_col, vec_col),
         spark.createDataFrame(
@@ -614,8 +618,46 @@ def build_trained_ivf_pq_store(
         ),
         id_col=id_col, vec_col=vec_col,
     )
+    if residual:
+        # RESIDUAL coding (the classic IVF-PQ composition): the
+        # codebook spends its k_codes^m_sub cells on x - centroid[cid]
+        # instead of x.  MEASURED OFF by default: on unit-normalized
+        # clustered corpora (cosine serving, the embedding-table
+        # shape) raw coding wins — 20k/100-cluster recall@20 at
+        # nprobe 8: raw 0.39 vs residual 0.35; 4k/20-cluster: raw
+        # 0.82 vs residual 0.74 (SCALE.md wave 17).  Normalization
+        # leaves the residual as large as the vector itself, so the
+        # residual codebook buys no precision and loses the global
+        # comparability raw codes have.  The option stays for
+        # UN-normalized corpora where centers carry most of the
+        # energy — the regime the residual trick is for.  One
+        # broadcast join + a zip_with subtraction, map-side.
+        cb = F.broadcast(
+            spark.createDataFrame(
+                centroids, "cid int, __cvec array<double>"
+            )
+        )
+        enc_input = assigned.join(cb, on="cid").select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__cvec"),
+                lambda x, y: x - y,
+            ).alias(vec_col),
+            "cid",
+        )
+    else:
+        enc_input = assigned.select(id_col, vec_col, "cid")
+    # OPQ rotation + codebooks trained on what the store ENCODES
+    # (residuals in residual mode) — training on raw vectors and
+    # encoding residuals would hand the codebook the wrong geometry
+    w, books = _train_pq_model(
+        enc_input, dims, m_sub=m_sub, k_codes=k_codes, id_col=id_col,
+        vec_col=vec_col, quant_scale=quant_scale, max_iter=max_iter,
+        train_stride=train_stride,
+    )
     codes = pq_encode_trained_batch(
-        assigned, w, books, id_col=id_col, vec_col=vec_col,
+        enc_input, w, books, id_col=id_col, vec_col=vec_col,
         passthrough=("cid",),
     )
     (
@@ -633,7 +675,10 @@ def build_trained_ivf_pq_store(
         .partitionBy("cid")
         .parquet(path.rstrip("/") + "/vectors")
     )
-    _write_pq_model(spark, path, w, books, centroids=centroids)
+    _write_pq_model(
+        spark, path, w, books, centroids=centroids,
+        residual=residual,
+    )
     return path
 
 
@@ -653,10 +698,12 @@ def ensure_trained_ivf_pq_store(
 
 def read_trained_ivf_pq_model(
     spark: SparkSession, path: str
-) -> tuple[list, list, list]:
-    """(rotation, codebooks, centroids) from the store's model file —
-    centroids as (cid, vec) pairs sorted by cid, all driver-side
-    model-sized lists ready to re-embed as plan literals."""
+) -> tuple[list, list, list, bool]:
+    """(rotation, codebooks, centroids, residual) from the store's
+    model file — centroids as (cid, vec) pairs sorted by cid, all
+    driver-side model-sized lists ready to re-embed as plan
+    literals.  ``residual`` defaults False for stores written before
+    the flag existed (their codes encode raw vectors)."""
     rows = spark.read.parquet(path.rstrip("/") + "/model").collect()
     rot = sorted(
         (int(r["m"]), [float(v) for v in r["vec"]])
@@ -678,7 +725,10 @@ def read_trained_ivf_pq_model(
             f"store at {path} carries no coarse centroids — built by "
             "build_trained_pq_store? probe it with trained_pq_topk"
         )
-    return [v for _, v in rot], books, cents
+    residual = any(
+        r["kind"] == "residual" and int(r["m"]) == 1 for r in rows
+    )
+    return [v for _, v in rot], books, cents, residual
 
 
 def trained_ivf_pq_rerank_topk(
@@ -709,7 +759,9 @@ def trained_ivf_pq_rerank_topk(
     PQ quantization error decides the SHORTLIST, never the final
     ranking; recall lost to pruning is the nprobe dial (measured on
     the clustered corpus in tests/test_round13_trained_ivf_pq.py and
-    SCALE.md wave 17).
+    SCALE.md wave 17).  Residual-coded stores (the default build)
+    get a PER-CELL query LUT over rotate(q - centroid[cell]) — the
+    probe honors the store's persisted residual flag either way.
 
     The query side is collected ONCE (probe-request-sized by
     contract — the same bound the broadcast already assumes) and the
@@ -723,13 +775,12 @@ def trained_ivf_pq_rerank_topk(
 
     from ..operators.similarity import (
         cosine,
-        pca_project,
         pq_query_lut_trained,
         two_stage_topk,
     )
     from pyspark.sql import Window
 
-    w, books, cents = read_trained_ivf_pq_model(spark, path)
+    w, books, cents, residual = read_trained_ivf_pq_model(spark, path)
     q_schema = queries.select(query_id_col, vec_col).schema
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
@@ -741,6 +792,7 @@ def trained_ivf_pq_rerank_topk(
         )
     cids = np.asarray([c for c, _ in cents], dtype=np.int64)
     cmat = np.asarray([v for _, v in cents], dtype=np.float64)
+    wnp = np.asarray(w, dtype=np.float64)
     qx = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
     )
@@ -753,34 +805,43 @@ def trained_ivf_pq_rerank_topk(
     dq = 2 * qc - cc[None, :]
     # ranking ties break to the smaller cid: lexsort on (-dq, cid)
     order = np.lexsort((cids[None, :].repeat(len(qx), 0), -dq), axis=-1)
-    probe_pairs = [
-        (r[query_id_col], int(cids[j]))
-        for r, row in zip(qrows, order)
-        for j in row[: int(nprobe)]
-    ]
-    probed_cids = sorted({c for _, c in probe_pairs})
+    # per-(query, probed cell) rotated probe vector, driver-side in
+    # the SAME numpy double arithmetic the store's batch encode used:
+    # in residual mode each probed cell gets its OWN LUT over
+    # rotate(q - centroid[cell]) — the IVF-PQ residual contract; in
+    # raw mode the per-cell rows just repeat rotate(q)
+    probe_rows = []
+    for r, row in zip(qrows, order):
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        for j in row[: int(nprobe)]:
+            base = qv - cmat[j] if residual else qv
+            rv = base @ wnp.T
+            probe_rows.append(
+                (r[query_id_col], int(cids[j]),
+                 [float(x) for x in rv])
+            )
+    probed_cids = sorted({c for _, c, _ in probe_rows})
     # the probed-cid union is bounded by min(|queries| x nprobe,
     # n_centroids) — literal ints that turn BOTH store scans into
-    # static PartitionFilters
-    by_query = spark.createDataFrame(
-        [(q, c) for q, c in probe_pairs],
-        T.StructType(
-            [q_schema[0], T.StructField("cid", T.IntegerType())]
-        ),
-    )
-    rq = pca_project(
-        spark.createDataFrame(qrows, q_schema),
-        w, vec_col=vec_col, out_col="__rot",
-    ).select(
-        F.col(query_id_col),
-        pq_query_lut_trained(F.col("__rot"), books).alias("__lut"),
-    )
-    # rq is a literal local relation — Spark cannot size an
-    # ExistingRDD scan, so without the hint this query-sized join
-    # planned as a full SortMergeJoin (caught by the plan probe)
+    # static PartitionFilters; the probe frame itself is query-sized
+    # literals with the LUT projected in-plan (no join at all — the
+    # earlier two-literal join planned as a SortMergeJoin)
     probe = F.broadcast(
-        by_query.join(F.broadcast(rq), on=query_id_col).select(
-            F.col(query_id_col).alias("__qid"), "cid", "__lut"
+        spark.createDataFrame(
+            probe_rows,
+            T.StructType(
+                [
+                    q_schema[0],
+                    T.StructField("cid", T.IntegerType()),
+                    T.StructField(
+                        "__rq", T.ArrayType(T.DoubleType())
+                    ),
+                ]
+            ),
+        ).select(
+            F.col(query_id_col).alias("__qid"),
+            "cid",
+            pq_query_lut_trained(F.col("__rq"), books).alias("__lut"),
         )
     )
     codes = spark.read.parquet(path.rstrip("/") + "/codes").filter(

@@ -211,7 +211,15 @@ def _band_metrics(
         ((F.col("flux_peak") - F.col("off_mean")) / F.col("off_rms")).alias(
             "snr_peak"
         ),
-        (snr_sum / F.sqrt(weq)).alias("prof_significance"),
+        # Weq = sum(prof)/max(prof) <= 0 happens on pure-noise
+        # profiles (no pulsed flux): the script's numpy sqrt would
+        # emit NaN there; NULL is that semantics spelled so BOTH
+        # engines agree (DuckDB sqrt(neg) ERRORS instead of NaN-ing —
+        # surfaced by the r13 sf0.1 full-registry sweep, where one
+        # synthetic band's profile sum goes negative)
+        F.when(weq > 0, snr_sum / F.sqrt(weq)).alias(
+            "prof_significance"
+        ),
         (snr_sq_sum / F.lit(n - 1.0)).alias("chi2_dof"),
         weq.alias("weff_bins"),
         (F.lit(100.0) * weq / F.lit(n)).alias("duty_cycle_pct"),

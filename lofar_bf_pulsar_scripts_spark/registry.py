@@ -5801,8 +5801,13 @@ _PSR_DELTA_S, _PSR_TRUE_DELTA_S = _psrflux_constants(
                sqrt(true_sefd_sq_sum / n_good) AS real_sefd_jy,
                ((prof_sum - 32.0 * off_mean) / off_rms) / 32.0 AS snr_mean,
                (flux_peak - off_mean) / off_rms AS snr_peak,
-               ((prof_sum - 32.0 * off_mean) / off_rms)
-                 / sqrt(prof_sum / flux_peak) AS prof_significance,
+               -- Weq <= 0 (pure-noise profile) has no defined
+               -- significance: NULL on both engines (numpy would
+               -- NaN, DuckDB sqrt(neg) errors — r13 sf0.1 sweep)
+               CASE WHEN prof_sum / flux_peak > 0
+                    THEN ((prof_sum - 32.0 * off_mean) / off_rms)
+                         / sqrt(prof_sum / flux_peak)
+               END AS prof_significance,
                ((prof_sq_sum - 2.0 * off_mean * prof_sum
                  + 32.0 * off_mean * off_mean) / (off_rms * off_rms))
                  / 31.0 AS chi2_dof,
@@ -9707,7 +9712,7 @@ def _trained_ivf_pq_store_path(sf_dir: str) -> str:
     # a store built under the OLD value
     return _lsh_store_path(
         sf_dir, kind="trained_ivf_pq", dims=64, nc=16, m_sub=8,
-        k_codes=16, mi=4, ki=4, ts="auto", layout="cid",
+        k_codes=16, mi=4, ki=4, ts="auto", layout="cid", res=0,
     )
 
 

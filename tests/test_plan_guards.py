@@ -52,7 +52,7 @@ GUARDS = {
     "forget_documents_stores": (0, 0, 0),
     "training_data_pipeline": (44, 12, 19),
     "trained_pq_adc_top3": (3, 0, 1),
-    "trained_ivf_pq_rerank_top3": (8, 0, 5),
+    "trained_ivf_pq_rerank_top3": (6, 0, 3),
     "delete_closure_ids": (6, 0, 2),
     "dup_clusters": (0, 0, 0),
     "near_dedup_pipeline": (3, 1, 0),

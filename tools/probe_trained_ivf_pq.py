@@ -51,7 +51,10 @@ def main() -> None:
         if not os.path.exists(src):
             build_clustered_embeddings(dst, n, dims=DIMS)
         e = spark.read.parquet(src).select("vec_id", "embedding")
-        kc = max(16, min(64, n // 500))
+        # nlist in the sqrt(n) regime (see scale_probe.recall_probe's
+        # tivfpq note), capped where kmeans_fit's k-means|| seeding
+        # cost turns the probe into a training benchmark
+        kc = max(16, min(100, int(n ** 0.5)))
         store = f"{dst}/tivf_store_{kc}"
         t0 = time.time()
         ensure_trained_ivf_pq_store(

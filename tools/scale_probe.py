@@ -491,15 +491,35 @@ def recall_probe(
             trained_ivf_pq_rerank_topk,
         )
 
-        kc = max(16, min(64, n // 500))
+        # nlist in the sqrt(n) regime (FAISS practice): at fixed
+        # nprobe the probed fraction then SHRINKS as the corpus
+        # grows, which is the whole point of the coarse quantizer —
+        # an undersized nlist (n//500 was first tried: 40 cells over
+        # 100 planted clusters) blends clusters per cell and measured
+        # 0.378 where sqrt-sized cells clear the 0.42 floor
+        kc = max(16, min(100, int(n ** 0.5)))
+        ts = max(1, n // 4000)
+        # EVERY training parameter is in the store key (the registry
+        # discipline): ensure_* is first-build-wins, so a key that
+        # omits kmeans_iter/train_stride silently probes a store
+        # fitted under the OLD values (bit us in this very probe)
         path = os.path.join(
             "/tmp",
-            f"recall_probe_tivf_{os.path.basename(sf_dir.rstrip('/'))}_{kc}",
+            f"recall_probe_tivf_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_{kc}_mi{max_iter}_ki{2 * max_iter}_ts{ts}_res0",
         )
+        # the composed recall is ~(coverage x shortlist quality):
+        # an under-fitted coarse quantizer caps coverage and no
+        # shortlist can recover it (kc=100 at 2k train rows / 4
+        # Lloyd iters measured 0.326 @ np8 where the same kc
+        # well-fitted clears the flat-scan 0.42) — so the coarse fit
+        # gets 4k training rows and 2x the Lloyd iterations; the
+        # k-means|| seeding cost this buys is the probe's wall-clock,
+        # not its information (SCALE.md wave 16 pitfall)
         ensure_trained_ivf_pq_store(
             e, path, dims=dims, n_centroids=kc, m_sub=8,
-            max_iter=max_iter, kmeans_iter=max_iter,
-            train_stride=max(1, n // 4000),
+            max_iter=max_iter, kmeans_iter=2 * max_iter,
+            train_stride=ts,
         )
         for nprobe in (4, 8):
             m = f"trained_ivf_pq_rerank_np{nprobe}"
