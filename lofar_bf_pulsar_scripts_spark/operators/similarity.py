@@ -167,6 +167,37 @@ def dot_quantized(a: Column, b: Column, scale: float = 1e12) -> Column:
     )
 
 
+def _np_quantized_scores(X, C, scale: float):
+    """numpy replica of dot_quantized pairwise: s[i, j] =
+    sum_d floor((X[i,d] * C[j,d]) * scale + 0.5) as int64 — the SAME
+    float64 multiply order and floor as the column expression, so
+    every comparison built on these scores is bit-identical to the
+    HOF form (each per-dim product is < 2^53, exactly representable;
+    int64 sums are associative).  Chunked over both axes so the
+    B x k x d intermediate stays ~tens of MB."""
+    import numpy as np
+
+    out = np.empty((len(X), len(C)), dtype=np.int64)
+    row_step = max(1, (1 << 23) // max(1, C.shape[0] * C.shape[1]))
+    for i0 in range(0, len(X), row_step):
+        Xc = X[i0:i0 + row_step]
+        for j0 in range(0, len(C), 128):
+            Cc = C[j0:j0 + 128]
+            prods = np.floor((Xc[:, None, :] * Cc[None, :, :]) * scale + 0.5)
+            out[i0:i0 + row_step, j0:j0 + 128] = prods.astype(
+                np.int64
+            ).sum(axis=-1, dtype=np.int64)
+    return out
+
+
+def _np_self_scores(X, scale: float):
+    """dot_quantized(x, x) per row, same exactness contract."""
+    import numpy as np
+
+    prods = np.floor((X * X) * scale + 0.5)
+    return prods.astype(np.int64).sum(axis=-1, dtype=np.int64)
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -174,6 +205,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "cid",
     score_scale: float = 1e12,
+    batch_score: bool = False,
 ) -> DataFrame:
     """Lloyd assignment step with a deterministic argmax: nearest
     centroid in L2 via the identity argmin|x-c|^2 = argmax(2*x.c -
@@ -183,7 +215,61 @@ def kmeans_assign(
     biases assignment toward large-norm centroids (dot is only a
     nearest-neighbor order for normalized vectors, as in ivf_assign's
     cosine setting). Centroids broadcast; scoring is map-side —
-    identical shuffle shape to ivf_assign (one hash agg on id)."""
+    identical shuffle shape to ivf_assign (one hash agg on id).
+
+    ``batch_score=True`` swaps the crossJoin + struct-max for ONE
+    Arrow-batched numpy pass (_np_quantized_scores — bit-identical
+    integer scores, argmax ties to the smaller cid exactly like the
+    struct form) that also carries every corpus column through, so
+    the id-join disappears: zero exchanges instead of one corpus
+    shuffle.  The interpreted HOF crossJoin is the k x dims cost the
+    seeding pitfall measured in minutes (SCALE.md wave 16) — the
+    batch path is the shape for codebook-scale k.  Requires non-NULL
+    vectors (the build/seeding callers already filter; the default
+    path keeps the legacy NULL semantics)."""
+    if batch_score:
+        import numpy as np
+
+        crows = sorted(
+            (
+                (int(r[centroid_id_col]),
+                 [float(v) for v in r[vec_col]])
+                for r in centroids.collect()
+            ),
+            key=lambda t: t[0],
+        )
+        cids_np = np.asarray([c0 for c0, _ in crows], dtype=np.int64)
+        C = np.asarray([v for _, v in crows], dtype=np.float64)
+        cc = _np_self_scores(C, score_scale)
+        out_schema = T.StructType(
+            list(corpus.schema)
+            + [T.StructField(centroid_id_col, T.IntegerType())]
+        )
+        cols = corpus.columns
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]
+                    ]
+                )
+                s = 2 * _np_quantized_scores(X, C, score_scale) - cc
+                # np.argmax returns the FIRST max index; cids are in
+                # ascending order, so ties already break low
+                best = cids_np[np.argmax(s, axis=1)]
+                out = {c0: pdf[c0] for c0 in cols}
+                out[centroid_id_col] = best.astype("int32")
+                yield pd.DataFrame(out)
+
+        return corpus.filter(
+            F.col(vec_col).isNotNull()
+        ).mapInPandas(assign, schema=out_schema)
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id_col).alias("__cid"),
@@ -569,6 +655,7 @@ def kmeans_parallel_seeds(
     oversample: int | None = None,
     rounds: int | None = None,
     score_scale: float = 1e12,
+    batch_score: bool = False,
 ) -> tuple[list[list[float]], int]:
     """k-means|| seeding (Bahmani et al., VLDB 2012): O(log k) corpus
     passes instead of farthest-first's k-1 sequential scans — the
@@ -587,6 +674,14 @@ def kmeans_parallel_seeds(
     selects the k seeds. Deterministic end-to-end: hash coins,
     integer-quantized distances, id-sorted candidate order, argmax
     ties to the lowest index.
+
+    ``batch_score=True`` computes each round's nearest-candidate
+    scores in ONE Arrow-batched numpy pass (_np_quantized_scores —
+    bit-identical integers, so admissions, phi, and therefore the
+    SEEDS are byte-identical to the HOF form, parity-pinned) instead
+    of the corpus x candidates crossJoin of interpreted HOF
+    arithmetic that made codebook-scale k a minutes-per-fit affair
+    (SCALE.md wave 16/17: the binding cost capping nlist at ~100).
 
     Returns (seed_vectors, n_rounds); n_rounds <= ceil(log2 k) + 1.
     """
@@ -612,33 +707,82 @@ def kmeans_parallel_seeds(
     rounds_run = 0
     for rnd in range(n_rounds):
         rounds_run = rnd + 1
-        cdf = spark.createDataFrame(
-            list(enumerate(cand)), f"cid int, {vec_col} array<double>"
-        )
-        c = F.broadcast(
-            cdf.select(F.col("cid").alias("__cid"), F.col(vec_col).alias("__cvec"))
-        )
-        scored = src.crossJoin(c).select(
-            id_col,
-            F.col(vec_col),
-            (
-                F.lit(2)
-                * dot_quantized(F.col(vec_col), F.col("__cvec"), score_scale)
-                - dot_quantized(F.col("__cvec"), F.col("__cvec"), score_scale)
-            ).alias("__s"),
-        )
-        d2 = (
-            scored.groupBy(id_col)
-            .agg(F.max("__s").alias("__smax"), F.first(vec_col).alias(vec_col))
-            .select(
-                id_col,
-                vec_col,
-                (
-                    dot_quantized(F.col(vec_col), F.col(vec_col), score_scale)
-                    - F.col("__smax")
-                ).alias("__d2q"),
+        if batch_score:
+            C = np.asarray(cand, dtype=np.float64)
+            cc_self = _np_self_scores(C, score_scale)
+
+            def d2_batches(batches, C=C, cc_self=cc_self):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]
+                        ]
+                    )
+                    smax = (
+                        2 * _np_quantized_scores(X, C, score_scale)
+                        - cc_self
+                    ).max(axis=1)
+                    d2q = _np_self_scores(X, score_scale) - smax
+                    yield pd.DataFrame(
+                        {
+                            id_col: pdf[id_col],
+                            vec_col: pdf[vec_col],
+                            "__d2q": d2q,
+                        }
+                    )
+
+            d2 = src.filter(F.col(vec_col).isNotNull()).mapInPandas(
+                d2_batches,
+                schema=T.StructType(
+                    list(src.schema)
+                    + [T.StructField("__d2q", T.LongType())]
+                ),
             )
-        )
+        else:
+            cdf = spark.createDataFrame(
+                list(enumerate(cand)), f"cid int, {vec_col} array<double>"
+            )
+            c = F.broadcast(
+                cdf.select(
+                    F.col("cid").alias("__cid"),
+                    F.col(vec_col).alias("__cvec"),
+                )
+            )
+            scored = src.crossJoin(c).select(
+                id_col,
+                F.col(vec_col),
+                (
+                    F.lit(2)
+                    * dot_quantized(
+                        F.col(vec_col), F.col("__cvec"), score_scale
+                    )
+                    - dot_quantized(
+                        F.col("__cvec"), F.col("__cvec"), score_scale
+                    )
+                ).alias("__s"),
+            )
+            d2 = (
+                scored.groupBy(id_col)
+                .agg(
+                    F.max("__s").alias("__smax"),
+                    F.first(vec_col).alias(vec_col),
+                )
+                .select(
+                    id_col,
+                    vec_col,
+                    (
+                        dot_quantized(
+                            F.col(vec_col), F.col(vec_col), score_scale
+                        )
+                        - F.col("__smax")
+                    ).alias("__d2q"),
+                )
+            )
         phi = d2.agg(F.sum("__d2q")).first()[0]
         phi = int(phi or 0)
         if phi <= 0:  # every point coincides with a candidate
@@ -672,7 +816,7 @@ def kmeans_parallel_seeds(
     )
     wrows = (
         kmeans_assign(src, cdf, id_col=id_col, vec_col=vec_col,
-                      score_scale=score_scale)
+                      score_scale=score_scale, batch_score=batch_score)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("w"))
         .collect()
@@ -705,6 +849,7 @@ def kmeans_fit(
     quant_scale: float = 1e6,
     score_scale: float = 1e12,
     tol_q: int = 0,
+    batch_score: bool = False,
 ):
     """Full Lloyd iteration to (near-)convergence. Returns
     (centroids_df, assigned_df, n_iters).
@@ -734,11 +879,17 @@ def kmeans_fit(
     interpreted higher-order-function arithmetic, measured in MINUTES
     at k=64 over a 20k-row corpus (SCALE.md sixteenth wave) — the
     sampled fit plus a full-corpus kmeans_assign is the shape that
-    holds at 100 TB."""
+    holds at 100 TB.
+
+    ``batch_score=True`` routes the seeding rounds AND every Lloyd
+    assignment through the Arrow-batched numpy scorer — bit-identical
+    centroids for NULL-free corpora (parity-pinned), at a fraction of
+    the interpreted-HOF cost that capped codebook k (wave 17)."""
     spark = corpus.sparkSession
 
     seed_vecs, _ = kmeans_parallel_seeds(
-        corpus, k, id_col=id_col, vec_col=vec_col, score_scale=score_scale
+        corpus, k, id_col=id_col, vec_col=vec_col,
+        score_scale=score_scale, batch_score=batch_score,
     )
     cents = list(enumerate(seed_vecs))
     dims = len(cents[0][1]) if cents else 0
@@ -752,6 +903,7 @@ def kmeans_fit(
         assigned = kmeans_assign(
             corpus.select(id_col, vec_col), cdf,
             id_col=id_col, vec_col=vec_col, score_scale=score_scale,
+            batch_score=batch_score,
         )
         upd = {
             (r["cid"], r["dim"]): (r["sum_q"], r["n"])

@@ -603,9 +603,14 @@ def build_trained_ivf_pq_store(
     # corpus x ~2k·log k crossJoin — the sampled-fit + full-assign
     # split is the shape that holds at 100 TB, SCALE.md wave 16),
     # then ONE full-corpus assignment pass
+    # batch_score: the corpus is NULL-filtered above, so the Arrow-
+    # batched numpy scorer is bit-identical to the HOF form and the
+    # quantizer fit stops being the build's wall-clock (wave 17: the
+    # seeding cost capped nlist at ~100)
     cent_df, _, _ = kmeans_fit(
         train.select(id_col, vec_col), n_centroids,
         max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
+        batch_score=True,
     )
     centroids = [
         (int(r["cid"]), [float(v) for v in r[vec_col]])
@@ -616,7 +621,7 @@ def build_trained_ivf_pq_store(
         spark.createDataFrame(
             centroids, f"cid int, {vec_col} array<double>"
         ),
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, batch_score=True,
     )
     if residual:
         # RESIDUAL coding (the classic IVF-PQ composition): the
