@@ -9902,10 +9902,12 @@ _TAIL: tuple[str, ...] = (
 # trained_pq_adc_top3 are rows-only by design (exempt; their content
 # checks are the pytest recall/parity/exhaustive-equality pins plus
 # the hash-gated companions ivf_pq_rerank_top3 / pq_adc_top3).  The
-# other 42 slots continue the rotation discipline (r11 item 7): the
+# other slots continue the rotation discipline (r11 item 7): the
 # longest-unrotated cohort = the r11-window greens demoted to fund
-# the r12 window, in r11 order; quality_dedup_keep and the two
-# rows-only specs are the three cut to fit 50.  Funded by demoting
+# the r12 window, in r11 order; quality_dedup_keep, single_pulse_cands
+# (swapped out late for kmeans_update_step, whose dep fingerprint
+# changed with the batch-scored kmeans_assign), and the two rows-only
+# specs are the cuts to fit 50.  Funded by demoting
 # the 50 r12-window greens — byte-identical since r12 except the 8
 # re-gated above (check_window confirms).
 _PROMOTE: tuple[str, ...] = (
@@ -9957,7 +9959,7 @@ _PROMOTE: tuple[str, ...] = (
     "blind_search_pipeline",
     "pagerank_buckets",
     "nearest_sky_match",
-    "single_pulse_cands",
+    "kmeans_update_step",
     "lsh_multiprobe_topk",
 )
 
