@@ -683,6 +683,13 @@ def kmeans_parallel_seeds(
     arithmetic that made codebook-scale k a minutes-per-fit affair
     (SCALE.md wave 16/17: the binding cost capping nlist at ~100).
 
+    Precondition (same contract as kmeans_assign): ``id_col`` values
+    are unique and ``vec_col`` is non-NULL.  The HOF path groupBys on
+    ``id_col`` while the batch path scores row-at-a-time, so duplicate
+    ids (or NULL vectors, which only the batch path filters) would
+    give the two forms DIFFERENT phi and admission probabilities —
+    the byte-identical-seeds parity holds only under this contract.
+
     Returns (seed_vectors, n_rounds); n_rounds <= ceil(log2 k) + 1.
     """
     import math
@@ -850,6 +857,7 @@ def kmeans_fit(
     score_scale: float = 1e12,
     tol_q: int = 0,
     batch_score: bool = False,
+    seed_corpus: DataFrame | None = None,
 ):
     """Full Lloyd iteration to (near-)convergence. Returns
     (centroids_df, assigned_df, n_iters).
@@ -884,11 +892,23 @@ def kmeans_fit(
     ``batch_score=True`` routes the seeding rounds AND every Lloyd
     assignment through the Arrow-batched numpy scorer — bit-identical
     centroids for NULL-free corpora (parity-pinned), at a fraction of
-    the interpreted-HOF cost that capped codebook k (wave 17)."""
+    the interpreted-HOF cost that capped codebook k (wave 17).
+
+    ``seed_corpus`` (optional) seeds k-means|| from a SUB-slice of the
+    training corpus while Lloyd iterates on the full one: the seeding
+    rounds are the one remaining super-linear training term
+    (train_rows x ~2k·log2 k scorings), but seeds only need SPREAD
+    across true clusters — Lloyd owns refinement, and refinement is
+    where training-data mass buys recall (wave 18: the 200k recall
+    gap was Lloyd-data-bound, not seed-bound). Pass a deterministic
+    subset (e.g. a stride multiple of the training slice) to keep the
+    fit deterministic; None preserves the seed-on-everything form
+    bit-for-bit."""
     spark = corpus.sparkSession
 
     seed_vecs, _ = kmeans_parallel_seeds(
-        corpus, k, id_col=id_col, vec_col=vec_col,
+        corpus if seed_corpus is None else seed_corpus,
+        k, id_col=id_col, vec_col=vec_col,
         score_scale=score_scale, batch_score=batch_score,
     )
     cents = list(enumerate(seed_vecs))

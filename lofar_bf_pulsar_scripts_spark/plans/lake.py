@@ -466,11 +466,16 @@ def upsert_trained_pq(
         F.col("pbucket").isin(touched)
     )
     batch_ids = F.broadcast(enc.select(F.col(id_col)).distinct())
+    # Eager localCheckpoint: the write below REPLACES files this plan
+    # reads — a task/stage recompute after the overwrite commit would
+    # otherwise re-read deleted code files (the delete_from_shards /
+    # merge_components_store discipline; bounded by the touched
+    # buckets).
     survivors = existing.join(
         batch_ids, on=id_col, how="left_anti"
     ).select(id_col, "codes", "pbucket").unionByName(
         enc.select(id_col, "codes", "pbucket")
-    )
+    ).localCheckpoint()
     _overwrite_touched_partitions(
         spark, codes_path, survivors, touched, "pbucket"
     )
@@ -538,6 +543,31 @@ def trained_pq_topk(
     )
 
 
+def auto_train_stride(
+    n_rows: int, n_centroids: int, rows_per_cell: int = 192
+) -> int:
+    """The train_stride="auto" law (wave 18): the coarse fit is
+    TRAINING-DATA-bound before it is cost-bound — at 200k rows the
+    old fixed-4000-row auto slice left 18 rows/cell at sqrt-regime
+    nlist=447 and recall@20 0.196 (wave 17 closing check).  Size the
+    Lloyd slice to >= rows_per_cell rows per centroid; the 4000-row
+    floor keeps the PQ codebooks' own training mass at small nlist
+    (where rows_per_cell*nc < 4000 the law reduces to the old one,
+    so small-nlist stores — the registry's nc=16 gates — are
+    bit-identical)."""
+    target = max(4000, int(rows_per_cell) * int(n_centroids))
+    return max(1, int(n_rows) // target)
+
+
+def seed_slice_mult(n_train: int, n_centroids: int) -> int:
+    """Stride multiplier for the k-means|| seeding sub-slice: seeds
+    need >= ~16 rows/cell of SPREAD, not the Lloyd slice's full
+    refinement mass — and seeding cost is the one super-linear
+    training term (train_rows x ~2k·log2 k scorings)."""
+    seed_target = max(4000, 16 * int(n_centroids))
+    return max(1, int(n_train) // seed_target)
+
+
 def build_trained_ivf_pq_store(
     corpus: DataFrame,
     path: str,
@@ -551,6 +581,7 @@ def build_trained_ivf_pq_store(
     max_iter: int = 10,
     kmeans_iter: int = 4,
     train_stride: int | str = 1,
+    train_rows_per_cell: int = 192,
     residual: bool = False,
 ) -> str:
     """The IVF-PRUNED trained-PQ store — the production serving layout
@@ -591,13 +622,30 @@ def build_trained_ivf_pq_store(
     spark = corpus.sparkSession
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     if train_stride == "auto":
-        train_stride = max(1, corpus.count() // 4000)
+        train_stride = auto_train_stride(
+            corpus.count(), n_centroids, train_rows_per_cell
+        )
     train = (
         corpus
         if int(train_stride) <= 1
         else corpus.filter(
             F.pmod(F.col(id_col), F.lit(int(train_stride))) == 0
         )
+    )
+    # Seeding sub-slice: k-means|| scoring is train_rows x ~2k·log2 k
+    # — super-linear in nlist where Lloyd is linear — and seeds only
+    # need spread (Lloyd owns refinement).  Seed from a >=16 rows/cell
+    # stride-multiple of the training slice (a subset, deterministic);
+    # seed_mult stays 1 for every fixture/registry-scale store, so
+    # existing stores are bit-identical.
+    eff_stride = max(1, int(train_stride))
+    seed_mult = seed_slice_mult(train.count(), n_centroids)
+    seed = (
+        train.filter(
+            F.pmod(F.col(id_col), F.lit(eff_stride * seed_mult)) == 0
+        )
+        if seed_mult > 1
+        else None
     )
     # coarse quantizer on the SAMPLED slice (k-means|| seeding is a
     # corpus x ~2k·log k crossJoin — the sampled-fit + full-assign
@@ -611,6 +659,9 @@ def build_trained_ivf_pq_store(
         train.select(id_col, vec_col), n_centroids,
         max_iter=kmeans_iter, id_col=id_col, vec_col=vec_col,
         batch_score=True,
+        seed_corpus=(
+            seed.select(id_col, vec_col) if seed is not None else None
+        ),
     )
     centroids = [
         (int(r["cid"]), [float(v) for v in r[vec_col]])
@@ -779,6 +830,8 @@ def trained_ivf_pq_rerank_topk(
     import numpy as np
 
     from ..operators.similarity import (
+        _np_quantized_scores,
+        _np_self_scores,
         cosine,
         pq_query_lut_trained,
         two_stage_topk,
@@ -802,11 +855,13 @@ def trained_ivf_pq_rerank_topk(
         [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
     )
     # argmin L2 == argmax(2 q.c - |c|^2), every per-dim product
-    # floored at score_scale exactly as dot_quantized evaluates it
-    qc = np.floor(
-        qx[:, None, :] * cmat[None, :, :] * score_scale + 0.5
-    ).sum(-1)
-    cc = np.floor(cmat * cmat * score_scale + 0.5).sum(-1)
+    # floored at score_scale exactly as dot_quantized evaluates it —
+    # int64 sums (like kmeans_assign's _np_quantized_scores), not
+    # float64: a float64 sum of floored products drifts from the
+    # store's partitioning once |sum| exceeds 2^53, flipping near-tie
+    # probe selection
+    qc = _np_quantized_scores(qx, cmat, score_scale)
+    cc = _np_self_scores(cmat, score_scale)
     dq = 2 * qc - cc[None, :]
     # ranking ties break to the smaller cid: lexsort on (-dq, cid)
     order = np.lexsort((cids[None, :].repeat(len(qx), 0), -dq), axis=-1)
