@@ -42,6 +42,48 @@ series) and ``headline_value`` (registry.HEADLINE_QUERIES, ~58
 structurally distinct plans), because ~40 sub-second micro-gates in
 the full set carry ±1.3x position/JIT classification noise that
 drowns round-over-round reads (r11 VERDICT item 8).
+
+Two-component machine model (round 14 — r13 VERDICT item 3): the
+single CPU canary OVER-CORRECTS overhead-bound queries.  At sf0.1
+most gates are scheduler/commit-bound and do not scale with CPU
+throughput, so when the host's CPU index swings 1.67x (r12 0.1675 ->
+r13 0.1005) dividing their wall-times by it manufactures a phantom
+regression (the r13 record printed normalized 1.51 on a flat
+surface; machine-matched against the r10 record the same queries
+read 1.03).  The record now samples TWO canaries at the same five
+checkpoints:
+
+  - ``sec``      — the 400M-row range-sum (CPU throughput), and
+  - ``ovh_sec``  — min wall of a 1-task noop job (scheduler/task-
+    launch/commit floor — what sub-second gates actually pay);
+
+``vs_prev`` then reports, per query ratio r = t_now/t_prev with
+machine multipliers m_cpu = cpu_prev/cpu_now and m_ovh =
+ovh_prev/ovh_now:
+
+  - ``raw_geomean_ratio``           — untouched series,
+  - ``normalized_geomean_ratio``    — the legacy CPU-only model
+    (kept for series continuity; NOT the headline anymore),
+  - ``ovh_normalized_geomean_ratio``— the same, overhead index,
+  - ``band_adjudicated_geomean_ratio`` (the HEADLINE) — every
+    query's true machine multiplier lies between m_cpu and m_ovh
+    (its work is a mix of the two components), so the
+    code-attributable residual is r shrunk toward 1 within the band
+    [r*min(m), r*max(m)]: 1.0 if the band straddles 1 (machine
+    conditions fully explain the move), else the nearest band edge.
+    This is interval attribution, not a point model — it never
+    invents a regression a machine-mix hypothesis can explain, and
+    never hides one it cannot.
+  - per-class normalized ratios (``cpu_class_*``/``ovh_class_*``):
+    queries split at 1.0 s prior wall (>=1 s: CPU-scaled; <1 s:
+    overhead-scaled), each normalized by its own index.
+
+Legacy records without ``ovh_sec`` get a documented proxy overhead
+index: the 10th percentile of their sub-0.5 s per-query walls (those
+gates ARE the scheduler floor, measured).  ``tools/replay_vs_prev.py``
+replays any two committed records through this model; replaying r12
+vs r13 reads ~1.0 band-adjudicated (the machine-matched r10 figure),
+closing the 0.78 -> 1.51 swing.
 """
 
 from __future__ import annotations
@@ -106,6 +148,136 @@ def _machine_index(record: dict) -> float | None:
     return float(end) if end else None
 
 
+def _overhead_index(record: dict) -> float | None:
+    """Scheduler/commit-floor index of a bench record: median of the
+    mature ``ovh_sec`` canary samples (round-14 records).  Legacy
+    records carry no overhead canary — proxy with the 10th percentile
+    of their sub-0.5 s per-query walls: those gates are measured to be
+    scheduler-floor-bound (the r13 adjudication's whole point), so
+    their fast tail tracks the same machine component the explicit
+    canary samples."""
+    samples = record.get("canary_samples")
+    if samples:
+        mature = [
+            s["ovh_sec"]
+            for s in samples
+            if s.get("at") != "start" and s.get("ovh_sec")
+        ]
+        if mature:
+            return _median(mature)
+    small = sorted(
+        t
+        for t in (record.get("queries") or {}).values()
+        if 0 < t <= 0.5
+    )
+    if len(small) >= 10:
+        return small[max(0, len(small) // 10 - 1)]
+    return None
+
+
+def compute_vs_prev(
+    prev: dict,
+    timings: dict,
+    headline_names: list,
+    machine_index: float | None,
+    ovh_index: float | None,
+) -> dict | None:
+    """The self-adjudication block (see module docstring, 'Two-
+    component machine model').  Pure function of two records'
+    ingredients so tools/replay_vs_prev.py can replay committed
+    rounds through the CURRENT model."""
+    prev_q = (prev or {}).get("queries") or {}
+    prev_m = _machine_index(prev or {})
+    prev_o = _overhead_index(prev or {})
+    common = [
+        k for k in timings
+        if k in prev_q and timings[k] > 0 and prev_q[k] > 0
+    ]
+    if prev is None or not common:
+        return None
+    raw = {k: timings[k] / prev_q[k] for k in common}
+    vs_prev = {
+        "baseline_value": prev.get("value"),
+        "common_queries": len(common),
+        "raw_geomean_ratio": round(_geomean(list(raw.values())), 4),
+    }
+    hl_common = [k for k in common if k in headline_names]
+    mults = []
+    if prev_m and machine_index:
+        m_cpu = prev_m / machine_index
+        mults.append(m_cpu)
+        normed = {k: round(raw[k] * m_cpu, 4) for k in common}
+        vs_prev["machine_index_prev"] = prev_m
+        vs_prev["machine_index_now"] = machine_index
+        vs_prev["normalized_geomean_ratio"] = round(
+            _geomean(list(normed.values())), 4
+        )
+        if hl_common:
+            vs_prev["headline_normalized_geomean_ratio"] = round(
+                _geomean([normed[k] for k in hl_common]), 4
+            )
+    if prev_o and ovh_index:
+        m_ovh = prev_o / ovh_index
+        mults.append(m_ovh)
+        vs_prev["ovh_index_prev"] = round(prev_o, 4)
+        vs_prev["ovh_index_now"] = round(ovh_index, 4)
+        vs_prev["ovh_normalized_geomean_ratio"] = round(
+            _geomean([raw[k] * m_ovh for k in common]), 4
+        )
+    if len(mults) == 2:
+        lo_m, hi_m = min(mults), max(mults)
+        vs_prev["machine_band"] = [round(lo_m, 4), round(hi_m, 4)]
+
+        def adjudicate(r: float) -> float:
+            lo, hi = r * lo_m, r * hi_m
+            if lo <= 1.0 <= hi:
+                return 1.0
+            return lo if lo > 1.0 else hi
+
+        adj = {k: round(adjudicate(raw[k]), 4) for k in common}
+        vs_prev["band_adjudicated_geomean_ratio"] = round(
+            _geomean(list(adj.values())), 4
+        )
+        if hl_common:
+            vs_prev["headline_band_adjudicated_geomean_ratio"] = round(
+                _geomean([adj[k] for k in hl_common]), 4
+            )
+        # per-class reads: >=1 s prior wall scales with CPU
+        # throughput, <1 s with the scheduler floor
+        m_cpu, m_ovh = mults[0], mults[1]
+        cpu_cls = [k for k in common if prev_q[k] >= 1.0]
+        ovh_cls = [k for k in common if prev_q[k] < 1.0]
+        if cpu_cls:
+            vs_prev["cpu_class_normalized_geomean_ratio"] = round(
+                _geomean([raw[k] * m_cpu for k in cpu_cls]), 4
+            )
+            vs_prev["cpu_class_count"] = len(cpu_cls)
+        if ovh_cls:
+            vs_prev["ovh_class_normalized_geomean_ratio"] = round(
+                _geomean([raw[k] * m_ovh for k in ovh_cls]), 4
+            )
+            vs_prev["ovh_class_count"] = len(ovh_cls)
+        # top movers by |log adjudicated ratio| on a >=0.3s base
+        # (below that the r11 drift study measured ±1.3x pure noise)
+        movers = sorted(
+            (k for k in common if prev_q[k] >= 0.3),
+            key=lambda k: abs(math.log(max(adj[k], 1e-9))),
+            reverse=True,
+        )[:8]
+        vs_prev["top_movers_adjudicated"] = {k: adj[k] for k in movers}
+    elif prev_m and machine_index:
+        normed = {k: raw[k] * (prev_m / machine_index) for k in common}
+        movers = sorted(
+            (k for k in common if prev_q[k] >= 0.3),
+            key=lambda k: abs(math.log(max(normed[k], 1e-9))),
+            reverse=True,
+        )[:8]
+        vs_prev["top_movers_normalized"] = {
+            k: round(normed[k], 4) for k in movers
+        }
+    return vs_prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -141,6 +313,20 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    def ovh_canary(runs: int = 3) -> float:
+        # Scheduler/commit-floor probe: a 1-row, 1-task noop job —
+        # zero data work, all job-launch + task-schedule + commit
+        # overhead, the component sub-second gates actually pay
+        # (round-14 two-component model; see module docstring).
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            spark.range(0, 1, 1, 1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return round(best, 4)
+
     # One-time at-rest store builds happen BEFORE the canary and are
     # reported as their own field: on a cold container the first query
     # of each store family otherwise pays (and is charged for) the
@@ -151,7 +337,9 @@ def main() -> None:
 
     # JVM/codegen warmup on the smallest query
     execute(qs[names[0]](spark, sf_dir))
-    canary_samples: list[dict] = [{"at": "start", "sec": canary(3)}]
+    canary_samples: list[dict] = [
+        {"at": "start", "sec": canary(3), "ovh_sec": ovh_canary(3)}
+    ]
     # Per-query MIN over `passes` full fixed-order passes (round-10
     # methodology fix): a single-sample pass carries ~9% total
     # variance from position-dependent GC/cache state (two committed
@@ -175,14 +363,21 @@ def main() -> None:
                 timings[name] = dt
             if (i + 1) in marks:
                 canary_samples.append(
-                    {"at": f"p{p}q{i + 1}", "sec": canary(2)}
+                    {
+                        "at": f"p{p}q{i + 1}",
+                        "sec": canary(2),
+                        "ovh_sec": ovh_canary(2),
+                    }
                 )
-        canary_samples.append({"at": f"p{p}end", "sec": canary(3)})
+        canary_samples.append(
+            {"at": f"p{p}end", "sec": canary(3), "ovh_sec": ovh_canary(3)}
+        )
     total = round(sum(timings.values()), 3)
     headline_ts = {n_: timings[n_] for n_ in HEADLINE_QUERIES if n_ in timings}
     machine_index = _machine_index(
         {"canary_samples": canary_samples}
     )
+    ovh_index = _overhead_index({"canary_samples": canary_samples})
     norm = (
         {
             n_: round(t * CANARY_REF / machine_index, 3)
@@ -202,6 +397,7 @@ def main() -> None:
         "canary_start_sec": canary_samples[0]["sec"],
         "canary_end_sec": canary_samples[-1]["sec"],
         "canary_machine_index": machine_index,
+        "canary_ovh_index": ovh_index,
         "canary_ref_sec": CANARY_REF,
         "store_build_sec": store_build,
         "cpus": os.cpu_count(),
@@ -222,47 +418,11 @@ def main() -> None:
         # would print confidently meaningless ratios
         if prev is not None and prev.get("sf") != payload["sf"]:
             prev = None
-        prev_q = (prev or {}).get("queries") or {}
-        prev_m = _machine_index(prev or {})
-        common = [
-            k for k in timings
-            if k in prev_q and timings[k] > 0 and prev_q[k] > 0
-        ]
-        if prev is not None and common:
-            raw = [timings[k] / prev_q[k] for k in common]
-            vs_prev = {
-                "baseline_value": prev.get("value"),
-                "common_queries": len(common),
-                "raw_geomean_ratio": round(_geomean(raw), 4),
-            }
-            if prev_m and machine_index:
-                # per-query machine-normalized ratio: a uniform host
-                # shift divides out; residuals are code-attributable
-                factor = prev_m / machine_index
-                normed = {
-                    k: round(timings[k] / prev_q[k] * factor, 4)
-                    for k in common
-                }
-                vs_prev["machine_index_prev"] = prev_m
-                vs_prev["machine_index_now"] = machine_index
-                vs_prev["normalized_geomean_ratio"] = round(
-                    _geomean(list(normed.values())), 4
-                )
-                hl_common = [k for k in common if k in headline_ts]
-                if hl_common:
-                    vs_prev["headline_normalized_geomean_ratio"] = round(
-                        _geomean([normed[k] for k in hl_common]), 4
-                    )
-                # top movers by |log ratio| on a >=0.3s base (below
-                # that the r11 drift study measured ±1.3x pure noise)
-                movers = sorted(
-                    (k for k in common if prev_q[k] >= 0.3),
-                    key=lambda k: abs(math.log(normed[k])),
-                    reverse=True,
-                )[:8]
-                vs_prev["top_movers_normalized"] = {
-                    k: normed[k] for k in movers
-                }
+        if prev is not None:
+            vs_prev = compute_vs_prev(
+                prev, timings, list(headline_ts), machine_index,
+                ovh_index,
+            )
     full_payload = dict(payload)
     full_payload["queries_normalized"] = norm
     full_payload["canary_samples"] = canary_samples
@@ -272,8 +432,11 @@ def main() -> None:
             k: vs_prev[k]
             for k in (
                 "raw_geomean_ratio",
+                "band_adjudicated_geomean_ratio",
+                "headline_band_adjudicated_geomean_ratio",
                 "normalized_geomean_ratio",
-                "headline_normalized_geomean_ratio",
+                "ovh_normalized_geomean_ratio",
+                "machine_band",
                 "common_queries",
             )
             if k in vs_prev

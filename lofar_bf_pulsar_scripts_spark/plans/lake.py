@@ -787,6 +787,147 @@ def read_trained_ivf_pq_model(
     return [v for _, v in rot], books, cents, residual
 
 
+def upsert_trained_ivf_pq(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental ingest into the IVF-pruned trained-PQ store (r13
+    VERDICT item 5 — the store could previously only be rebuilt from
+    scratch, forcing a full retrain+rewrite per nightly batch):
+
+      - assign the batch to the PERSISTED coarse centroids
+        (batch-scored kmeans_assign — bit-identical to the build's
+        partitioning, so an upserted vector lands exactly where a
+        rebuild under the SAME centroids would put it);
+      - encode with the PERSISTED rotation + codebooks, honoring the
+        store's residual flag (encoding under a retrained model would
+        mix geometries in one store — the upsert_trained_pq
+        contract);
+      - LATEST-WINS rewrite of the touched cid partitions on BOTH
+        tiers.  Touched = the batch's new cells UNION the batch ids'
+        OLD cells, located by one column-pruned (id, cid) scan of the
+        codes tier (the delete_from_shards locate discipline — the
+        footer-indexed minimum for not keeping an id->partition
+        index): a re-upserted vector whose value moved it to a
+        different nearest centroid would otherwise leave a stale
+        duplicate answering probes from its old, untouched partition.
+
+    Batch ids must be unique and vectors non-NULL (NULL vectors are
+    dropped — ivf_assign's contract; duplicate ids have no defined
+    winner, the keyed-store upsert contract).
+
+    CENTROID STALENESS is the documented drift: between rebuilds the
+    partition layout stays the build's — a batch from a drifted
+    distribution packs into the nearest EXISTING cells, degrading
+    probe recall, never correctness (exhaustive probe remains exact).
+    Periodically rebuild when cell occupancy skews; between rebuilds,
+    upsert.  Reference analog: the incremental set-difference staging
+    of /root/reference/LTA/lta-retrieve.py:509-518 — never re-stage
+    what is already at rest.
+
+    Returns {"upserted": n, "touched_cids": [...], "moved_ids": n}.
+    """
+    spark = batch.sparkSession
+    from ..operators.similarity import (
+        kmeans_assign,
+        pq_encode_trained_batch,
+    )
+
+    w, books, cents, residual = read_trained_ivf_pq_model(spark, path)
+    base = path.rstrip("/")
+    codes_path, vec_path = f"{base}/codes", f"{base}/vectors"
+    src = batch.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    )
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], f"cid int, {vec_col} array<double>"
+    )
+    # batch-sized localCheckpoint: re-used for the new-cell set, the
+    # vectors-tier rewrite, and the encode input — and the rewrites
+    # below REPLACE files a lazy plan would re-read
+    assigned = kmeans_assign(
+        src, cdf, id_col=id_col, vec_col=vec_col, batch_score=True,
+    ).localCheckpoint()
+    n_batch = assigned.count()
+    if n_batch == 0:
+        return {"upserted": 0, "touched_cids": [], "moved_ids": 0}
+    if residual:
+        cb = F.broadcast(
+            spark.createDataFrame(
+                [(c, v) for c, v in cents], "cid int, __cvec array<double>"
+            )
+        )
+        enc_input = assigned.join(cb, on="cid").select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__cvec"),
+                lambda x, y: x - y,
+            ).alias(vec_col),
+            "cid",
+        )
+    else:
+        enc_input = assigned.select(id_col, vec_col, "cid")
+    enc = pq_encode_trained_batch(
+        enc_input, w, books, id_col=id_col, vec_col=vec_col,
+        passthrough=("cid",),
+    )
+    new_cells = {
+        int(r["cid"])
+        for r in assigned.select("cid").distinct().collect()
+    }
+    batch_ids = F.broadcast(assigned.select(id_col).distinct())
+    # ONE column-pruned locate scan for the ids' current cells —
+    # bounded output (collect_set <= n_centroids; ids are unique at
+    # rest, so the broadcast join is batch-bounded)
+    loc = (
+        spark.read.parquet(codes_path)
+        .select(id_col, F.col("cid").alias("__old_cid"))
+        .join(
+            F.broadcast(assigned.select(id_col, "cid")), on=id_col
+        )
+        .agg(
+            F.collect_set("__old_cid").alias("cells"),
+            F.sum(
+                (F.col("__old_cid") != F.col("cid")).cast("int")
+            ).alias("moved"),
+        )
+        .first()
+    )
+    old_cells = {int(c) for c in (loc["cells"] or [])}
+    moved = int(loc["moved"] or 0)
+    touched = sorted(new_cells | old_cells)
+    for tier_path, tier_new, cols in (
+        (codes_path, enc, (id_col, "codes", "cid")),
+        (
+            vec_path,
+            assigned.select(id_col, vec_col, "cid"),
+            (id_col, vec_col, "cid"),
+        ),
+    ):
+        existing = spark.read.parquet(tier_path).filter(
+            F.col("cid").isin(touched)
+        )
+        # eager localCheckpoint: the write REPLACES files this plan
+        # reads (the delete_from_shards discipline)
+        survivors = (
+            existing.join(batch_ids, on=id_col, how="left_anti")
+            .select(*cols)
+            .unionByName(tier_new.select(*cols))
+            .localCheckpoint()
+        )
+        _overwrite_touched_partitions(
+            spark, tier_path, survivors, touched, "cid"
+        )
+    return {
+        "upserted": int(n_batch),
+        "touched_cids": touched,
+        "moved_ids": int(moved),
+    }
+
+
 def trained_ivf_pq_rerank_topk(
     spark: SparkSession,
     path: str,
