@@ -175,6 +175,23 @@ def _overhead_index(record: dict) -> float | None:
     return None
 
 
+# Measured same-code noise band for the streaming as-of pair (r13
+# VERDICT item 4).  tools/probe_streaming_asof.py, 3 identical
+# availableNow replays at sf0.1: batch count is DETERMINISTIC (one
+# data batch + one watermark-flush batch), but the HDFS-backed
+# state-store commit times on identical input swung 5.1 -> 17.0 ->
+# 6.8 s (the joins form buffers ~174k in-horizon state rows across
+# two stateful operators; commit = per-partition delta/snapshot file
+# writes, fs/GC-timing-bound).  Same-session wall ratio max/min 1.44;
+# the r12->r13 'regression' (3.94 -> 5.47, 1.39x) sits inside it.
+# The band applies ONLY to the measured pair — widening the whole
+# streaming class would hide real regressions elsewhere.
+STATE_COMMIT_NOISE_BAND = 1.5
+STATE_COMMIT_NOISY = frozenset(
+    {"streaming_asof_exact", "streaming_asof_joins_exact"}
+)
+
+
 def compute_vs_prev(
     prev: dict,
     timings: dict,
@@ -228,13 +245,18 @@ def compute_vs_prev(
         lo_m, hi_m = min(mults), max(mults)
         vs_prev["machine_band"] = [round(lo_m, 4), round(hi_m, 4)]
 
-        def adjudicate(r: float) -> float:
+        def adjudicate(r: float, name: str) -> float:
             lo, hi = r * lo_m, r * hi_m
+            if name in STATE_COMMIT_NOISY:
+                # widen by the measured state-store commit noise band
+                lo, hi = lo / STATE_COMMIT_NOISE_BAND, (
+                    hi * STATE_COMMIT_NOISE_BAND
+                )
             if lo <= 1.0 <= hi:
                 return 1.0
             return lo if lo > 1.0 else hi
 
-        adj = {k: round(adjudicate(raw[k]), 4) for k in common}
+        adj = {k: round(adjudicate(raw[k], k), 4) for k in common}
         vs_prev["band_adjudicated_geomean_ratio"] = round(
             _geomean(list(adj.values())), 4
         )

@@ -847,6 +847,17 @@ def kmeans_parallel_seeds(
     return [[float(x) for x in vecs[i]] for i in chosen], rounds_run
 
 
+def seed_slice_mult(n_train: int, n_centroids: int) -> int:
+    """Stride multiplier for the k-means|| seeding sub-slice: seeds
+    need >= ~16 rows/cell of SPREAD, not the Lloyd slice's full
+    refinement mass — and seeding cost is the one super-linear
+    training term (train_rows x ~2k·log2 k scorings).  Stays 1 for
+    every fixture/registry-scale fit (<= 8000 training rows at small
+    k), so existing models are bit-identical."""
+    seed_target = max(4000, 16 * int(n_centroids))
+    return max(1, int(n_train) // seed_target)
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int,
@@ -1972,6 +1983,22 @@ def pq_train_codebooks(
     if int(dims) % int(m_sub) != 0:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     sub = int(dims) // int(m_sub)
+    # Seeding sub-slice (wave 18, the coarse-quantizer discipline
+    # applied to the codebook fits): k-means|| seeding is the one
+    # super-linear term, and at k_codes=256 over a rows-per-cell
+    # Lloyd slice it dominated the build.  Deterministic hash filter
+    # (not a stride: the incoming ids already carry the caller's
+    # stride); mult stays 1 at fixture/registry scale, so existing
+    # models are bit-identical.
+    n_train = corpus.count()
+    mult = seed_slice_mult(n_train, k_codes)
+    seed = (
+        corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mult)) == 0
+        )
+        if mult > 1
+        else None
+    )
     books: list[list[list[float]]] = []
     for m in range(int(m_sub)):
         sliced = corpus.select(
@@ -1980,9 +2007,29 @@ def pq_train_codebooks(
                 F.col(vec_col).cast("array<double>"), m * sub + 1, sub
             ).alias(vec_col),
         )
+        seed_sliced = (
+            seed.select(
+                F.col(id_col),
+                F.slice(
+                    F.col(vec_col).cast("array<double>"),
+                    m * sub + 1, sub,
+                ).alias(vec_col),
+            )
+            if seed is not None
+            else None
+        )
+        # batch_score: the input is rotated output of pca_project
+        # over a NULL-filtered corpus with unique ids — the batch
+        # path's exact contract, and bit-identical to the HOF form
+        # (parity-pinned).  At k_codes=256 over a wave-18 rows-per-
+        # cell training slice the HOF seeding alone was minutes per
+        # subspace; the Arrow-batched scorer makes 8-bit codebooks a
+        # budget question, not a cliff (the same fix that removed the
+        # coarse-quantizer nlist cap in wave 17).
         cdf, _, _ = kmeans_fit(
             sliced, int(k_codes), max_iter=max_iter,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, batch_score=True,
+            seed_corpus=seed_sliced,
         )
         rows = {
             int(r["cid"]): [float(v) for v in r[vec_col]]

@@ -559,15 +559,6 @@ def auto_train_stride(
     return max(1, int(n_rows) // target)
 
 
-def seed_slice_mult(n_train: int, n_centroids: int) -> int:
-    """Stride multiplier for the k-means|| seeding sub-slice: seeds
-    need >= ~16 rows/cell of SPREAD, not the Lloyd slice's full
-    refinement mass — and seeding cost is the one super-linear
-    training term (train_rows x ~2k·log2 k scorings)."""
-    seed_target = max(4000, 16 * int(n_centroids))
-    return max(1, int(n_train) // seed_target)
-
-
 def build_trained_ivf_pq_store(
     corpus: DataFrame,
     path: str,
@@ -617,6 +608,7 @@ def build_trained_ivf_pq_store(
         kmeans_assign,
         kmeans_fit,
         pq_encode_trained_batch,
+        seed_slice_mult,
     )
 
     spark = corpus.sparkSession
@@ -974,7 +966,6 @@ def trained_ivf_pq_rerank_topk(
         _np_quantized_scores,
         _np_self_scores,
         cosine,
-        pq_query_lut_trained,
         two_stage_topk,
     )
     from pyspark.sql import Window
@@ -1006,27 +997,47 @@ def trained_ivf_pq_rerank_topk(
     dq = 2 * qc - cc[None, :]
     # ranking ties break to the smaller cid: lexsort on (-dq, cid)
     order = np.lexsort((cids[None, :].repeat(len(qx), 0), -dq), axis=-1)
-    # per-(query, probed cell) rotated probe vector, driver-side in
-    # the SAME numpy double arithmetic the store's batch encode used:
-    # in residual mode each probed cell gets its OWN LUT over
+    # per-(query, probed cell) ADC lookup table, computed DRIVER-SIDE
+    # in the same numpy double arithmetic the store's batch encode
+    # used: in residual mode each probed cell gets its OWN LUT over
     # rotate(q - centroid[cell]) — the IVF-PQ residual contract; in
-    # raw mode the per-cell rows just repeat rotate(q)
+    # raw mode every probed cell of a query shares one LUT.  The LUT
+    # ships as DATA (|queries| x nprobe rows of m_sub*k doubles), not
+    # as the pq_query_lut_trained plan expression: the column form
+    # re-embeds the m*k*sub codebook literal in the plan, and at 8-bit
+    # codebooks (k=256 -> 16k literals) codegen/planning dominated the
+    # probe (~16 s flat regardless of nprobe — wave 18; the SCALE.md
+    # pitfall-1 literal class).  Bit-identical values: the per-entry
+    # accumulation below replicates _pq_trained_dist's sequential
+    # (a-t)^2 fold order in float64.
+    bnp = np.asarray(books, dtype=np.float64)  # (m_sub, k, sub)
+    n_books, k_codes, sub = bnp.shape
+
+    def _lut(rv: "np.ndarray") -> list:
+        seg = rv.reshape(n_books, sub)
+        acc = np.zeros((n_books, k_codes))
+        for d in range(sub):
+            diff = seg[:, None, d] - bnp[:, :, d]
+            acc = acc + diff * diff
+        return [float(x) for x in acc.reshape(-1)]
+
     probe_rows = []
     for r, row in zip(qrows, order):
         qv = np.asarray(r[vec_col], dtype=np.float64)
+        shared = None if residual else _lut(qv @ wnp.T)
         for j in row[: int(nprobe)]:
-            base = qv - cmat[j] if residual else qv
-            rv = base @ wnp.T
+            lut_vals = (
+                _lut((qv - cmat[j]) @ wnp.T) if residual else shared
+            )
             probe_rows.append(
-                (r[query_id_col], int(cids[j]),
-                 [float(x) for x in rv])
+                (r[query_id_col], int(cids[j]), lut_vals)
             )
     probed_cids = sorted({c for _, c, _ in probe_rows})
     # the probed-cid union is bounded by min(|queries| x nprobe,
     # n_centroids) — literal ints that turn BOTH store scans into
     # static PartitionFilters; the probe frame itself is query-sized
-    # literals with the LUT projected in-plan (no join at all — the
-    # earlier two-literal join planned as a SortMergeJoin)
+    # data with the LUT precomputed (no join at all — the earlier
+    # two-literal join planned as a SortMergeJoin)
     probe = F.broadcast(
         spark.createDataFrame(
             probe_rows,
@@ -1035,14 +1046,14 @@ def trained_ivf_pq_rerank_topk(
                     q_schema[0],
                     T.StructField("cid", T.IntegerType()),
                     T.StructField(
-                        "__rq", T.ArrayType(T.DoubleType())
+                        "__lut", T.ArrayType(T.DoubleType())
                     ),
                 ]
             ),
         ).select(
             F.col(query_id_col).alias("__qid"),
             "cid",
-            pq_query_lut_trained(F.col("__rq"), books).alias("__lut"),
+            "__lut",
         )
     )
     codes = spark.read.parquet(path.rstrip("/") + "/codes").filter(

@@ -15,11 +15,11 @@ from pyspark.sql import functions as F
 
 from lofar_bf_pulsar_scripts_spark.operators.similarity import (
     brute_force_topk,
+    seed_slice_mult,
 )
 from lofar_bf_pulsar_scripts_spark.plans.lake import (
     auto_train_stride,
     build_trained_ivf_pq_store,
-    seed_slice_mult,
     trained_ivf_pq_rerank_topk,
 )
 

@@ -29,7 +29,7 @@ def main() -> None:
 
     from pyspark.sql.streaming import StreamingQueryListener
 
-    from lofar_bf_pulsar_scripts_spark.registry import QUERIES
+    from lofar_bf_pulsar_scripts_spark.registry import queries
     from lofar_bf_pulsar_scripts_spark.session import get_spark
 
     spark = get_spark(app_name="probe_streaming_asof")
@@ -70,7 +70,7 @@ def main() -> None:
 
     out: dict = {}
     for gate in ("streaming_asof_exact", "streaming_asof_joins_exact"):
-        fn = QUERIES[gate]
+        fn = queries()[gate]
         walls, batches = [], []
         for i in range(runs):
             n0 = len(progress)
