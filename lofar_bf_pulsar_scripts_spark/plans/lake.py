@@ -891,11 +891,21 @@ def upsert_trained_ivf_pq(
     old_cells = {int(c) for c in (loc["cells"] or [])}
     moved = int(loc["moved"] or 0)
     touched = sorted(new_cells | old_cells)
+    # cast the batch's vectors to the tier's AT-REST element type
+    # (the build wrote the corpus's own type, commonly array<float>):
+    # a double-typed batch would otherwise rewrite the touched
+    # partitions as array<double> while untouched ones stay float —
+    # a mixed-schema store that the plain parquet read resolves from
+    # ONE footer, corrupting or failing later probes
+    vec_dtype = spark.read.parquet(vec_path).schema[vec_col].dataType
     for tier_path, tier_new, cols in (
         (codes_path, enc, (id_col, "codes", "cid")),
         (
             vec_path,
-            assigned.select(id_col, vec_col, "cid"),
+            assigned.select(
+                id_col, F.col(vec_col).cast(vec_dtype).alias(vec_col),
+                "cid",
+            ),
             (id_col, vec_col, "cid"),
         ),
     ):

@@ -188,6 +188,22 @@ def prebuild_stores(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         max_iter=4, kmeans_iter=4, train_stride="auto",
     )
     out["trained_ivf_pq_store"] = round(_time.time() - t0, 3)
+
+    # mirrors q_trained_ivf_pq_upsert's immutable PRE-upsert store
+    # (the gate copies it and upserts the copy each run)
+    t0 = _time.time()
+    ensure_trained_ivf_pq_store(
+        e.select("vec_id", "embedding").filter(
+            F.pmod(F.col("vec_id"), F.lit(3)) != 2
+        ),
+        _lsh_store_path(
+            sf_dir, kind="tivf_upsert_gate_base", dims=64, nc=8,
+            m_sub=8, k_codes=16, mi=2, ki=2, ts=1,
+        ),
+        dims=64, n_centroids=8, m_sub=8, k_codes=16,
+        max_iter=2, kmeans_iter=2, train_stride=1,
+    )
+    out["tivf_upsert_base_store"] = round(_time.time() - t0, 3)
     return out
 
 
@@ -9762,6 +9778,115 @@ def q_trained_ivf_pq_rerank_top3(
 
 
 @_register(
+    "trained_ivf_pq_upsert",
+    """
+    -- Latest-wins upsert semantics of the IVF-pruned trained store
+    -- (round-14): build from base = vec_id % 3 <> 2, upsert batch =
+    -- even ids with embeddings scaled 1.5x (overlapping ids MUST
+    -- resolve to the batch value, new ids append, odd non-base ids
+    -- never appear).  The oracle recomputes the latest-wins union
+    -- from the embeddings table; the store's vectors tier must match
+    -- it id-for-id and value-for-value (fp = exact integer sum of
+    -- floor(x^2 * 1e6 + 0.5) over the FLOAT32-stored elements — both
+    -- engines derive x from the same double*1.5 -> float32 rounding,
+    -- and integer sums are order-free), and the codes tier must hold
+    -- exactly one m_sub=8 code row per surviving id.  The trained
+    -- geometry itself (centroid assignment, code values) is not
+    -- SQL-expressible; it is pinned by
+    -- tests/test_round14_upsert_trained_ivf_pq.py (upsert == full
+    -- encode under the persisted model, exhaustive-probe equality).
+    WITH batch AS (
+      SELECT vec_id,
+             list_transform(
+               embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS REAL)
+             ) AS embedding
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM batch
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 3 <> 2 AND vec_id % 2 <> 0
+    )
+    SELECT tier, vec_id, fp_micro FROM (
+      SELECT 'vectors' AS tier, vec_id,
+             CAST(list_aggregate(
+               list_transform(
+                 embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           * 1e6 + 0.5) AS BIGINT)
+               ), 'sum'
+             ) AS BIGINT) AS fp_micro
+      FROM merged
+      UNION ALL
+      SELECT 'codes' AS tier, vec_id, CAST(8 AS BIGINT) AS fp_micro
+      FROM merged
+    )
+    """,
+    "incremental upsert into the IVF-pruned trained-PQ store "
+    "(plans/lake.py upsert_trained_ivf_pq): assign to the PERSISTED "
+    "centroids, encode with the PERSISTED model, latest-wins rewrite "
+    "of touched cid partitions on BOTH tiers; hash-gated on id-set + "
+    "latest-wins value semantics",
+)
+def q_trained_ivf_pq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .plans.lake import (
+        ensure_trained_ivf_pq_store,
+        upsert_trained_ivf_pq,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.pmod(F.col("vec_id"), F.lit(3)) != 2)
+    # the PRE-upsert store is immutable and deterministic — build it
+    # once per (source, params) like every other trained store (the
+    # 8 codebook fits are ~60 s of pure job scheduling otherwise)...
+    base_store = ensure_trained_ivf_pq_store(
+        base,
+        _lsh_store_path(
+            sf_dir, kind="tivf_upsert_gate_base", dims=64, nc=8,
+            m_sub=8, k_codes=16, mi=2, ki=2, ts=1,
+        ),
+        dims=64, n_centroids=8, m_sub=8, k_codes=16,
+        max_iter=2, kmeans_iter=2, train_stride=1,
+    )
+    # ...then upsert into a fresh COPY each run (the forget-gate
+    # discipline: mutating the cached store would gate a no-op on the
+    # second run)
+    root = _lsh_store_path(sf_dir, kind="tivf_upsert_gate")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(base_store, root)
+    batch = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: (x * F.lit(1.5)).cast("float"),
+        ).cast("array<float>").alias("embedding"),
+    ).filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    upsert_trained_ivf_pq(batch, root)
+    fp = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.floor(x * x * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+    ).alias("fp_micro")
+    vec = spark.read.parquet(f"{root}/vectors")
+    codes = spark.read.parquet(f"{root}/codes")
+    return vec.select(
+        F.lit("vectors").alias("tier"), "vec_id", fp
+    ).unionByName(
+        codes.select(
+            F.lit("codes").alias("tier"),
+            "vec_id",
+            F.size("codes").cast("bigint").alias("fp_micro"),
+        )
+    )
+
+
+@_register(
     "forget_documents_stores",
     f"""
     -- the COMPLETE right-to-be-forgotten plan asserted cross-engine
@@ -9891,76 +10016,71 @@ _TAIL: tuple[str, ...] = (
 # how a NEW query lands inside it (the _TAIL demotions above fund the
 # slots).
 #
-# Round-13 plan: exactly 50 names = the whole driver window, all
-# hash-gated (zero rows-only slots, as in r12).  The changed set
-# (check_window.py vs 8d6588d, the r12-end commit) is 8 oracle-
-# bearing gates — forget_documents_stores, hybrid_rrf_search,
-# incremental_near_dup, ivf_pq_stored_top3, ivf_topk_filtered,
-# lsh_ann_topk_stored, lsh_recall_at_5, semantic_dedup_stats — all
-# touched through the Hadoop-FS ensure_* retrofit and the forget
-# extension; the NEW trained_ivf_pq_rerank_top3 and the changed
-# trained_pq_adc_top3 are rows-only by design (exempt; their content
-# checks are the pytest recall/parity/exhaustive-equality pins plus
-# the hash-gated companions ivf_pq_rerank_top3 / pq_adc_top3).  The
-# other slots continue the rotation discipline (r11 item 7): the
-# longest-unrotated cohort = the r11-window greens demoted to fund
-# the r12 window, in r11 order; quality_dedup_keep, single_pulse_cands
-# (swapped out late for kmeans_update_step, whose dep fingerprint
-# changed with the batch-scored kmeans_assign), and the two rows-only
-# specs are the cuts to fit 50.  Funded by demoting
-# the 50 r12-window greens — byte-identical since r12 except the 8
-# re-gated above (check_window confirms).
+# Round-14 plan (r13 VERDICT item 6): exactly 50 names = the whole
+# driver window.  The one NEW oracle-bearing gate this round
+# (trained_ivf_pq_upsert — latest-wins upsert semantics of the
+# IVF-pruned trained store) leads; the changed
+# trained_ivf_pq_rerank_top3 is rows-only by design (exempt; its
+# content checks are the exhaustive-equality pins plus the hash-gated
+# ivf_pq_rerank_top3 companion).  The other 49 slots rotate in the
+# longest-unrotated cohort: the 45 r12-window gates NOT re-gated in
+# the r13 window (fold/catalog/calibration/relational cohort, green
+# r12, byte-identical since), plus the four r11-era fold/profile
+# gates (fold_profile, fold_subints, profile_stats,
+# fold_event_counts) to fill 50.  Funded by demoting the 50
+# r13-window greens.  `python tools/check_window.py <r13-end-commit>`
+# verifies the changed/new coverage mechanically.
 _PROMOTE: tuple[str, ...] = (
-    "forget_documents_stores",
-    "hybrid_rrf_search",
-    "incremental_near_dup",
-    "ivf_pq_stored_top3",
-    "ivf_topk_filtered",
-    "lsh_ann_topk_stored",
-    "lsh_recall_at_5",
-    "semantic_dedup_stats",
-    "doc_chunks",
-    "url_canonical",
-    "vocab_coverage",
-    "bpe_token_counts",
-    "text_quality",
-    "language_id",
-    "minhash_signatures",
-    "source_quota_sample",
-    "stratified_sample",
-    "pca_gram_matrix",
-    "lsh_ann_topk",
-    "pq_adc_top3",
-    "bloom_incremental_screen",
-    "tfidf_top_terms",
-    "domain_blocklist_stats",
-    "shuffle_rank_sample",
-    "acf2d_user_day",
-    "spectral_index",
-    "sketch_exact_check",
-    "qq_normalize_stats",
-    "jones_beam_corr",
-    "psrflux_band_flux",
-    "quality_classifier",
-    "zorder_bucket_stats",
-    "bpe_pair_counts",
-    "json_props_stats",
-    "boilerplate_removal",
-    "bm25_search",
-    "event_funnel",
-    "cohort_retention",
-    "scd2_user_values",
-    "top_session_paths",
-    "period_search",
-    "sky_crossmatch",
-    "harmonic_periodogram",
-    "dm_search",
-    "accel_search",
-    "blind_search_pipeline",
-    "pagerank_buckets",
-    "nearest_sky_match",
-    "kmeans_update_step",
-    "lsh_multiprobe_topk",
+    "trained_ivf_pq_upsert",
+    "incremental_components",
+    "delete_closure_ids",
+    "acf_hourly",
+    "auto_off_window",
+    "band_averaged_tsky",
+    "catalog_union",
+    "channel_sefd",
+    "cube_pricing",
+    "detrend_events",
+    "dup_clusters",
+    "embedding_near_dups",
+    "embedding_quantize",
+    "file_placement",
+    "flux_spectrum",
+    "frame_offsets",
+    "hash_split_counts",
+    "hier_assign_agreement",
+    "hierarchical_assign_counts",
+    "ivf_pq_rerank_top3",
+    "ivf_pq_top3",
+    "ivf_topk",
+    "local_supplier_volume",
+    "lsh_bucket_sizes",
+    "lta_superquery_manifest",
+    "nearest_supplier",
+    "ngram_jaccard_pairs",
+    "off_window_stats",
+    "orders_without_lineitems",
+    "payload_metadata",
+    "polyco_fold",
+    "pq_code_histogram",
+    "regex_filter_parts",
+    "rfi_zap_fraction",
+    "rollup_pricing",
+    "running_revenue",
+    "salted_event_type_volume",
+    "shipping_priority",
+    "simhash_docs",
+    "streaming_asof_joins_exact",
+    "token_stats",
+    "top_customer_per_nation",
+    "tsky_map_lookup",
+    "tsky_scaled",
+    "wijnholds_aeff_lookup",
+    "wijnholds_channel_calibration",
+    "fold_profile",
+    "fold_subints",
+    "profile_stats",
+    "fold_event_counts",
 )
 
 

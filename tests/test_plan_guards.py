@@ -51,8 +51,11 @@ def _counts(plan: str) -> dict:
 GUARDS = {
     "forget_documents_stores": (0, 0, 0),
     "training_data_pipeline": (44, 12, 19),
-    "trained_pq_adc_top3": (3, 0, 1),
-    "trained_ivf_pq_rerank_top3": (6, 0, 3),
+    # r14 re-tighten: the driver-side-LUT probe rewrite (wave 18)
+    # dropped trained_ivf_pq_rerank_top3 6->3 Exchanges and
+    # trained_pq_adc_top3 3->2
+    "trained_pq_adc_top3": (2, 0, 1),
+    "trained_ivf_pq_rerank_top3": (3, 0, 3),
     "delete_closure_ids": (6, 0, 2),
     "dup_clusters": (0, 0, 0),
     "near_dedup_pipeline": (3, 1, 0),
