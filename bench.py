@@ -192,6 +192,13 @@ STATE_COMMIT_NOISY = frozenset(
 )
 
 
+def _has_ovh_samples(record: dict) -> bool:
+    return any(
+        s.get("ovh_sec") and s.get("at") != "start"
+        for s in (record.get("canary_samples") or [])
+    )
+
+
 def compute_vs_prev(
     prev: dict,
     timings: dict,
@@ -202,10 +209,27 @@ def compute_vs_prev(
     """The self-adjudication block (see module docstring, 'Two-
     component machine model').  Pure function of two records'
     ingredients so tools/replay_vs_prev.py can replay committed
-    rounds through the CURRENT model."""
+    rounds through the CURRENT model.
+
+    Unit discipline (round-14 measurement-bug fix): the explicit ovh
+    canary (a bare 1-task noop job, ~10-20 ms) and the legacy proxy
+    (p10 of sub-0.5 s QUERY walls — plan+analysis+job, ~10x larger)
+    are different units.  The first post-canary record compared
+    against a legacy baseline mixed them (prev proxy 0.22 s / now
+    canary 0.02 s), fabricating an 11x machine multiplier whose band
+    adjudicated EVERY query flat — hiding any real regression.  The
+    overhead pair is therefore always computed with the SAME
+    estimator on both sides: explicit canaries when both records
+    carry them, else the query-wall proxy on both; the record labels
+    which via ``ovh_index_kind``."""
     prev_q = (prev or {}).get("queries") or {}
     prev_m = _machine_index(prev or {})
-    prev_o = _overhead_index(prev or {})
+    if prev is not None and _has_ovh_samples(prev) and ovh_index:
+        prev_o, ovh_kind = _overhead_index(prev), "canary"
+    else:
+        prev_o = _overhead_index({"queries": prev_q})
+        ovh_index = _overhead_index({"queries": timings})
+        ovh_kind = "proxy"
     common = [
         k for k in timings
         if k in prev_q and timings[k] > 0 and prev_q[k] > 0
@@ -238,6 +262,7 @@ def compute_vs_prev(
         mults.append(m_ovh)
         vs_prev["ovh_index_prev"] = round(prev_o, 4)
         vs_prev["ovh_index_now"] = round(ovh_index, 4)
+        vs_prev["ovh_index_kind"] = ovh_kind
         vs_prev["ovh_normalized_geomean_ratio"] = round(
             _geomean([raw[k] * m_ovh for k in common]), 4
         )

@@ -86,6 +86,38 @@ def test_legacy_record_gets_proxy_overhead_index():
     assert _machine_index(rec2) == 0.1
 
 
+def test_mixed_unit_ovh_pair_uses_proxy_on_both_sides():
+    """r14 measurement-bug fix: a legacy prev record (no explicit ovh
+    canary; proxy = p10 of sub-0.5 s QUERY walls, ~0.2 s) compared
+    against a new record whose explicit 1-task canary reads ~0.02 s
+    must NOT divide the two — that fabricated an ~11x machine
+    multiplier whose band adjudicated every query flat.  The pair must
+    be computed with the same estimator on both sides (proxy here),
+    and the record must say which."""
+    prev_q = {f"q{i}": 0.1 + 0.01 * i for i in range(30)}
+    prev_q["big"] = 4.0
+    prev = {"queries": prev_q, "canary_samples": [
+        {"at": "start", "sec": 0.2},
+        {"at": "p0end", "sec": 0.1},
+        {"at": "p1end", "sec": 0.1},
+    ]}  # legacy shape: no ovh_sec anywhere
+    # identical walls now; explicit ovh canary 10x smaller than the
+    # proxy's query-wall units
+    out = compute_vs_prev(prev, dict(prev_q), [], 0.1, 0.02)
+    assert out["ovh_index_kind"] == "proxy"
+    # same walls + same estimator both sides -> ovh multiplier 1.0,
+    # band [1, 1], adjudicated flat — and a REAL 3x mover would no
+    # longer hide inside a fabricated band
+    assert out["machine_band"] == [1.0, 1.0]
+    assert out["band_adjudicated_geomean_ratio"] == 1.0
+    now3 = dict(prev_q)
+    now3["big"] = 12.0  # a real 3x regression on one >=0.3 s query
+    out3 = compute_vs_prev(prev, now3, [], 0.1, 0.02)
+    assert out3["top_movers_adjudicated"]["big"] == pytest.approx(
+        3.0, abs=1e-3
+    )
+
+
 def test_replay_r12_r13_reads_flat():
     """The item-3 'done' bar: replaying the committed r12 record vs
     the r13 record through the new model yields a band-adjudicated

@@ -1,0 +1,64 @@
+"""Dump ``explain('formatted')`` for registry queries to files.
+
+Usage: python tools/dump_plans.py <outdir> <suffix> [query ...]
+
+Writes ``<outdir>/<query>_<suffix>.txt`` for each named query (all
+registry queries when none are named). The optimization-round judge
+reads these against OPTIMIZATION_r{N}.md's plan claims; the round
+convention is ``plans/r14/<query>_before.txt`` / ``..._after.txt``.
+
+Plan-only: builds each DataFrame at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and captures the formatted explain without
+executing the query (AQE plans print ``isFinalPlan=false``; the
+committed file is the static shape — Exchange count, join strategy,
+PushedFilters, codegen spans — which is what the claims cite).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import traceback
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lofar_bf_pulsar_scripts_spark.session import get_spark
+from __spark_entry__ import queries
+
+
+def main() -> None:
+    outdir = sys.argv[1]
+    suffix = sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark(app_name="dump-plans")
+    qs = queries()
+    if not names:
+        names = sorted(qs)
+    from lofar_bf_pulsar_scripts_spark.registry import prebuild_stores
+
+    prebuild_stores(spark, sf_dir)
+    for name in names:
+        if name not in qs:
+            print(f"SKIP unknown query: {name}")
+            continue
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        try:
+            df = qs[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            with open(path, "w") as fh:
+                fh.write(buf.getvalue())
+            print(f"OK   {path}")
+        except Exception:
+            with open(path, "w") as fh:
+                fh.write("EXPLAIN FAILED\n" + traceback.format_exc())
+            print(f"FAIL {name}")
+
+
+if __name__ == "__main__":
+    main()
