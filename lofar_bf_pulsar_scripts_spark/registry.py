@@ -4612,6 +4612,7 @@ def _run_bounded_to_memory(
     mode: str = "complete",
     sf_dir: str | None = None,
     n_stateful: int = 1,
+    watermark_flush: bool = False,
 ):
     """Bounded-replay drive for the gated streaming queries: delegates
     to the single fold_stream.run_bounded driver with the replay
@@ -4628,7 +4629,8 @@ def _run_bounded_to_memory(
         _state_partitions(sf_dir, n_stateful) if sf_dir is not None else 8
     )
     return run_bounded(
-        agg, name, mode=mode, available_now=True, shuffle_partitions=parts
+        agg, name, mode=mode, available_now=True, shuffle_partitions=parts,
+        watermark_flush=watermark_flush,
     )
 
 
@@ -4954,9 +4956,13 @@ def q_streaming_asof_joins_exact(
         state_ts_col="k_ts", value_col="sval",
         horizon=f"{horizon_days} days",
     )
+    # watermark_flush: this plan's output (left-outer NULLs + the
+    # append-mode per-event MAX) only emits once the watermark passes
+    # the event — the flush batch IS the emission (see
+    # streaming_asof_joins' emission contract)
     out = _run_bounded_to_memory(
         spark, joined, "q_stream_asof_joins", mode="append",
-        sf_dir=sf_dir, n_stateful=2,
+        sf_dir=sf_dir, n_stateful=2, watermark_flush=True,
     )
     return out.filter(F.col("key") >= 0).select(
         F.col("key").alias("user_id"),

@@ -95,6 +95,7 @@ def run_bounded(
     mode: str = "complete",
     available_now: bool = False,
     shuffle_partitions: int | None = None,
+    watermark_flush: bool = False,
 ) -> DataFrame:
     """Drive a streaming frame over a bounded source to completion via
     a memory sink; returns the static result table. The ONE driver for
@@ -110,9 +111,37 @@ def run_bounded(
     micro-batches as possible (replay latency). ``shuffle_partitions``
     temporarily lowers the stateful-shuffle partition count — one
     state store is allocated per partition, so a tiny-keyspace replay
-    should not pay for the session default."""
+    should not pay for the session default.
+
+    No-data micro-batches are disabled for the replay by default
+    (restored after): the trailing watermark-flush batch exists to
+    advance the watermark so state can be EVICTED and watermark-gated
+    output (append-mode watermarked aggregations, outer-join nulls)
+    can be EMITTED.  Almost no replay in this repo has
+    watermark-gated output — the aggregation gates run in complete
+    mode (full table on each data batch) and the other append-mode
+    gates are stream-stream INNER join / dropDuplicates /
+    NoTimeout-state chains (emit on data arrival) — so the flush
+    batch contributes zero rows while paying a FULL state-store
+    commit cycle across every stateful operator x partition (the r14
+    streaming-asof probe measured commit walls of 5-17 s on identical
+    input; half of them were this empty batch — measured min-of-4
+    sf0.1: funnel-joins chain 24.3 -> 5.8 s, asof-joins 5.3 -> 2.7 s,
+    dedup 1.9 -> 1.2 s).  Plans whose OUTPUT is watermark-gated — the
+    left-outer + append-mode-aggregation as-of form, whose emission
+    contract is documented on ``streaming_asof_joins`` — must pass
+    ``watermark_flush=True`` to keep the flush batch (skipping it
+    there returns an empty table, caught by the oracle gate when this
+    default first landed)."""
     spark = query_df.sparkSession
     prev_parts = None
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if not watermark_flush:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     if shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -133,6 +162,9 @@ def run_bounded(
         finally:
             q.stop()
     finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
