@@ -31,32 +31,30 @@ def shingle_rows(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """(id, shingle) rows via posexplode + lead windows.
+    """(id, shingle) rows: explode of the bound-lambda shingle array.
 
-    The array-expression form (word_shingles) re-evaluates the regex
-    tokenizer inside every lambda element_at — 3k regex splits per doc
-    (measured: explode of word_shingles dominated the whole MinHash
-    pipeline). Here the tokenizer runs ONCE per doc; the lead window
-    shuffles on the id, which downstream per-doc aggregations reuse —
-    net one shuffle for the whole signature pipeline.
-    """
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    # materialize ALL leads before filtering — a lead computed after
-    # the filter would see the truncated partition and emit short
-    # shingles at the new tail
-    with_leads = toks.select(
+    History (r14 optimization): this was a posexplode + lead-window
+    form, justified by the OLD word_shingles re-running the tokenizer
+    regex inside every lambda element — but word_shingles has since
+    bound the token array once via the nested-lambda trick (its
+    docstring / SCALE.md pitfall 1), so that justification was stale.
+    The window form shuffled the ENTIRE token stream (partitionBy id +
+    sort, no map-side combine possible) before any downstream
+    aggregation; the array form is a pure scan+explode — zero
+    shuffle — so e.g. minhash_signature's groupBy(id) now map-side-
+    combines token rows down to one partial row per doc per task
+    before its only exchange (guide §2.3 "aggregate before you
+    shuffle").  Same (id, shingle) multiset: identical tokenizer,
+    positions 1..n-k+1 in document order, duplicates preserved
+    (consumers are min-aggregates / distinct / count_distinct, but
+    the multiset contract is kept anyway).  Measured sf0.1 A/B
+    (min-of-6 / min-of-4 per query, same session methodology):
+    dup_clusters 2.26 -> 1.52 s, near_dedup_pipeline 3.16 -> 2.03 s,
+    training_data_pipeline 9.93 -> 8.69 s, quality_dedup_keep
+    2.81 -> 2.26 s, delete_closure_ids 3.07 -> 2.80 s."""
+    return df.select(
         F.col(id_col),
-        F.col("__tok"),
-        *[F.lead("__tok", j).over(w).alias(f"__l{j}") for j in range(1, k)],
-    )
-    return with_leads.filter(F.col(f"__l{k-1}").isNotNull()).select(
-        F.col(id_col),
-        F.concat_ws(
-            " ", F.col("__tok"), *[F.col(f"__l{j}") for j in range(1, k)]
-        ).alias("shingle"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
     )
 
 
