@@ -243,6 +243,10 @@ def test_qq_bucketed_rank_matches_window_rank(spark):
         out = qq_stats_sql(
             df, ["grp"], value_col="value", exact_scales=(1e3, 1e6),
             rank_buckets=buckets,
+            # the size-adaptive switch (bucket_min_rows) would send a
+            # fixture-sized input to the window form -- force the
+            # bucketed path so the parity claim stays tested
+            bucket_min_rows=0,
         )
         return _canon(
             out.select(
@@ -264,7 +268,7 @@ def test_qq_bucketed_rank_partition_invariant(spark):
         df = ev.repartition(parts)
         out = qq_stats_sql(
             df, ["grp"], value_col="value", exact_scales=(1e3, 1e6),
-            rank_buckets=16,
+            rank_buckets=16, bucket_min_rows=0,
         )
         return out.select(
             "grp",
