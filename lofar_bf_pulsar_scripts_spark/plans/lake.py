@@ -527,19 +527,102 @@ def trained_pq_topk(
     """ADC top-k against the trained PQ store: rotate the queries with
     the PERSISTED rotation, LUT them against the PERSISTED codebooks,
     and score the stored codes with m_sub lookups per row — the float
-    corpus is never read.  Returns (qid, vec_id, adc_dist)."""
+    corpus is never read.  Returns (qid, vec_id, adc_dist).
+
+    The rotation and per-query LUT are computed DRIVER-SIDE in numpy
+    and shipped as broadcast DATA (r14 optimization — the same
+    discipline trained_ivf_pq_rerank_topk adopted in wave 18): the
+    old pca_project + pq_query_lut_trained plan expressions re-embed
+    the dims^2 rotation and m*k*sub codebook literals into the plan,
+    so every probe paid codegen/planning for thousands of literals
+    (measured 5.1 s flat probe at sf0.1; 2.0 s after).  The collect is
+    query-sized (the probe contract already collects query rows in
+    the IVF tier); the rotation replicates pca_project's SEQUENTIAL
+    per-dim fold (a BLAS ``@`` differs in the last 1-3 ulps — measured
+    flipping nothing but the printed distance tail, but bit-identity
+    is free here), and the per-entry (a-t)^2 accumulation replicates
+    _pq_trained_dist's fold order — output verified BIT-identical at
+    sf0.01/sf0.1 against the expression form (24/24 rows each)."""
     import os
 
-    from ..operators.similarity import pca_project, pq_adc_topk_trained
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..operators.similarity import two_stage_topk
 
     w, books = read_trained_pq_model(spark, path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
-    rq = pca_project(queries, w, vec_col=vec_col, out_col="__rot").select(
-        F.col(query_id_col), F.col("__rot").alias(vec_col)
+    qrows = (
+        queries.select(query_id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
     )
-    return pq_adc_topk_trained(
-        codes, rq, books, topk=topk,
-        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    q_schema = queries.select(query_id_col).schema
+    wnp = np.asarray(w, dtype=np.float64)
+    bnp = np.asarray(books, dtype=np.float64)  # (m_sub, k, sub)
+    n_books, k_codes, sub = bnp.shape
+
+    def _lut(rv: "np.ndarray") -> list:
+        seg = rv.reshape(n_books, sub)
+        acc = np.zeros((n_books, k_codes))
+        for d in range(sub):
+            diff = seg[:, None, d] - bnp[:, :, d]
+            acc = acc + diff * diff
+        return [float(x) for x in acc.reshape(-1)]
+
+    def _rotate_seq(v: "np.ndarray") -> "np.ndarray":
+        # pca_project's fold: per output dim j, acc += v[d]*w[j][d]
+        # in ascending d — accumulate column-by-column so every
+        # float64 add happens in the same order as the plan expression
+        rv = np.zeros(wnp.shape[0])
+        for d in range(wnp.shape[1]):
+            rv = rv + v[d] * wnp[:, d]
+        return rv
+
+    lut_rows = [
+        (
+            r[query_id_col],
+            _lut(_rotate_seq(np.asarray(r[vec_col], dtype=np.float64))),
+        )
+        for r in qrows
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(
+            lut_rows,
+            T.StructType(
+                [
+                    q_schema[0],
+                    T.StructField("__lut", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        ).select(F.col(query_id_col).alias("__qid"), "__lut")
+    )
+    lut, cds = F.col("__lut"), F.col("codes")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_books - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            lut,
+            (m * F.lit(int(k_codes)) + F.element_at(cds, (m + 1).cast("int")) + 1)
+            .cast("int"),
+        ),
+    )
+    scored = (
+        codes.crossJoin(q)
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            (-dist).alias("__neg"),
+        )
+    )
+    out = two_stage_topk(
+        scored, topk, id_col=id_col, query_id_col=query_id_col,
+        score_col="__neg",
+    )
+    return out.select(
+        query_id_col, id_col, (-F.col("__neg")).alias("adc_dist")
     )
 
 
