@@ -8094,12 +8094,25 @@ def q_hierarchical_assign_counts(
     fine = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    # the routed codebooks are MODEL-sized (k2 / k rows) but their
+    # lineage is a full assignment plan each; every downstream level
+    # broadcasts them, and without materialization the tree re-inlines
+    # those plans into every branch (94-Exchange plan, the broadcast
+    # sides rebuilt per reference).  localCheckpoint is safe here by
+    # the codebook-size contract and cannot flip a join: the operator
+    # broadcasts them EXPLICITLY.  Measured sf0.1: Exchanges 94 -> 26
+    # (agreement gate 100 -> 32); wall flat within this host's noise
+    # band at bench scale — the win is plan size (planning time and
+    # repeated broadcast builds grow with the tree, the codebook does
+    # not)
+    l2g = ivf_assign(
+        l2, l1, id_col="g2", centroid_id_col="g1"
+    ).localCheckpoint(eager=True)
     # fine codebook routes THROUGH the tree too (k x b dots, not the
     # flat k x k/b) — mirrored by the oracle's p1/f1 CTEs
     fine_g = routing_tree_assign(
         fine, [l1, l2g], ["g1", "g2"], id_col="cid"
-    ).select("cid", "embedding", "g2")
+    ).select("cid", "embedding", "g2").localCheckpoint(eager=True)
     assigned = routing_tree_assign(
         e, [l1, l2g, fine_g], ["g1", "g2", "cid"]
     )
@@ -8268,12 +8281,16 @@ def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = e.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    l2g = ivf_assign(l2, l1, id_col="g2", centroid_id_col="g1")
+    # model-sized routed codebooks materialized once (see
+    # q_hierarchical_assign_counts — same 94-Exchange tree otherwise)
+    l2g = ivf_assign(
+        l2, l1, id_col="g2", centroid_id_col="g1"
+    ).localCheckpoint(eager=True)
     # fine codebook routes THROUGH the tree too (k x b dots, not the
     # flat k x k/b) — mirrored by the oracle's p1/f1 CTEs
     fine_g = routing_tree_assign(
         fine, [l1, l2g], ["g1", "g2"], id_col="cid"
-    ).select("cid", "embedding", "g2")
+    ).select("cid", "embedding", "g2").localCheckpoint(eager=True)
     hier = routing_tree_assign(
         probe, [l1, l2g, fine_g], ["g1", "g2", "cid"]
     ).select("vec_id", F.col("cid").alias("__hcid"))

@@ -60,7 +60,11 @@ GUARDS = {
     "dup_clusters": (0, 0, 0),
     "near_dedup_pipeline": (3, 1, 0),
     "hybrid_rrf_search": (14, 0, 5),
-    "qq_normalize_stats": (3, 0, 1),
+    # r14 re-tighten: the size-adaptive rank (bucket_min_rows) sends
+    # fixture/bench-scale inputs to the window form — 1 Exchange, no
+    # broadcast offset dimension (the bucketed shape only appears
+    # above 2M input rows, where it pays)
+    "qq_normalize_stats": (1, 0, 0),
     "quality_dedup_keep": (4, 1, 2),
     "image_phash_pairs": (2, 0, 1),
     "ivf_pq_rerank_top3": (11, 0, 6),
