@@ -356,6 +356,7 @@ def gopher_quality_flags(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Per-document Gopher rule flags. Returns the integer components
     (n_words, sum_word_len, n_alpha_words, n_symbols, n_stopwords,
@@ -401,8 +402,13 @@ def gopher_quality_flags(
     n_sym = (
         F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))
     ).cast("long")
+    # keep_text=True lets a caller FILTER on the flags per-row and
+    # keep going with the text in the same scan — a funnel that
+    # instead semi-joins back to the corpus on id pays one extra
+    # corpus scan + a join per consumer (r14: training_data_stats)
     d = df.select(
         F.col(id_col),
+        *([F.col(text_col)] if keep_text else []),
         *[c for c in df.columns if c != id_col and c != text_col],
         ts["n_words"].alias("n_words"),
         sum_len.alias("sum_word_len"),

@@ -50,7 +50,12 @@ def _counts(plan: str) -> dict:
 # broadcast-or-local.
 GUARDS = {
     "forget_documents_stores": (0, 0, 0),
-    "training_data_pipeline": (44, 12, 19),
+    # r14 re-tighten: the inline gopher filter (keep_text=True)
+    # removed the pass_ids semi-join from every consumer of `passing`
+    # and from the flagged funnel join — 44 -> 34 Exchanges, 8 joins
+    # gone (19 -> 11 broadcasts, all eliminated not flipped: SMJ
+    # count unchanged)
+    "training_data_pipeline": (34, 12, 11),
     # r14 re-tighten: the driver-side-LUT probe rewrite (wave 18)
     # dropped trained_ivf_pq_rerank_top3 6->3 Exchanges and
     # trained_pq_adc_top3 3->2
