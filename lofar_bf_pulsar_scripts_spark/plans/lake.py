@@ -981,17 +981,9 @@ def upsert_trained_ivf_pq(
     # a mixed-schema store that the plain parquet read resolves from
     # ONE footer, corrupting or failing later probes
     vec_dtype = spark.read.parquet(vec_path).schema[vec_col].dataType
-    for tier_path, tier_new, cols in (
-        (codes_path, enc, (id_col, "codes", "cid")),
-        (
-            vec_path,
-            assigned.select(
-                id_col, F.col(vec_col).cast(vec_dtype).alias(vec_col),
-                "cid",
-            ),
-            (id_col, vec_col, "cid"),
-        ),
-    ):
+
+    def _rewrite_tier(spec: tuple) -> None:
+        tier_path, tier_new, cols = spec
         existing = spark.read.parquet(tier_path).filter(
             F.col("cid").isin(touched)
         )
@@ -1006,6 +998,27 @@ def upsert_trained_ivf_pq(
         _overwrite_touched_partitions(
             spark, tier_path, survivors, touched, "cid"
         )
+
+    # the two tiers are independent (distinct paths, inputs already
+    # checkpointed batch-side) — overlap them so one tier's commit
+    # tail back-fills the other's jobs (guide §2.6, the
+    # forget_documents discipline; per-write partitionOverwriteMode,
+    # no session-conf race)
+    from concurrent.futures import ThreadPoolExecutor
+
+    tiers = (
+        (codes_path, enc, (id_col, "codes", "cid")),
+        (
+            vec_path,
+            assigned.select(
+                id_col, F.col(vec_col).cast(vec_dtype).alias(vec_col),
+                "cid",
+            ),
+            (id_col, vec_col, "cid"),
+        ),
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_rewrite_tier, tiers))
     return {
         "upserted": int(n_batch),
         "touched_cids": touched,
