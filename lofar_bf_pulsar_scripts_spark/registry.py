@@ -10053,8 +10053,23 @@ _TAIL: tuple[str, ...] = (
 # fold_event_counts) to fill 50.  Funded by demoting the 50
 # r13-window greens.  `python tools/check_window.py <r13-end-commit>`
 # verifies the changed/new coverage mechanically.
+# r14 OPTIMIZATION-round amendment: five gates' Spark functions
+# changed in this round's optimization work (inline gopher filter,
+# dHash proxy checkpoint, size-adaptive rank, threaded forget,
+# keep_text flag threading through gopher_rules' operator) and were
+# outside the head-50 — changed gates must re-gate (the r12 item-3
+# discipline), so they take five slots, funded by demoting the four
+# r11-era fill gates (fold_profile, fold_subints, profile_stats,
+# fold_event_counts — green in r13, untouched since) and token_stats
+# (unchanged cohort green).  check_window.py vs the round-start
+# commit (8952b0c) verifies coverage mechanically.
 _PROMOTE: tuple[str, ...] = (
     "trained_ivf_pq_upsert",
+    "training_data_pipeline",
+    "forget_documents_stores",
+    "image_phash_pairs",
+    "qq_normalize_stats",
+    "gopher_rules",
     "incremental_components",
     "delete_closure_ids",
     "acf_hourly",
@@ -10094,16 +10109,11 @@ _PROMOTE: tuple[str, ...] = (
     "shipping_priority",
     "simhash_docs",
     "streaming_asof_joins_exact",
-    "token_stats",
     "top_customer_per_nation",
     "tsky_map_lookup",
     "tsky_scaled",
     "wijnholds_aeff_lookup",
     "wijnholds_channel_calibration",
-    "fold_profile",
-    "fold_subints",
-    "profile_stats",
-    "fold_event_counts",
 )
 
 
