@@ -115,6 +115,50 @@ HEADLINE = [
     "boxcar_best_hourly",
 ]
 
+# Driver-visible print continuity (r14 VERDICT item 2): the union of
+# the query names the committed r13 and r14 records PRINTED.  The
+# truncated stdout line keeps HEADLINE, then these, then the slowest
+# remaining entries — so a query that once entered the driver's
+# round-over-round comparison surface never silently drops out of it
+# again just because an optimization made it fast (r14 evicted three
+# of its own biggest wins that way).
+PRINT_PRIORITY = [
+    "bigram_lm_quality",
+    "blind_search_pipeline",
+    "bloom_incremental_screen",
+    "delete_closure_ids",
+    "dsir_importance",
+    "dup_clusters",
+    "forget_documents_stores",
+    "hier_assign_agreement",
+    "hierarchical_assign_counts",
+    "hybrid_rrf_search",
+    "image_phash_pairs",
+    "incremental_components",
+    "incremental_near_dup",
+    "ivf_pq_rerank_top3",
+    "ivf_pq_top3",
+    "lsh_ann_topk",
+    "lsh_ann_topk_stored",
+    "lsh_bucket_sizes",
+    "lsh_multiprobe_topk",
+    "lsh_recall_at_5",
+    "lta_superquery_manifest",
+    "near_dedup_pipeline",
+    "pii_redaction_stats",
+    "pq_adc_top3",
+    "qq_normalize_stats",
+    "quality_dedup_keep",
+    "streaming_asof_exact",
+    "streaming_asof_joins_exact",
+    "streaming_crossmatch_exact",
+    "streaming_funnel_joins_exact",
+    "trained_ivf_pq_rerank_top3",
+    "trained_ivf_pq_upsert",
+    "trained_pq_adc_top3",
+    "training_data_pipeline",
+]
+
 # Mature-JVM idle canary on the reference build host (r11 record's
 # canary_end 0.135 s; r8 calibration band 0.1-0.25 s). Normalized
 # times are "seconds on the reference host"; the vs_prev RATIO is
@@ -205,6 +249,7 @@ def compute_vs_prev(
     headline_names: list,
     machine_index: float | None,
     ovh_index: float | None,
+    now_has_ovh: bool = True,
 ) -> dict | None:
     """The self-adjudication block (see module docstring, 'Two-
     component machine model').  Pure function of two records'
@@ -221,10 +266,20 @@ def compute_vs_prev(
     overhead pair is therefore always computed with the SAME
     estimator on both sides: explicit canaries when both records
     carry them, else the query-wall proxy on both; the record labels
-    which via ``ovh_index_kind``."""
+    which via ``ovh_index_kind``.  The guard is symmetric (r15,
+    ADVICE): ``now_has_ovh`` tells whether ``ovh_index`` came from
+    explicit canary samples of the NOW record — a replay of a
+    canary-bearing prev against a legacy-shaped now must also fall
+    back to proxy-on-both-sides (bench.py's own call always passes
+    an explicit-canary index, so it passes True)."""
     prev_q = (prev or {}).get("queries") or {}
     prev_m = _machine_index(prev or {})
-    if prev is not None and _has_ovh_samples(prev) and ovh_index:
+    if (
+        prev is not None
+        and _has_ovh_samples(prev)
+        and ovh_index
+        and now_has_ovh
+    ):
         prev_o, ovh_kind = _overhead_index(prev), "canary"
     else:
         prev_o = _overhead_index({"queries": prev_q})
@@ -447,7 +502,15 @@ def main() -> None:
         "canary_ovh_index": ovh_index,
         "canary_ref_sec": CANARY_REF,
         "store_build_sec": store_build,
-        "cpus": os.cpu_count(),
+        # the core count the bench actually ran with ($SPARK_GRAFT_CPUS
+        # drives the local[...] master) — not os.cpu_count(), which
+        # mislabeled the driver's low-core scaling record as cpus:32
+        # (r14 VERDICT)
+        "cpus": (
+            int(os.environ["SPARK_GRAFT_CPUS"])
+            if os.environ.get("SPARK_GRAFT_CPUS", "*").isdigit()
+            else os.cpu_count()
+        ),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -475,16 +538,17 @@ def main() -> None:
     full_payload["canary_samples"] = canary_samples
     if vs_prev is not None:
         full_payload["vs_prev"] = vs_prev
+        # printed vs_prev is COMPACT (3 fields): the r14 round's richer
+        # printed block consumed ~6 queries' worth of the 1,900-char
+        # budget and silently shrank the driver-visible query set
+        # (43 -> 37 printed; r14 VERDICT "What's wrong" 1).  The full
+        # block lives in BENCH_QUERIES.json.
         payload["vs_prev"] = {
             k: vs_prev[k]
             for k in (
                 "raw_geomean_ratio",
                 "band_adjudicated_geomean_ratio",
-                "headline_band_adjudicated_geomean_ratio",
-                "normalized_geomean_ratio",
-                "ovh_normalized_geomean_ratio",
                 "machine_band",
-                "common_queries",
             )
             if k in vs_prev
         }
@@ -508,8 +572,23 @@ def main() -> None:
     budget = 1900
     if len(full) > budget:
         keep = dict.fromkeys(n_ for n_ in HEADLINE if n_ in timings)
+        for n_ in PRINT_PRIORITY:
+            if n_ in timings:
+                keep.setdefault(n_)
         for n_, _ in sorted(timings.items(), key=lambda kv: -kv[1]):
             keep.setdefault(n_)
+        # shed the bulky non-query detail from the PRINTED line only
+        # (all of it stays in BENCH_QUERIES.json): the per-store build
+        # breakdown (~250 chars) collapses to its total, and the
+        # canary start/end/ref samples drop in favour of the two
+        # adjudication indices — this is what funds the restored
+        # >=44-query printed surface (r14 VERDICT item 2).
+        del payload["store_build_sec"]
+        payload["store_build_total_sec"] = round(
+            sum(store_build.values()), 3
+        )
+        for k in ("canary_start_sec", "canary_end_sec", "canary_ref_sec"):
+            payload.pop(k, None)
         payload["queries"] = {}
         payload["queries_omitted"] = 0
         payload["full_queries_file"] = "BENCH_QUERIES.json"

@@ -141,3 +141,35 @@ def test_replay_r12_r13_reads_flat():
         1.5124, abs=1e-3
     )  # the old model's phantom regression, reproduced
     assert 0.9 <= res["band_adjudicated_geomean_ratio"] <= 1.1
+
+
+def test_symmetric_guard_canary_prev_vs_legacy_now():
+    """r15 (ADVICE): the mixed-unit guard must be SYMMETRIC.  A
+    canary-bearing PREV replayed against a legacy-shaped NOW (whose
+    overhead index is the query-wall proxy) must fall back to
+    proxy-on-both-sides — dividing the prev's ~0.02 s canary by the
+    now's ~0.2 s proxy would fabricate the inverse multiplier while
+    still labeling it 'canary'."""
+    q = {f"q{i}": 0.1 + 0.01 * i for i in range(30)}
+    prev = _rec(dict(q), cpu=0.1, ovh=0.02)  # explicit ovh canary
+    now_proxy_idx = _overhead_index({"queries": q})  # legacy shape
+    out = compute_vs_prev(
+        prev, dict(q), [], 0.1, now_proxy_idx, now_has_ovh=False
+    )
+    assert out["ovh_index_kind"] == "proxy"
+    assert out["machine_band"] == [1.0, 1.0]
+    assert out["band_adjudicated_geomean_ratio"] == 1.0
+
+
+def test_print_priority_covers_committed_printed_sets():
+    """r15 (VERDICT item 2): the printed bench line must never again
+    silently evict queries the driver's series already tracks.  The
+    HEADLINE + PRINT_PRIORITY keep-list must cover every query name
+    the committed r13 and r14 records printed."""
+    from bench import HEADLINE, PRINT_PRIORITY
+
+    keep = set(HEADLINE) | set(PRINT_PRIORITY)
+    for rec_name in ("BENCH_r13.json", "BENCH_r14.json"):
+        rec = json.load(open(os.path.join(REPO, rec_name)))
+        printed = set((rec.get("parsed") or {}).get("queries") or {})
+        assert printed <= keep, (rec_name, sorted(printed - keep))

@@ -22,7 +22,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _machine_index, _overhead_index, compute_vs_prev  # noqa: E402
+from bench import (  # noqa: E402
+    _has_ovh_samples,
+    _machine_index,
+    _overhead_index,
+    compute_vs_prev,
+)
 
 
 def _load(path: str) -> dict:
@@ -44,6 +49,11 @@ def main() -> None:
         [],  # headline split not reconstructable from every record
         _machine_index(now),
         _overhead_index(now),
+        # symmetric mixed-unit guard (ADVICE r14): a legacy-shaped NOW
+        # record yields a proxy index — tell compute_vs_prev so it
+        # falls back to proxy-on-both-sides instead of dividing the
+        # prev's canary by the now's proxy
+        now_has_ovh=_has_ovh_samples(now),
     )
     print(json.dumps(out, indent=1))
 
