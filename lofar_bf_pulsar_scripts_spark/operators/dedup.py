@@ -52,6 +52,13 @@ def shingle_rows(
     dup_clusters 2.26 -> 1.52 s, near_dedup_pipeline 3.16 -> 2.03 s,
     training_data_pipeline 9.93 -> 8.69 s, quality_dedup_keep
     2.81 -> 2.26 s, delete_closure_ids 3.07 -> 2.80 s."""
+    # NOTE (r15): a spread_small_scan of the text projection here was
+    # A/B-measured and REJECTED — consumers scan shingles several
+    # times per pipeline and each scan then pays the round-robin
+    # exchange, which costs more than the parallelism buys at this
+    # tokenization weight (near_dedup_pipeline 2.54 -> 2.84 s,
+    # contamination_screen 1.30 -> 1.46 s; only the single-scan
+    # lsh_bucket_sizes won).  The pure scan+explode stays.
     return df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, k)).alias("shingle"),

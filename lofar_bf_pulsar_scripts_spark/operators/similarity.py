@@ -127,13 +127,18 @@ def brute_force_topk(
     corpus rows, two-stage top-k (see ``two_stage_topk``).
     Returns (qid, vec_id, cos) with exactly k rows per query.
     """
+    from .skew import spread_small_scan
+
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
         )
     )
+    # the per-row cosine fold is interpreted HOF work fused into the
+    # corpus scan — spread a single-task sandbox scan so it does not
+    # run on one core (r15; no-op at corpus scale)
     scored = (
-        corpus.crossJoin(q)
+        spread_small_scan(corpus.select(id_col, vec_col)).crossJoin(q)
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             F.col("__qid").alias(query_id_col),
@@ -334,6 +339,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "cid",
+    spread: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid (max dot, ties to the smaller centroid id).
@@ -386,6 +392,15 @@ def ivf_assign(
             c,
         ).otherwise(acc),
     )
+    from .skew import spread_small_scan
+
+    # the k-candidate argmax fold is interpreted per-row HOF work
+    # fused into the input's scan — spread a single-task sandbox scan
+    # across the machine (r15; no-op for >= parallelism inputs).
+    # Codebook-sized routing calls (ivf_assign(fine, coarse)) pass
+    # spread=False: an exchange of a model-sized frame buys nothing.
+    if spread:
+        corpus = spread_small_scan(corpus)
     return (
         corpus.crossJoin(F.broadcast(cands))
         .withColumn(centroid_id_col, best["i"])
@@ -506,6 +521,7 @@ def routing_tree_assign(
     level_id_cols: list[str],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """L-level IVF routing tree (VERDICT r8 item 3 — the general form
     of ``hierarchical_assign``): ``levels`` are centroid tables
@@ -541,6 +557,14 @@ def routing_tree_assign(
     lesson, measured at 2.3% of the 100x corpus)."""
     if len(levels) != len(level_id_cols) or not levels:
         raise ValueError("levels and level_id_cols must match, non-empty")
+    # the whole route (every level's argmax fold) fuses into the
+    # corpus scan stage — spread a single-task sandbox scan so the
+    # route does not run on one core (r15; no-op at corpus scale;
+    # codebook-sized routing calls pass spread=False)
+    if spread:
+        from .skew import spread_small_scan
+
+        corpus = spread_small_scan(corpus)
     # transitive ownership, finest to coarsest
     owned = list(levels)
     for i in range(len(levels) - 2, -1, -1):
@@ -1205,13 +1229,19 @@ def lsh_ann_topk(
     # trap lsh_buckets guards against for empty MinHash signatures.
     # Exclude them up front (size(NULL) = -1, so one predicate covers
     # all three cases).
+    from .skew import spread_small_scan
+
     corpus = corpus.filter(F.size(F.col(vec_col)) == dims)
     # Same guard on the query side: a malformed query would hash to
     # bucket 0 in every table and come back with k NULL-cosine rows
     # (NULL sorts first inside the rank struct) instead of being absent.
     queries = queries.filter(F.size(F.col(vec_col)) == dims)
     sig = hyperplane_buckets(F.col(vec_col), n_tables, n_bits, dims, scale)
-    c_ex = corpus.select(
+    # spread the interpreted signature fold across the machine — a
+    # single-file sandbox corpus otherwise hashes on ONE scan task
+    # (r15; measured 1.53 -> 0.50 s at sf0.1); corpus-scale inputs
+    # pass through untouched (see spread_small_scan)
+    c_ex = spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sig).alias("__tbl", "__bkt"),
     )
@@ -1422,7 +1452,12 @@ def pq_adc_topk(
     the hot loop, no corpus shuffle, two-stage top-k reduction.
     Returns (qid, vec_id, adc_dist) with ties broken to the smaller
     id. Exact-integer throughout, so results are engine-exact."""
-    enc = corpus.select(
+    from .skew import spread_small_scan
+
+    # pq_encode is an interpreted per-row HOF fold fused into the
+    # corpus scan — spread a single-task sandbox scan (r15; no-op at
+    # corpus scale)
+    enc = spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col), pq_encode(F.col(vec_col), dims, m_sub, k_codes).alias(
             "__codes"
         )

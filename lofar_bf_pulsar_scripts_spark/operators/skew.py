@@ -111,3 +111,36 @@ def key_skew_report(
             ).alias("hot_share_ppm"),
         )
     )
+
+
+def spread_small_scan(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Scale-adaptive scan spread for CPU-heavy per-row pipelines
+    (guide §2.5: "one huge unsplittable file ... repartition
+    immediately after the read").
+
+    A bench/sandbox table is a single-row-group parquet file, so its
+    scan is ONE task — and everything Spark fuses into the scan stage
+    (interpreted lambda folds, regex tokenizers, explode + map-side
+    partial aggregation) runs on one core regardless of the machine's
+    parallelism.  Measured at sf0.1 / local[32]: the sign-LSH corpus
+    signature stage alone reads 1.53 s single-task vs 0.50 s spread.
+
+    Scale shape: an input that already scans in >= defaultParallelism
+    tasks is returned UNCHANGED, so at 100 TB (where the scan has
+    thousands of tasks) this never inserts a payload shuffle — the
+    spread only engages exactly when the scan starves the machine.
+    Callers apply it AFTER projecting to the columns the downstream
+    compute needs, so the one-time round-robin exchange moves the
+    narrow projection, not the full row (guide §2.3).  The keyless
+    repartition is retry-deterministic (sort-before-repartition,
+    SPARK-23207) and results are partition-invariant by the callers'
+    own contracts (associative aggregates / explicit sort keys),
+    pinned by the partition-invariance tests.
+
+    ``multiple`` > 1 oversubscribes (multiple tasks per core) for
+    pipelines whose per-row cost is very uneven."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * max(1, int(multiple))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -8106,12 +8106,12 @@ def q_hierarchical_assign_counts(
     # repeated broadcast builds grow with the tree, the codebook does
     # not)
     l2g = ivf_assign(
-        l2, l1, id_col="g2", centroid_id_col="g1"
+        l2, l1, id_col="g2", centroid_id_col="g1", spread=False
     ).localCheckpoint(eager=True)
     # fine codebook routes THROUGH the tree too (k x b dots, not the
     # flat k x k/b) — mirrored by the oracle's p1/f1 CTEs
     fine_g = routing_tree_assign(
-        fine, [l1, l2g], ["g1", "g2"], id_col="cid"
+        fine, [l1, l2g], ["g1", "g2"], id_col="cid", spread=False
     ).select("cid", "embedding", "g2").localCheckpoint(eager=True)
     assigned = routing_tree_assign(
         e, [l1, l2g, fine_g], ["g1", "g2", "cid"]
@@ -8284,12 +8284,12 @@ def q_hier_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model-sized routed codebooks materialized once (see
     # q_hierarchical_assign_counts — same 94-Exchange tree otherwise)
     l2g = ivf_assign(
-        l2, l1, id_col="g2", centroid_id_col="g1"
+        l2, l1, id_col="g2", centroid_id_col="g1", spread=False
     ).localCheckpoint(eager=True)
     # fine codebook routes THROUGH the tree too (k x b dots, not the
     # flat k x k/b) — mirrored by the oracle's p1/f1 CTEs
     fine_g = routing_tree_assign(
-        fine, [l1, l2g], ["g1", "g2"], id_col="cid"
+        fine, [l1, l2g], ["g1", "g2"], id_col="cid", spread=False
     ).select("cid", "embedding", "g2").localCheckpoint(eager=True)
     hier = routing_tree_assign(
         probe, [l1, l2g, fine_g], ["g1", "g2", "cid"]
