@@ -765,10 +765,23 @@ def dsir_importance(
         raise ValueError("n_buckets must be in [1, 2^28]")
     from .text import tokens
 
+    from .skew import spread_small_scan
+
+    # tokenizer + per-token md5 fuse into the corpus scan stage — a
+    # single-file sandbox scan is ONE task, so this ran on one core;
+    # downstream reads doc_b through ONE reused exchange, so unlike
+    # the multi-consumer funnels the spread is paid exactly once
+    # (r15; no-op at corpus scale)
     doc_b = (
-        df.select(
+        spread_small_scan(
+            df.select(
+                F.col(id_col), is_target.cast("long").alias("__t"),
+                F.col(text_col),
+            )
+        )
+        .select(
             F.col(id_col),
-            is_target.cast("long").alias("__t"),
+            F.col("__t"),
             F.explode(
                 tokens(F.coalesce(F.col(text_col), F.lit("")))
             ).alias("tok"),

@@ -503,6 +503,11 @@ def bigram_lm_scores(
     # bind the token array once (SCALE.md pitfall 1)
     bigrams = F.transform(F.array(w), build)[0]
 
+    # NOTE (r15): a spread_small_scan of (id, text) here was
+    # A/B-measured and REJECTED (2.25 -> 2.63 s): the unigram branch
+    # prunes id_col, so the two branches canonicalize to DIFFERENT
+    # exchanges and the text column is shuffled twice instead of the
+    # hoped-for ReusedExchange.
     toks = df.select(F.explode(w).alias("tok"))
     unigram = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     vocab_n = unigram.agg(F.count(F.lit(1)).alias("v"))

@@ -9121,9 +9121,19 @@ def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 256).cast("string"),
         F.lit(".9 soon"),
     )
+    from .operators.skew import spread_small_scan
+
+    # the PII regex battery fuses into the events scan stage — one
+    # task for a single-file sandbox input; spread the two-column
+    # projection first (r15; no-op at corpus scale)
     base = (
-        load_table(spark, "events", sf_dir)
-        .filter(F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
+        spread_small_scan(
+            load_table(spark, "events", sf_dir)
+            .filter(
+                F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+            )
+            .select("user_id", "event_id")
+        )
         .select(
             (F.col("user_id") % 7).alias("g"),
             pii_counts(txt).alias("c"),
