@@ -932,9 +932,16 @@ def phash_near_dup_pairs(
         "__s", src_w, src_h, n_bands=n_bands,
         stretch_len_expr="greatest(length(__s), 1)",
     )
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("__s"),
+    from .skew import spread_small_scan
+
+    # the raster/dHash algebra is the dominant per-row cost and fuses
+    # into the corpus scan — spread a single-task sandbox scan before
+    # computing it (r15; no-op at corpus scale)
+    hashed = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__s"),
+        )
     ).select(
         "__id",
         *[F.expr(e).cast("long").alias(f"b{i}") for i, e in enumerate(exprs)],
@@ -944,10 +951,19 @@ def phash_near_dup_pairs(
     # self-join branches otherwise re-evaluate the ~64-bit dHash
     # expression tree over the full corpus, and the raster algebra is
     # the dominant per-row cost.  AQE picks the join strategy from the
-    # checkpointed side's RUNTIME size (broadcast at bench scale,
+    # materialized side's RUNTIME size (broadcast at bench scale,
     # sort-merge at corpus scale) — no stats-blind forced broadcast.
-    # Measured sf0.1 min-of-4: full query 4.62 -> ~1.4 s.
-    hashed = hashed.localCheckpoint(eager=True)
+    # r15 (VERDICT item 8): persist(DISK_ONLY) + an eager count
+    # replaces the corpus-sized localCheckpoint — same one-pass
+    # materialization and runtime stats, but the lineage stays
+    # RECOMPUTABLE (localCheckpoint blocks are not fault-tolerant: an
+    # executor loss kills the job at 100 TB instead of recomputing).
+    # Measured sf0.1 min-of-4 (r14, checkpoint): full query 4.62 ->
+    # ~1.4 s; the persist form A/B-matches it (r15).
+    from pyspark import StorageLevel
+
+    hashed = hashed.persist(StorageLevel.DISK_ONLY)
+    hashed.count()  # populate the cache eagerly (all columns)
     exploded = hashed.select(
         "__id",
         *[F.col(f"b{i}") for i in range(n_bands)],

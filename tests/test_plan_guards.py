@@ -71,7 +71,13 @@ GUARDS = {
     # above 2M input rows, where it pays)
     "qq_normalize_stats": (1, 0, 0),
     "quality_dedup_keep": (4, 1, 2),
-    "image_phash_pairs": (2, 0, 1),
+    # r15 re-pin 2 -> 5: the persisted (DISK_ONLY) hash proxy prints
+    # its CACHED plan subtree (scan + spread exchange) under BOTH
+    # self-join branches, and the spread_small_scan round-robin adds
+    # one real exchange — the cached subtree executes ONCE (populated
+    # eagerly at build), so the physical shuffle count is unchanged
+    # +1 spread; the textual count is 5
+    "image_phash_pairs": (5, 0, 1),
     "ivf_pq_rerank_top3": (11, 0, 6),
     "incremental_components": (3, 0, 2),
     "lta_superquery_manifest": (6, 0, 3),
