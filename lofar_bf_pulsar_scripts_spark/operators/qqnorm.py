@@ -260,7 +260,16 @@ def qq_stats_sql(
     only provably bit-identical under ``exact_scales``, the probe (one
     count job — metadata-only on an unfiltered parquet scan, and a
     trivial fraction of the sort it is sizing otherwise) runs only
-    when both ``rank_buckets`` and ``exact_scales`` are set."""
+    when both ``rank_buckets`` and ``exact_scales`` are set.
+
+    Caller-facing contract of the probe (r14 ADVICE, explicit): when
+    it engages, (a) plan CONSTRUCTION runs an eager Spark count job —
+    this function is not lazy in that configuration — and (b) an
+    explicitly requested ``rank_buckets`` is OVERRIDDEN to the window
+    form below ``bucket_min_rows`` input rows.  Pass
+    ``bucket_min_rows=0`` to force the bucketed machinery regardless
+    of size (the parity tests do exactly this to keep the bucketed
+    path exercised end-to-end)."""
     from pyspark.sql import Window, functions as F
 
     if (

@@ -10073,6 +10073,18 @@ _TAIL: tuple[str, ...] = (
 # fold_event_counts — green in r13, untouched since) and token_stats
 # (unchanged cohort green).  check_window.py vs the round-start
 # commit (8952b0c) verifies coverage mechanically.
+# r15 OPTIMIZATION-round amendment: thirteen gates' Spark functions
+# changed in this round's optimization work (scan-spread in the
+# similarity operators, listing-level store-probe pruning, dsir/pii
+# spreads, rejected-experiment notes) and were outside the head-50 —
+# changed gates must re-gate (the r12 item-3 discipline), so they
+# take thirteen slots, funded by demoting thirteen UNCHANGED gates of
+# the r14 rotate-in cohort (acf_hourly, auto_off_window,
+# band_averaged_tsky, channel_sefd, cube_pricing, detrend_events,
+# file_placement, flux_spectrum, frame_offsets, hash_split_counts,
+# local_supplier_volume, off_window_stats, payload_metadata — each
+# green in the r14 window, byte-identical since).  check_window.py vs
+# the r15 round-start commit (8acac36) verifies coverage mechanically.
 _PROMOTE: tuple[str, ...] = (
     "trained_ivf_pq_upsert",
     "training_data_pipeline",
@@ -10082,33 +10094,35 @@ _PROMOTE: tuple[str, ...] = (
     "gopher_rules",
     "incremental_components",
     "delete_closure_ids",
-    "acf_hourly",
-    "auto_off_window",
-    "band_averaged_tsky",
+    # r15 changed-gate promotions
+    "bigram_lm_quality",
+    "cosine_topk",
+    "dsir_importance",
+    "hybrid_rrf_search",
+    "ivf_pq_stored_top3",
+    "ivf_topk_filtered",
+    "lsh_ann_topk",
+    "lsh_ann_topk_stored",
+    "lsh_multiprobe_topk",
+    "lsh_recall_at_5",
+    "pii_redaction_stats",
+    "pq_adc_top3",
+    "semantic_dedup_stats",
+    # r14 cohort retained
     "catalog_union",
-    "channel_sefd",
-    "cube_pricing",
-    "detrend_events",
     "dup_clusters",
     "embedding_near_dups",
     "embedding_quantize",
-    "file_placement",
-    "flux_spectrum",
-    "frame_offsets",
-    "hash_split_counts",
     "hier_assign_agreement",
     "hierarchical_assign_counts",
     "ivf_pq_rerank_top3",
     "ivf_pq_top3",
     "ivf_topk",
-    "local_supplier_volume",
     "lsh_bucket_sizes",
     "lta_superquery_manifest",
     "nearest_supplier",
     "ngram_jaccard_pairs",
-    "off_window_stats",
     "orders_without_lineitems",
-    "payload_metadata",
     "polyco_fold",
     "pq_code_histogram",
     "regex_filter_parts",

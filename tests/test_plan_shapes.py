@@ -33,7 +33,11 @@ def test_cosine_topk_plan(spark):
     plan = _plan(spark, "cosine_topk")
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
-    assert plan.count("Exchange") <= 3  # partial/final top-k only
+    # partial/final top-k exchanges + the r15 spread_small_scan
+    # round-robin (brute_force_topk spreads a single-task sandbox
+    # scan before the per-row cosine fold; no-op at corpus scale —
+    # A/B 0.98 -> 0.85 s at sf0.1)
+    assert plan.count("Exchange") <= 4
 
 
 def test_vocab_coverage_plan(spark):
